@@ -1,0 +1,68 @@
+"""Scalar text expressions (SURVEY.md §2.7, F1-F5/F12-ish).
+
+The reference implements text cleaning as row-at-a-time Python UDFs
+(`spark-streaming-pyspark/spark_streaming.py:70-81`,
+`spark-ml-sentiment/spark_ml_sentiment.py:150-174`). Here every one is
+a pure Catalyst expression chain — JVM-side, whole-stage-codegen'd,
+~100x cheaper per row than a pickled Python UDF, and the plan stays a
+single codegen stage at any scale.
+
+``portable_hash32`` is the engine's cross-engine-stable string hash:
+first 8 hex chars of md5 parsed as an unsigned 32-bit integer. md5 is
+available and bit-identical in Spark, DuckDB, and Python's hashlib, so
+minhash/simhash/fingerprint results can be verified exactly against an
+independent SQL oracle (unlike Spark's murmur `hash()`/`xxhash64`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def portable_hash32(col: Column) -> Column:
+    """Deterministic 32-bit hash of a string, identical across engines.
+
+    DuckDB equivalent: ``('0x' || substr(md5(x), 1, 8))::BIGINT``.
+    Python equivalent: ``int(hashlib.md5(x.encode()).hexdigest()[:8], 16)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# DuckDB twin of portable_hash32, as a SQL fragment template.
+PORTABLE_HASH32_SQL = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+def clean_text_expr(col: Column) -> Column:
+    """F1 clean_text as built-in expressions (no UDF).
+
+    Mirrors the reference semantics at
+    `spark-streaming-pyspark/spark_streaming.py:70-81`: lowercase,
+    strip URLs, strip @mentions, de-prefix #hashtags, non-word chars
+    to space, collapse whitespace, trim. Patterns avoid capture-group
+    backreferences so the identical pattern runs under both Java regex
+    (Spark) and RE2 (DuckDB oracle).
+    """
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"http\S+|www\S+", " ")
+    c = F.regexp_replace(c, r"@\w+", " ")
+    c = F.regexp_replace(c, r"#", "")
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+# The same chain as DuckDB SQL (RE2, 'g' flag for replace-all).
+CLEAN_TEXT_SQL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(lower({x}), 'http\\S+|www\\S+', ' ', 'g'),"
+    " '@\\w+', ' ', 'g'),"
+    " '#', '', 'g'),"
+    " '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def word_count_expr(col: Column) -> Column:
+    """F5 word_count = size(split(text, ' ')) (reference
+    `spark-streaming-pyspark/spark_streaming.py:92`)."""
+    return F.size(F.split(col, " "))

@@ -1,0 +1,139 @@
+"""Batch ML sentiment pipeline (SURVEY.md §2.10, M1-M10).
+
+Re-expresses `spark-ml-sentiment/spark_ml_sentiment.py` Spark-first.
+The reference is already Spark ML, so the pipeline stages carry over
+1:1 (Tokenizer → StopWordsRemover → CountVectorizer → IDF →
+VectorAssembler → {LogisticRegression, RandomForest, NaiveBayes});
+what changes is everything around them:
+
+- input is a table scan (`spark.read.parquet`), not a Mongo full scan
+  materialized on the driver (`spark_ml_sentiment.py:71-77`);
+- the VADER-style lexicon labeler is a deterministic built-in
+  expression chain, not a row-at-a-time Python UDF
+  (`spark_ml_sentiment.py:108-138`) — no JVM↔Python round trip;
+- results are written set-oriented, never ``toPandas()`` + per-row
+  upsert (`spark_ml_sentiment.py:402-417`).
+
+The lexicon here is a small fixed word list (the real VADER lexicon is
+an external dependency not present in this container); the *pipeline
+shape*, seeding (seed=42, `spark_ml_sentiment.py:208,254`), feature
+layout (text TF-IDF + numeric features), model-selection-by-accuracy
+and agreement-rate reporting all mirror the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+POSITIVE_WORDS = ("fast", "small", "value", "merge", "spark")
+NEGATIVE_WORDS = ("slow", "big", "error", "scan", "filter")
+
+
+def lexicon_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic lexicon sentiment: (pos_hits - neg_hits) /
+    (pos_hits + neg_hits), labeled positive/negative/neutral at ±0.05
+    (the VADER thresholds, `spark_ml_sentiment.py:127-133`). Pure
+    higher-order-function expressions — stays in codegen."""
+
+    def hits(words: tuple[str, ...]) -> F.Column:
+        lst = ", ".join(f"'{w}'" for w in words)
+        return F.expr(f"size(filter(split(lower({text_col}), ' '), t -> t IN ({lst})))")
+
+    pos, neg = hits(POSITIVE_WORDS), hits(NEGATIVE_WORDS)
+    score = F.when(pos + neg > 0, (pos - neg) / (pos + neg)).otherwise(F.lit(0.0))
+    return df.withColumn("pos_hits", pos).withColumn("neg_hits", neg).withColumn(
+        "lex_score", score
+    ).withColumn(
+        "lex_label",
+        F.when(F.col("lex_score") >= 0.05, "positive")
+        .when(F.col("lex_score") <= -0.05, "negative")
+        .otherwise("neutral"),
+    )
+
+
+@dataclass
+class SentimentResult:
+    model_name: str
+    accuracy: float
+    predictions: DataFrame  # id, lex_label, ml_prediction
+    agreement_rate: float
+
+
+def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    seed: int = 42) -> SentimentResult:
+    """M1-M10: fit LR / RF / NB on lexicon labels, pick the best by
+    multiclass accuracy, report VADER↔ML agreement (J4).
+
+    Mirrors `spark_ml_sentiment.py:186-340`: Tokenizer,
+    StopWordsRemover, CountVectorizer(vocabSize=2000, minDF=2), IDF,
+    StringIndexer(handleInvalid=keep), VectorAssembler(text + numeric,
+    handleInvalid=skip), 80/20 split seed=42, LR(maxIter=100,
+    regParam=0.01), RF(numTrees=50, maxDepth=10, seed=42),
+    NB(smoothing=1.0), IndexToString for readable labels.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import (
+        LogisticRegression,
+        NaiveBayes,
+        RandomForestClassifier,
+    )
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import (
+        IDF,
+        CountVectorizer,
+        IndexToString,
+        StopWordsRemover,
+        StringIndexer,
+        Tokenizer,
+        VectorAssembler,
+    )
+
+    labeled = lexicon_score(docs, text_col).withColumn(
+        "text_length", F.length(text_col).cast("double")
+    )
+
+    tokenizer = Tokenizer(inputCol=text_col, outputCol="tokens")
+    remover = StopWordsRemover(inputCol="tokens", outputCol="filtered")
+    cv = CountVectorizer(inputCol="filtered", outputCol="tf", vocabSize=2000, minDF=2.0)
+    idf = IDF(inputCol="tf", outputCol="tfidf")
+    indexer = StringIndexer(inputCol="lex_label", outputCol="label", handleInvalid="keep")
+    assembler = VectorAssembler(
+        inputCols=["tfidf", "text_length", "pos_hits", "neg_hits"],
+        outputCol="features",
+        handleInvalid="skip",
+    )
+    base = [tokenizer, remover, cv, idf, indexer, assembler]
+
+    classifiers = {
+        "logistic_regression": LogisticRegression(maxIter=100, regParam=0.01),
+        "random_forest": RandomForestClassifier(numTrees=50, maxDepth=10, seed=seed),
+        "naive_bayes": NaiveBayes(smoothing=1.0),
+    }
+
+    train, test = labeled.randomSplit([0.8, 0.2], seed=seed)
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    )
+
+    best_name, best_acc, best_model = "", -1.0, None
+    for mname, clf in classifiers.items():
+        model = Pipeline(stages=base + [clf]).fit(train)
+        acc = evaluator.evaluate(model.transform(test))
+        if acc > best_acc:
+            best_name, best_acc, best_model = mname, acc, model
+
+    full = best_model.transform(labeled)
+    labels = best_model.stages[4].labelsArray[0]  # StringIndexer stage
+    to_str = IndexToString(
+        inputCol="prediction", outputCol="ml_prediction", labels=list(labels)
+    )
+    preds = to_str.transform(full).select(
+        F.col(id_col).alias("id"), "lex_label", "ml_prediction"
+    )
+    agree = preds.agg(
+        (F.sum((F.col("lex_label") == F.col("ml_prediction")).cast("long")) / F.count("*"))
+        .alias("r")
+    ).collect()[0]["r"]
+    return SentimentResult(best_name, float(best_acc), preds, float(agree))

@@ -1,0 +1,41 @@
+"""Shared helpers for query builders."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from reddit_can_bigdata_spark.tables import load_tables
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+def dsum(col: Column | str) -> Column:
+    """Exact money-ish sum: accumulate as DECIMAL(18,4), emit double.
+
+    Double summation is order-dependent, so a plain ``sum(double)``
+    can differ in the last ulp between Spark and the DuckDB oracle
+    (and between runs at different parallelism). Decimal accumulation
+    is exact and associative — identical at any partitioning, which is
+    also the right call on a 1000-executor cluster where partial
+    aggregates combine in arbitrary order.
+
+    DuckDB twin: ``CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,4)")).cast("double")
+
+
+DSUM_SQL = "CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def davg(col: Column | str) -> Column:
+    """Exact-numerator average: decimal sum cast to double, one double
+    division by the count. DuckDB twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(x)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,4)")).cast("double") / F.count(c)
+
+
+DAVG_SQL = "(CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({x}))"

@@ -1,0 +1,328 @@
+"""Deduplication operators for a training-data pipeline.
+
+Four families over the ``documents`` table, each with an exact DuckDB
+oracle (possible because every hash in this module is the engine's
+portable md5-based hash, not Spark's murmur — see
+``functions.text.portable_hash32``):
+
+- exact dedup (hash-groupBy)
+- MinHash + LSH banding (shingle → K permutations → banded buckets →
+  candidate pairs → signature-overlap jaccard estimate)
+- SimHash (32-bit sign-of-weighted-bit-sums fingerprint)
+- n-gram Jaccard on discriminative shingles (df-bounded blocking)
+
+Scale stance: every step is a groupBy/join over (doc, shingle)-shaped
+rows — linear shuffles, no all-pairs comparison anywhere except within
+LSH buckets / rare-shingle blocks, which is the point of those
+algorithms. At 100 TB the shingle explode is the big intermediate;
+it partitions on doc_id and aggregates map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from reddit_can_bigdata_spark.operators.common import tables
+from reddit_can_bigdata_spark.registry import register
+
+# MinHash parameters — keep in sync between Spark + oracle SQL.
+MINHASH_K = 16  # permutations
+MINHASH_P = 4_294_967_311  # prime > 2^32
+MINHASH_BANDS = 8  # 8 bands x 2 rows
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+
+# a_i = 2i+1 (odd), b_i = 7919*i + 1; products stay < 2^38 << int64.
+_PERM_SQL = (
+    f"SELECT i, CAST(2*i+1 AS BIGINT) AS a, CAST(7919*i+1 AS BIGINT) AS b "
+    f"FROM generate_series(0, {MINHASH_K - 1}) t(i)"
+)
+
+# 3-word shingles of documents.text, distinct per doc (set semantics).
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — 3-word shingles."""
+    docs = tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY content_hash
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id as
+    canonical. One hash-aggregate; the shuffle carries (hash, partial
+    min/count) — at 100 TB this is the cheapest possible full dedup."""
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH perms AS ({_PERM_SQL}),
+    shingles AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id, (('0x' || substr(md5(shingle), 1, 8))::BIGINT) AS h
+      FROM shingles
+    ),
+    sigs AS (
+      SELECT doc_id, p.i, min((p.a * h + p.b) % {MINHASH_P}) AS minh
+      FROM hashed CROSS JOIN perms p
+      GROUP BY doc_id, p.i
+    ),
+    bands AS (
+      SELECT doc_id, i // {MINHASH_ROWS} AS band,
+             md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i)) AS band_key
+      FROM sigs GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.band_key = b2.band_key
+       AND b1.doc_id < b2.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(COUNT_IF(sa.minh = sb.minh) AS DOUBLE) / {MINHASH_K}, 6)
+             AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+    GROUP BY c.doc_a, c.doc_b
+    """,
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates with estimated jaccard.
+
+    Pipeline: distinct 3-word shingles → portable 32-bit hash → K=16
+    universal-hash permutations ((a*h+b) mod p) → per-doc signature →
+    8 bands × 2 rows; docs sharing any band bucket become candidate
+    pairs; estimate = fraction of matching signature positions.
+
+    Scale: no all-pairs step — candidates come from equi-joining on
+    (band, band_key), i.e. hash-partitioned buckets. The K-way blowup
+    is a cheap crossJoin with a 16-row broadcast. This is the standard
+    web-scale near-dup design (e.g. Broder '97 shingling).
+    """
+    spark_perms = spark.range(MINHASH_K).select(
+        F.col("id").cast("int").alias("i"),
+        (2 * F.col("id") + 1).cast("long").alias("a"),
+        (7919 * F.col("id") + 1).cast("long").alias("b"),
+    )
+    from reddit_can_bigdata_spark.functions.text import portable_hash32
+
+    hashed = _shingles(spark, sf_dir).select(
+        "doc_id", portable_hash32(F.col("shingle")).alias("h")
+    )
+    sigs = (
+        hashed.crossJoin(F.broadcast(spark_perms))
+        .select(
+            "doc_id",
+            "i",
+            ((F.col("a") * F.col("h") + F.col("b")) % F.lit(MINHASH_P)).alias("ph"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("ph").alias("minh"))
+    )
+    bands = (
+        sigs.withColumn("band", (F.col("i") / MINHASH_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.expr(
+                    "concat_ws(',', transform(array_sort(collect_list(struct(i, minh))),"
+                    " s -> cast(s.minh as string)))"
+                )
+            ).alias("band_key")
+        )
+    )
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.band_key") == F.col("b2.band_key"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.i") == F.col("sa.i")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum((F.col("sa.minh") == F.col("sb.minh")).cast("long")).cast("double")
+                / F.lit(MINHASH_K),
+                6,
+            ).alias("est_jaccard")
+        )
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt,
+             (('0x' || substr(md5(token), 1, 8))::BIGINT) AS h
+      FROM tok GROUP BY doc_id, token
+    ),
+    bitsums AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+      FROM tf CROSS JOIN generate_series(0, 31) b(bit)
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bitsums GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+    bench=True,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint (Charikar '02): per token, add its count to
+    every bit position where the token hash has a 1, subtract where 0;
+    fingerprint bit = sign of the sum. Near-dups then reduce to
+    Hamming-distance buckets on the fingerprint (exact-match grouping
+    here; multi-probe banding is the scale extension).
+
+    Plan shape: token explode → (doc, token) count → 32x bit fan-out
+    against a broadcast series → two hash aggregates. All integer
+    arithmetic → bit-exact vs the oracle.
+    """
+    from reddit_can_bigdata_spark.functions.text import portable_hash32
+
+    docs = tables(spark, sf_dir)["documents"]
+    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", portable_hash32(F.col("token")))
+    )
+    bitsums = (
+        tf.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "bit",
+            F.when(F.expr("(h >> bit) & 1 = 1"), F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+            .alias("contrib"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return bitsums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("cast(1 as bigint) << bit")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    df AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM shingles GROUP BY shingle
+    ),
+    rare AS (
+      SELECT s.doc_id, s.shingle FROM shingles s
+      JOIN df ON df.shingle = s.shingle AND df.n_docs <= 20
+    ),
+    doc_sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM rare GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT r1.doc_id AS doc_a, r2.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM rare r1 JOIN rare r2
+        ON r1.shingle = r2.shingle AND r1.doc_id < r2.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN doc_sizes sa ON sa.doc_id = i.doc_a
+    JOIN doc_sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.1
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over *discriminative* shingles (document
+    frequency ≤ 20). The df-bound is the blocking step: joining docs
+    through shingles shared by ≤20 docs caps the per-shingle pair
+    fan-out at C(20,2), so the self-join stays near-linear instead of
+    quadratic — the standard trick for corpus-scale exact jaccard.
+    Pairs with jaccard ≥ 0.1 survive."""
+    sh = _shingles(spark, sf_dir)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    rare = sh.join(dfreq.where(F.col("n_docs") <= 20), "shingle").select(
+        "doc_id", "shingle"
+    )
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    r1, r2 = rare.alias("r1"), rare.alias("r2")
+    inter = (
+        r1.join(
+            r2,
+            (F.col("r1.shingle") == F.col("r2.shingle"))
+            & (F.col("r1.doc_id") < F.col("r2.doc_id")),
+        )
+        .groupBy(
+            F.col("r1.doc_id").alias("doc_a"), F.col("r2.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,391 @@
+"""Graph operators as DataFrame algorithms (SURVEY.md §2.9).
+
+The reference builds a NetworkX graph in driver memory
+(`network-analysis/network_analysis.py:37-121`) — a hard scale
+ceiling. Here the graph IS a DataFrame: an undirected weighted edge
+list built by a relational self-join (G1/A14), and every metric is a
+join/aggregate (G2/G8/G9/G10) or an unrolled iterative dataflow
+(G6 PageRank, G7-ish components) — the Pregel-as-DataFrame pattern.
+
+Test graph: suppliers are nodes; two suppliers are adjacent iff they
+co-occur in an order (via lineitem). Same shape as the reference's
+user-interaction graph (users co-occurring in a thread).
+
+Oracles: the iterative algorithms use *fixed* iteration counts, so
+the DuckDB oracle unrolls them as a CTE chain — bit-stable because
+per-iteration arithmetic is deterministic and final ranks are rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from reddit_can_bigdata_spark.operators.common import tables
+from reddit_can_bigdata_spark.registry import register
+
+PAGERANK_ITERS = 10
+PAGERANK_DAMPING = 0.85
+CC_ITERS = 8
+
+# Undirected weighted edge list (u < v), weight = #shared orders,
+# types = sorted distinct order statuses over those orders (A14).
+_EDGES_SQL = """
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+         CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS weight
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY u, v
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: build the undirected edge list via one self-join + group-agg.
+
+    Reference builds edges with CPython dict loops
+    (`network-analysis/network_analysis.py:42-121`); here the
+    canonicalized pair (u<v, the least/greatest trick) plus a count
+    aggregate. The self-join shuffles on orderkey once; the pair
+    aggregate shuffles pair-count rows only.
+    """
+    li = tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("weight"))
+    )
+
+
+@register(
+    "g1_a14_edge_aggregation",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, a.l_orderkey AS ok
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    )
+    SELECT u, v, CAST(COUNT(DISTINCT ok) AS BIGINT) AS weight,
+           array_to_string(list_sort(list_distinct(list(o.o_orderstatus))), ',') AS types
+    FROM pairs p JOIN orders o ON o.o_orderkey = p.ok
+    GROUP BY u, v
+    """,
+    tags=("graph", "agg"),
+)
+def g1_a14_edge_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1+A14: canonical undirected edges with weight and the sorted
+    distinct interaction-type set (collect_set analog,
+    `network-analysis/network_analysis.py:109-114`), rendered as a
+    string so the hash comparison is array-order-free."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("u"),
+        F.col("b.l_suppkey").alias("v"),
+        F.col("a.l_orderkey").alias("ok"),
+    )
+    return (
+        pairs.join(t["orders"], F.col("ok") == F.col("o_orderkey"))
+        .groupBy("u", "v")
+        .agg(
+            F.countDistinct("ok").alias("weight"),
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("types"),
+        )
+    )
+
+
+@register(
+    "g2_degree_centrality",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree,
+             CAST(SUM(weight) AS BIGINT) AS weighted_degree
+      FROM (SELECT u AS node, weight FROM e UNION ALL SELECT v, weight FROM e)
+      GROUP BY node
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM deg)
+    SELECT d.node, d.degree, d.weighted_degree,
+           round(d.degree / (n.n_nodes - 1), 6) AS degree_centrality
+    FROM deg d CROSS JOIN n
+    """,
+    tags=("graph", "centrality"),
+    bench=True,
+)
+def g2_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2+G10: degree and weighted degree per node, plus
+    degree/(n-1) centrality (`network-analysis/network_analysis.py:138`).
+    Explode both endpoints → one hash aggregate; the n-1 scalar
+    broadcasts."""
+    e = _edges(spark, sf_dir)
+    both = e.select(F.col("u").alias("node"), "weight").unionAll(
+        e.select(F.col("v").alias("node"), "weight")
+    )
+    deg = both.groupBy("node").agg(
+        F.count("*").alias("degree"), F.sum("weight").alias("weighted_degree")
+    )
+    n = deg.agg(F.count("*").cast("double").alias("n_nodes"))
+    return deg.crossJoin(F.broadcast(n)).select(
+        "node",
+        "degree",
+        "weighted_degree",
+        F.round(F.col("degree") / (F.col("n_nodes") - 1), 6).alias("degree_centrality"),
+    )
+
+
+@register(
+    "g8_graph_metadata",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT node FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e))
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS num_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS num_edges,
+           round(2.0 * (SELECT COUNT(*) FROM e)
+                 / ((SELECT COUNT(*) FROM nodes) * ((SELECT COUNT(*) FROM nodes) - 1.0)), 6)
+             AS density
+    """,
+    tags=("graph", "scalar"),
+)
+def g8_graph_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: graph metadata — node count, edge count, density 2E/(N(N-1))
+    (`network-analysis/network_analysis.py:119,333`)."""
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    ec = e.agg(F.count("*").alias("num_edges"))
+    nc = nodes.agg(F.count("*").alias("num_nodes"))
+    return nc.crossJoin(ec).select(
+        "num_nodes",
+        "num_edges",
+        F.round(
+            2.0 * F.col("num_edges") / (F.col("num_nodes") * (F.col("num_nodes") - 1.0)),
+            6,
+        ).alias("density"),
+    )
+
+
+@register(
+    "g9_triangles_clustering",
+    oracle=f"""
+    WITH e AS (SELECT u, v FROM ({_EDGES_SQL})),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tri_per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node
+    )
+    SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS total_triangles,
+           round(CAST(SUM(CASE WHEN d.degree >= 2
+                      THEN 2.0 * coalesce(t.n_tri, 0) / (d.degree * (d.degree - 1.0))
+                      ELSE 0.0 END) AS DOUBLE) / COUNT(*), 6) AS avg_clustering
+    FROM deg d LEFT JOIN tri_per_node t ON t.node = d.node
+    """,
+    tags=("graph", "triangles"),
+    bench=True,
+)
+def g9_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: triangle counting via 3-way self-join on the canonical
+    (u<v) edge list — each triangle appears exactly once as a<b<c —
+    then local clustering C(v)=2T(v)/(d(v)(d(v)-1)) averaged over all
+    nodes (`nx.average_clustering`,
+    `network-analysis/network_analysis.py:335`).
+
+    Scale: the canonical orientation makes the join output linear in
+    triangle count; at 100 TB pre-sort edges by degree (degree
+    orientation) to bound the join's skew.
+    """
+    e = _edges(spark, sf_dir).select("u", "v")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    tpn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    total = tri.agg(F.count("*").alias("total_triangles"))
+    local = F.when(
+        F.col("degree") >= 2,
+        2.0 * F.coalesce(F.col("n_tri"), F.lit(0)) / (F.col("degree") * (F.col("degree") - 1.0)),
+    ).otherwise(0.0)
+    avg = (
+        deg.join(tpn, "node", "left")
+        .agg(F.round((F.sum(local).cast("double") / F.count("*")), 6).alias("avg_clustering"))
+    )
+    return total.crossJoin(avg)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as a DuckDB CTE chain."""
+    d = PAGERANK_DAMPING
+    parts = [
+        f"WITH e AS ({_EDGES_SQL})",
+        # symmetric directed edges with transition weight w/wdeg(src)
+        """sym AS (
+          SELECT u AS src, v AS dst, CAST(weight AS DOUBLE) AS w FROM e
+          UNION ALL SELECT v, u, CAST(weight AS DOUBLE) FROM e
+        )""",
+        """wdeg AS (SELECT src, SUM(w) AS wd FROM sym GROUP BY src)""",
+        """trans AS (
+          SELECT s.src, s.dst, s.w / d.wd AS p
+          FROM sym s JOIN wdeg d ON d.src = s.src
+        )""",
+        """n AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS nn FROM sym)""",
+        "pr0 AS (SELECT src AS node, 1.0 / n.nn AS rank FROM wdeg CROSS JOIN n)",
+    ]
+    for i in range(PAGERANK_ITERS):
+        parts.append(
+            f"""pr{i + 1} AS (
+              SELECT t.dst AS node,
+                     (1.0 - {d}) / (SELECT nn FROM n) + {d} * SUM(p.rank * t.p) AS rank
+              FROM trans t JOIN pr{i} p ON p.node = t.src
+              GROUP BY t.dst
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, round(rank, 6) AS pagerank FROM pr{PAGERANK_ITERS}"
+    )
+
+
+@register(
+    "g6_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+    bench=True,
+)
+def g6_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: weighted PageRank (`nx.pagerank`,
+    `network-analysis/network_analysis.py:171`) as an iterative
+    DataFrame loop — rank' = (1-d)/N + d * Σ_in rank·w/wdeg, fixed 10
+    iterations, damping 0.85.
+
+    Scale: the transition matrix (src,dst,p) is computed once and
+    cached; each iteration is one shuffle on dst. On a cluster,
+    checkpoint every ~5 iterations to truncate lineage, and partition
+    the edge list by src so the join is co-located (G5 eigenvector
+    centrality is this same loop with a normalize step instead of the
+    teleport term).
+    """
+    e = _edges(spark, sf_dir)
+    sym = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("weight").cast("double").alias("w")
+    ).unionAll(
+        e.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), F.col("weight").cast("double").alias("w")
+        )
+    )
+    wdeg = sym.groupBy("src").agg(F.sum("w").alias("wd"))
+    trans = (
+        sym.join(wdeg, "src")
+        .select("src", "dst", (F.col("w") / F.col("wd")).alias("p"))
+        .cache()
+    )
+    nodes = wdeg.select(F.col("src").alias("node"))
+    n_nodes = float(nodes.count())
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    teleport = (1.0 - PAGERANK_DAMPING) / n_nodes
+    for _ in range(PAGERANK_ITERS):
+        ranks = (
+            trans.join(ranks, trans.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (F.lit(teleport) + F.lit(PAGERANK_DAMPING) * F.sum(F.col("rank") * F.col("p"))).alias(
+                    "rank"
+                )
+            )
+        )
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def _components_oracle() -> str:
+    parts = [
+        f"WITH e AS (SELECT u, v FROM ({_EDGES_SQL}))",
+        """sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e)""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)",
+    ]
+    for i in range(CC_ITERS):
+        parts.append(
+            f"""l{i + 1} AS (
+              SELECT l.node,
+                     least(l.label, coalesce(min(nl.label), l.label)) AS label
+              FROM l{i} l
+              LEFT JOIN sym s ON s.src = l.node
+              LEFT JOIN l{i} nl ON nl.node = s.dst
+              GROUP BY l.node, l.label
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(label AS BIGINT) AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes"
+        f" FROM l{CC_ITERS} GROUP BY label"
+    )
+
+
+@register(
+    "g7_connected_components",
+    oracle=_components_oracle(),
+    tags=("graph", "components", "iterative"),
+)
+def g7_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 (scalable path): community structure via min-label
+    propagation — each node repeatedly adopts the smallest label in
+    its neighborhood (fixed 8 rounds ≥ test-graph diameter), yielding
+    connected components. This is the distributed stand-in for Louvain
+    (`louvain_communities`, `network-analysis/network_analysis.py:194`),
+    which is inherently sequential; SURVEY §7.3 risk 1 keeps exact
+    Louvain as a driver-side small-scale fallback (tests/test_graph).
+    Output: one row per component with its size."""
+    e = _edges(spark, sf_dir).select("u", "v")
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).cache()
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(CC_ITERS):
+        neigh = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+    return labels.groupBy(F.col("label").cast("long").alias("component")).agg(
+        F.count("*").alias("n_nodes")
+    )

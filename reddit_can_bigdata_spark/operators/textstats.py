@@ -1,0 +1,200 @@
+"""Text-analysis operators for a training-data pipeline.
+
+Language ID (stopword heuristic), quality scoring, token statistics,
+and rolling-hash document fingerprints — all pure Catalyst expression
+chains over ``documents`` (no UDFs), each with an exact DuckDB oracle.
+These generalize the reference's text featurization (SURVEY §2.7) to
+the corpus-curation ops a 100 TB pretraining pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from reddit_can_bigdata_spark.operators.common import tables
+from reddit_can_bigdata_spark.registry import register
+
+_EN_STOP = ("the", "a", "of", "and", "to", "in", "is")
+_FR_STOP = ("le", "la", "les", "et", "de", "un", "une")
+
+
+def _in_list_sql(var: str, words: tuple[str, ...]) -> str:
+    return "{v} IN ({lst})".format(v=var, lst=", ".join(f"'{w}'" for w in words))
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS actual_lang,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> {_in_list_sql('t', _EN_STOP)})) AS en_hits,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> {_in_list_sql('t', _FR_STOP)})) AS fr_hits
+      FROM documents
+    )
+    SELECT CASE WHEN en_hits > fr_hits THEN 'en'
+                WHEN fr_hits > en_hits THEN 'fr'
+                ELSE 'und' END AS predicted_lang,
+           actual_lang,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM scored GROUP BY predicted_lang, actual_lang
+    """,
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword voting (n-gram-free heuristic): count
+    English vs French stopword tokens, majority wins, tie → 'und'.
+    Output is the confusion matrix against the table's ``lang`` column.
+    One projection + one aggregate; the token filter runs inside
+    codegen via a higher-order function, not a UDF."""
+    docs = tables(spark, sf_dir)["documents"]
+
+    def hits(words: tuple[str, ...]) -> F.Column:
+        lst = ", ".join(f"'{w}'" for w in words)
+        return F.expr(
+            f"size(filter(split(lower(text), ' '), t -> t IN ({lst})))"
+        )
+
+    scored = docs.select(
+        F.col("lang").alias("actual_lang"),
+        hits(_EN_STOP).alias("en_hits"),
+        hits(_FR_STOP).alias("fr_hits"),
+    )
+    pred = (
+        F.when(F.col("en_hits") > F.col("fr_hits"), "en")
+        .when(F.col("fr_hits") > F.col("en_hits"), "fr")
+        .otherwise("und")
+    )
+    return (
+        scored.groupBy(pred.alias("predicted_lang"), F.col("actual_lang"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 3)) AS BIGINT)
+               AS n_long_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           round(CAST(n_long_tokens AS DOUBLE) / n_tokens, 6) AS long_token_ratio,
+           CASE WHEN n_tokens >= 50 AND CAST(n_long_tokens AS DOUBLE) / n_tokens >= 0.3
+                THEN 'keep' ELSE 'drop' END AS quality_bucket
+    FROM feats WHERE n_tokens > 0
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring (Gopher-rule style): token
+    count, mean token length, share of substantive (len>3) tokens, and
+    a keep/drop bucket. Each ratio is a single exact division — stable
+    across engines. Per-row only: no shuffle at all, scales as a pure
+    map over the corpus."""
+    docs = tables(spark, sf_dir)["documents"]
+    feats = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.expr("size(filter(split(text, ' '), t -> length(t) > 3))")
+        .cast("long")
+        .alias("n_long_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    avg_len = F.col("n_chars").cast("double") / F.col("n_tokens")
+    long_ratio = F.col("n_long_tokens").cast("double") / F.col("n_tokens")
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(long_ratio, 6).alias("long_token_ratio"),
+        F.when((F.col("n_tokens") >= 50) & (long_ratio >= 0.3), "keep")
+        .otherwise("drop")
+        .alias("quality_bucket"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT source, doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS distinct_tokens,
+           round(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id), 6)
+             AS avg_tokens_per_doc
+    FROM tok GROUP BY source
+    """,
+    tags=("text", "tokens"),
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: total tokens (the number a
+    pretraining pipeline actually budgets by), vocabulary size, and
+    mean tokens/doc. Token explode partial-aggregates map-side; at
+    100 TB swap COUNT(DISTINCT) for approx_count_distinct."""
+    docs = tables(spark, sf_dir)["documents"]
+    tok = docs.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return tok.groupBy("source").agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("token").alias("distinct_tokens"),
+        F.round(
+            F.count("*").cast("double") / F.countDistinct("doc_id"), 6
+        ).alias("avg_tokens_per_doc"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                     for i in range(1, len(w)-3)]) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 5
+    )
+    SELECT doc_id,
+           CAST(min(('0x' || substr(md5(gram), 1, 8))::BIGINT) AS BIGINT) AS fingerprint,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_grams
+    FROM grams GROUP BY doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum hash over 5-word rolling grams
+    (winnowing-style selection with window = whole doc). Two docs
+    sharing a fingerprint almost surely share a 5-gram — a cheap
+    containment signal used for contamination checks. Portable hash →
+    exact oracle parity."""
+    from reddit_can_bigdata_spark.functions.text import portable_hash32
+
+    docs = tables(spark, sf_dir)["documents"]
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-5),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+                )
+            ).alias("gram"),
+        )
+    )
+    return grams.groupBy("doc_id").agg(
+        F.min(portable_hash32(F.col("gram"))).alias("fingerprint"),
+        F.countDistinct("gram").alias("n_grams"),
+    )

@@ -1,0 +1,97 @@
+"""Query registry: the parity surface.
+
+Every operator from ``SURVEY.md §2`` (plus the training-data-pipeline
+extras) is registered here as a named query: a Spark builder
+``fn(spark, sf_dir) -> DataFrame`` paired with an ANSI-SQL oracle
+string that DuckDB runs over the same parquet files. The driver (and
+``tests/test_oracle_parity.py``) executes both and compares row count,
+schema, and an order-insensitive value hash.
+
+Conventions that keep the two engines hash-identical:
+
+- money-ish double sums go through ``DECIMAL(18,4)`` (exact
+  accumulation, identical in both engines) and are cast to double at
+  the end;
+- ratios are computed from exact integer/decimal inputs with a single
+  double division;
+- iterative float results (pagerank) are rounded to 6 decimals;
+- every computed column is aliased identically on both sides;
+- result columns avoid raw timestamps (rendered as date / string) so
+  engine-specific timezone handling can't skew the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under ``name`` with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags, bench=bench
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def bench_queries() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return {name: spec for name, spec in REGISTRY.items() if spec.bench}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from reddit_can_bigdata_spark.operators import (  # noqa: F401
+        relational,
+        dedup,
+        similarity,
+        textstats,
+        graph,
+    )
+    from reddit_can_bigdata_spark.streaming import pipeline  # noqa: F401
+
+    _LOADED = True
