@@ -1,0 +1,337 @@
+"""Advanced operators beyond the reference's surface (SURVEY.md §2.3
+"engine gets these for free" + §7.1 scale-out extras).
+
+As-of joins, sessionization, rollup/grouping sets, set difference,
+frame-window analytics, and the remaining iterative graph
+centralities (eigenvector, closeness) — each Spark-first with an
+exact DuckDB oracle. These are the operators a user of a general
+analytics engine expects even though the reference never calls them
+by name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from reddit_can_bigdata_spark.operators.common import DSUM_SQL, dsum, tables
+from reddit_can_bigdata_spark.operators.graph import _EDGES_SQL, _edges
+from reddit_can_bigdata_spark.registry import register
+
+EIGEN_ITERS = 8
+CLOSENESS_HOPS = 6
+
+# Order views before clicks at equal ts so ts-ties count as "already
+# seen" (inclusive as-of), then event_id for total determinism.
+_KIND_ORDER = "CASE WHEN event_type = 'view' THEN 0 ELSE 1 END"
+
+
+@register(
+    "asof_join_latest_view",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, {_KIND_ORDER}, event_id
+                     ROWS UNBOUNDED PRECEDING) AS matched_view_id
+      FROM events WHERE event_type IN ('view', 'click')
+    )
+    SELECT event_id AS click_id, user_id, matched_view_id
+    FROM ordered WHERE event_type = 'click'
+    """,
+    tags=("join", "asof", "window"),
+    bench=True,
+)
+def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the latest view by the same user at
+    or before the click's event time (NULL if none yet).
+
+    Spark has no ASOF JOIN operator; the idiomatic composition is a
+    union + `last_value(... ignore nulls)` over an event-time window —
+    a single shuffle on user_id, no range-join explosion, and it
+    scales as a plain window (state = one row per partition during the
+    sort-based window scan). This beats the naive
+    join-then-argmax-per-pair plan by the full width of the join.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.expr(_KIND_ORDER), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(
+        F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .select("event_id", "user_id", "event_type", matched.alias("matched_view_id"))
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", "matched_view_id")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(COUNT(*) AS DOUBLE) / SUM(new_session), 6) AS events_per_session
+    FROM gaps GROUP BY user_id
+    """,
+    tags=("window", "sessionize"),
+    bench=True,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: split each user's event stream at >30-minute
+    gaps (the lag-then-cumulative-flag pattern), report sessions per
+    user. Gap math in integer epoch-microseconds — exact in both
+    engines. In streaming mode the same semantics come from
+    ``groupBy(session_window(ts, '30 minutes'))``."""
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_session = (
+        F.when(
+            prev_us.isNull() | (F.unix_micros("ts") - prev_us > 1_800_000_000), 1
+        ).otherwise(0)
+    )
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            F.round(F.count("*").cast("double") / F.sum("new_session"), 6).alias(
+                "events_per_session"
+            ),
+        )
+    )
+
+
+@register(
+    "rollup_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {dsum} AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """.format(dsum=DSUM_SQL.format(x="o_totalprice")),
+    tags=("agg", "rollup"),
+)
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (priority → status → grand total) in
+    one pass — the grouping-sets capability SURVEY §2.4 notes as
+    built-in. Partial aggregation covers all grouping sets in a single
+    shuffle."""
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@register(
+    "except_clickers_without_errors",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    tags=("setop",),
+)
+def except_clickers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT): users who click but never
+    error. Plans as a left-anti hash aggregate."""
+    ev = tables(spark, sf_dir)["events"]
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    errorers = ev.where(F.col("event_type") == "error").select("user_id")
+    return clickers.subtract(errorers)  # EXCEPT DISTINCT semantics
+
+
+@register(
+    "w_lag_daily_change",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY order_day
+    )
+    SELECT order_day, cnt,
+           cnt - lag(cnt) OVER (ORDER BY order_day) AS day_over_day
+    FROM daily
+    """,
+    tags=("window", "lag"),
+)
+def w_lag_daily_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-window analytics the reference lacks (SURVEY §2.5 note):
+    day-over-day change via lag. The window runs over the *aggregated*
+    daily series (|days| rows), so the single-partition global order
+    is safe at any raw-data scale."""
+    t = tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("order_day")
+    return daily.select(
+        "order_day", "cnt", (F.col("cnt") - F.lag("cnt").over(w)).alias("day_over_day")
+    )
+
+
+def _eigenvector_oracle() -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED ({_EDGES_SQL})",
+        """sym AS MATERIALIZED (
+          SELECT u AS src, v AS dst, CAST(weight AS DOUBLE) AS w FROM e
+          UNION ALL SELECT v, u, CAST(weight AS DOUBLE) FROM e
+        )""",
+        "v0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 AS val FROM sym)",
+    ]
+    for i in range(EIGEN_ITERS):
+        parts.append(
+            f"""m{i} AS MATERIALIZED (
+              SELECT s.dst AS node, SUM(v.val * s.w) AS val
+              FROM sym s JOIN v{i} v ON v.node = s.src GROUP BY s.dst
+            )"""
+        )
+        parts.append(
+            f"""v{i + 1} AS MATERIALIZED (
+              SELECT node, val / (SELECT sqrt(SUM(val * val)) FROM m{i}) AS val FROM m{i}
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, round(val, 6) AS eigenvector FROM v{EIGEN_ITERS}"
+    )
+
+
+@register(
+    "g5_eigenvector_centrality",
+    oracle=_eigenvector_oracle(),
+    tags=("graph", "eigenvector", "iterative"),
+)
+def g5_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: weighted eigenvector centrality
+    (`network-analysis/network_analysis.py:163`) by power iteration —
+    v' = normalize(A·v), fixed 8 iterations, L2 norm (nx convention).
+    Same Pregel-as-DataFrame loop as PageRank (G6): one shuffle per
+    iteration on the destination key; the norm is a scalar aggregate
+    broadcast back."""
+    e = _edges(spark, sf_dir)
+    sym = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("weight").cast("double").alias("w")
+    ).unionAll(
+        e.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), F.col("weight").cast("double").alias("w")
+        )
+    ).cache()
+    v = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("val")
+    )
+    for _ in range(EIGEN_ITERS):
+        m = (
+            sym.join(v, sym.src == v.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("val") * F.col("w")).alias("val"))
+        )
+        # m feeds both the norm and the next vector — checkpoint it or
+        # the plan doubles every iteration (2^EIGEN_ITERS blowup; OOMs
+        # the driver just rendering the tree). Cluster: checkpoint().
+        m = m.localCheckpoint(eager=True)
+        norm = m.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+        v = m.crossJoin(F.broadcast(norm)).select(
+            "node", (F.col("val") / F.col("nrm")).alias("val")
+        )
+    return v.select("node", F.round("val", 6).alias("eigenvector"))
+
+
+def _closeness_oracle() -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT u, v FROM ({_EDGES_SQL}))",
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e)",
+        "d0 AS MATERIALIZED (SELECT DISTINCT src, src AS node, 0 AS dist FROM sym)",
+    ]
+    for i in range(CLOSENESS_HOPS):
+        parts.append(
+            f"""d{i + 1} AS MATERIALIZED (
+              SELECT src, node, CAST(min(dist) AS INT) AS dist FROM (
+                SELECT src, node, dist FROM d{i}
+                UNION ALL
+                SELECT d.src, s.dst AS node, d.dist + 1
+                FROM d{i} d JOIN sym s ON s.src = d.node
+              ) GROUP BY src, node
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT src AS node,
+           round((CAST(COUNT(*) AS DOUBLE) - 1) / SUM(dist), 6) AS closeness
+    FROM d{CLOSENESS_HOPS}
+    GROUP BY src HAVING SUM(dist) > 0"""
+    )
+
+
+@register(
+    "g4_closeness_centrality",
+    oracle=_closeness_oracle(),
+    tags=("graph", "closeness", "iterative"),
+)
+def g4_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: closeness centrality over hop distances
+    (`network-analysis/network_analysis.py:154` uses edge weights as
+    distances; we use unweighted hops — documented deviation, the
+    weighted variant swaps dist+1 for dist+w in the same loop).
+
+    All-sources BFS as an iterated DataFrame: frontier relaxation
+    (src, node, min-dist) with a fixed hop bound ≥ graph diameter.
+    State is O(N²) rows — the known cost of exact closeness; at scale
+    this becomes sampled-sources (pivot nodes) with identical code on
+    a sampled src set (SURVEY §7.3 risk 2).
+    """
+    e = _edges(spark, sf_dir).select("u", "v")
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).cache()
+    dist = sym.select("src").distinct().select(
+        "src", F.col("src").alias("node"), F.lit(0).alias("dist")
+    )
+    for _ in range(CLOSENESS_HOPS):
+        expanded = (
+            dist.join(sym.withColumnRenamed("src", "mid"), dist.node == F.col("mid"))
+            .select("src", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("src", "node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+        # dist appears on both union branches — checkpoint to stop the
+        # 2^CLOSENESS_HOPS plan blowup
+        dist = dist.localCheckpoint(eager=True)
+    return (
+        dist.groupBy("src")
+        .agg(
+            F.round(
+                (F.count("*").cast("double") - 1) / F.sum("dist"), 6
+            ).alias("closeness"),
+            F.sum("dist").alias("_total"),
+        )
+        .where(F.col("_total") > 0)
+        .select(F.col("src").alias("node"), "closeness")
+    )

@@ -247,23 +247,23 @@ def _pagerank_oracle() -> str:
     """Unrolled fixed-iteration PageRank as a DuckDB CTE chain."""
     d = PAGERANK_DAMPING
     parts = [
-        f"WITH e AS ({_EDGES_SQL})",
+        f"WITH e AS MATERIALIZED ({_EDGES_SQL})",
         # symmetric directed edges with transition weight w/wdeg(src)
-        """sym AS (
+        """sym AS MATERIALIZED (
           SELECT u AS src, v AS dst, CAST(weight AS DOUBLE) AS w FROM e
           UNION ALL SELECT v, u, CAST(weight AS DOUBLE) FROM e
         )""",
-        """wdeg AS (SELECT src, SUM(w) AS wd FROM sym GROUP BY src)""",
-        """trans AS (
+        """wdeg AS MATERIALIZED (SELECT src, SUM(w) AS wd FROM sym GROUP BY src)""",
+        """trans AS MATERIALIZED (
           SELECT s.src, s.dst, s.w / d.wd AS p
           FROM sym s JOIN wdeg d ON d.src = s.src
         )""",
-        """n AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS nn FROM sym)""",
-        "pr0 AS (SELECT src AS node, 1.0 / n.nn AS rank FROM wdeg CROSS JOIN n)",
+        """n AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS nn FROM sym)""",
+        "pr0 AS MATERIALIZED (SELECT src AS node, 1.0 / n.nn AS rank FROM wdeg CROSS JOIN n)",
     ]
     for i in range(PAGERANK_ITERS):
         parts.append(
-            f"""pr{i + 1} AS (
+            f"""pr{i + 1} AS MATERIALIZED (
               SELECT t.dst AS node,
                      (1.0 - {d}) / (SELECT nn FROM n) + {d} * SUM(p.rank * t.p) AS rank
               FROM trans t JOIN pr{i} p ON p.node = t.src
@@ -323,18 +323,22 @@ def g6_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
+        # truncate lineage: without this the logical plan grows with
+        # every iteration (and OOMs the driver rendering it). On a
+        # cluster use checkpoint() to a reliable dir instead.
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 
 def _components_oracle() -> str:
     parts = [
-        f"WITH e AS (SELECT u, v FROM ({_EDGES_SQL}))",
-        """sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e)""",
-        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)",
+        f"WITH e AS MATERIALIZED (SELECT u, v FROM ({_EDGES_SQL}))",
+        """sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)",
     ]
     for i in range(CC_ITERS):
         parts.append(
-            f"""l{i + 1} AS (
+            f"""l{i + 1} AS MATERIALIZED (
               SELECT l.node,
                      least(l.label, coalesce(min(nl.label), l.label)) AS label
               FROM l{i} l
@@ -386,6 +390,9 @@ def g7_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        # labels is referenced twice above — checkpoint or the plan
+        # doubles per iteration (2^CC_ITERS blowup)
+        labels = labels.localCheckpoint(eager=True)
     return labels.groupBy(F.col("label").cast("long").alias("component")).agg(
         F.count("*").alias("n_nodes")
     )

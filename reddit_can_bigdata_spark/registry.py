@@ -91,6 +91,7 @@ def _ensure_loaded() -> None:
         similarity,
         textstats,
         graph,
+        advanced,
     )
     from reddit_can_bigdata_spark.streaming import pipeline  # noqa: F401
 

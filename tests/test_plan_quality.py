@@ -1,0 +1,92 @@
+"""Physical-plan assertions (the would-this-survive-100TB checks).
+
+These pin the plan properties each query's scale story depends on:
+pushdown reaching the parquet scan, dimension joins broadcasting,
+no accidental cartesian products, aggregation-before-join shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from reddit_can_bigdata_spark.plans.inspect import (
+    formatted_plan,
+    has_pushed_filter,
+    join_kinds,
+    pushed_filters,
+    read_schemas,
+)
+from reddit_can_bigdata_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """P7/P8: both predicates must appear in PushedFilters."""
+    df = REGISTRY["p7_p8_interactive_filter"].fn(spark, sf_dir)
+    assert has_pushed_filter(df, "o_orderstatus"), pushed_filters(df)
+    assert has_pushed_filter(df, "o_totalprice"), pushed_filters(df)
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    """S10: the customer scan must read only the 4 referenced columns
+    (3 projected + 1 filtered), not the whole table."""
+    df = REGISTRY["s10_projected_scan"].fn(spark, sf_dir)
+    schemas = read_schemas(df)
+    assert schemas, "no ReadSchema found"
+    cust = next(s for s in schemas if "c_custkey" in s)
+    assert "c_acctbal" in cust and "c_name" in cust and "c_mktsegment" in cust
+    assert "c_nationkey" not in cust
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    """A4: nation (tiny dim) must broadcast — shuffling customer on
+    nationkey at 100 TB would be a silent disaster."""
+    df = REGISTRY["a4_multi_agg_rollup"].fn(spark, sf_dir)
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert "SortMergeJoin" not in kinds, kinds
+
+
+def test_topk_lookup_join_broadcasts(spark, sf_dir):
+    """J1: the 5-row top-k side must broadcast against customer."""
+    df = REGISTRY["j1_lookup_join_topk"].fn(spark, sf_dir)
+    assert "BroadcastHashJoin" in join_kinds(df), join_kinds(df)
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """No registered query may plan a CartesianProduct — scalar
+    cross-joins must ride a BroadcastNestedLoopJoin (1-row side)."""
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        if name == "streaming_windowed_counts":
+            continue  # runs a streaming query, not a static plan
+        kinds = join_kinds(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in kinds:
+            offenders.append((name, kinds))
+    assert not offenders, offenders
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """W1: global top-k must plan TakeOrderedAndProject (per-partition
+    heaps), never a full global Sort."""
+    df = REGISTRY["w1_global_topk"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_keyword_filter_stays_jvm_side(spark, sf_dir):
+    """P5: the regex keyword filter must not plan a Python UDF eval."""
+    df = REGISTRY["p5_keyword_filter"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fk_join_then_group_reuses_partitioning(spark, sf_dir):
+    """J2: join on l_orderkey followed by groupBy(o_orderkey) must not
+    add a second shuffle for the aggregation (same key)."""
+    from reddit_can_bigdata_spark.plans.inspect import count_exchanges
+
+    df = REGISTRY["j2_fk_join_rollup"].fn(spark, sf_dir)
+    # 2 exchanges to co-partition the two scans; the group-by reuses
+    # that partitioning -> no third exchange.
+    assert count_exchanges(df) <= 2, formatted_plan(df)
