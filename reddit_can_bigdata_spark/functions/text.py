@@ -66,3 +66,27 @@ def word_count_expr(col: Column) -> Column:
     """F5 word_count = size(split(text, ' ')) (reference
     `spark-streaming-pyspark/spark_streaming.py:92`)."""
     return F.size(F.split(col, " "))
+
+
+# F12: emoji sentiment features. The reference counts occurrences of
+# fixed emoji lists with a Python UDF (`spark-ml-sentiment/
+# spark_ml_sentiment.py:88-101`); here the count is a pure expression:
+# sum over the list of per-emoji occurrence counts, computed via the
+# length-difference trick — one codegen stage, no Python worker.
+POSITIVE_EMOJI = ("😀", "😂", "❤️", "🔥", "👍", "🏆")
+NEGATIVE_EMOJI = ("😢", "😡", "👎", "💔", "😞")
+
+
+def _occurrence_count(col: Column, needle: str) -> Column:
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle))))
+        / F.length(F.lit(needle))
+    ).cast("int")
+
+
+def emoji_counts(col: Column) -> tuple[Column, Column, Column]:
+    """Returns (positive_emojis, negative_emojis, emoji_score=pos-neg)
+    column expressions (F12 semantics)."""
+    pos = sum((_occurrence_count(col, e) for e in POSITIVE_EMOJI), F.lit(0))
+    neg = sum((_occurrence_count(col, e) for e in NEGATIVE_EMOJI), F.lit(0))
+    return pos, neg, (pos - neg)

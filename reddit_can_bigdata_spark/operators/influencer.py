@@ -1,0 +1,203 @@
+"""Influencer scoring (SURVEY.md §2.5 W2/W5/W6 + §1.2 user_network).
+
+The reference's headline analysis
+(`network-analysis/network_analysis.py:225-250`): min-max normalize
+each centrality, combine with fixed weights, rank, flag the top 20 as
+influencers, and persist one document per user with nested
+centrality/activity structs.
+
+Deviation (documented): the reference weights
+0.25·degree + 0.20·betweenness + 0.25·eigenvector + 0.30·pagerank;
+exact betweenness is O(V·E) and inherently non-distributable
+(SURVEY §7.3 risk 2 — driver-side Brandes fallback lives in
+``betweenness_exact`` in tests at small scale), so the distributed
+composite substitutes closeness at the same weight:
+0.25·degree + 0.20·closeness + 0.25·eigenvector + 0.30·pagerank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from reddit_can_bigdata_spark.registry import REGISTRY, register
+
+_WEIGHTS = {"degree": 0.25, "closeness": 0.20, "eigen": 0.25, "pagerank": 0.30}
+
+
+def _norm_sql(col: str, lo: str, hi: str) -> str:
+    return f"(CASE WHEN {hi} > {lo} THEN ({col} - {lo}) / ({hi} - {lo}) ELSE 0.0 END)"
+
+
+def _influencer_oracle() -> str:
+    # Reuse the four registered centrality oracles as materialized CTEs.
+    d = REGISTRY["g2_degree_centrality"].oracle
+    p = REGISTRY["g6_pagerank"].oracle
+    e = REGISTRY["g5_eigenvector_centrality"].oracle
+    c = REGISTRY["g4_closeness_centrality"].oracle
+    comp = (
+        f"{_WEIGHTS['degree']} * {_norm_sql('m.degree_centrality', 'b.d_lo', 'b.d_hi')}"
+        f" + {_WEIGHTS['closeness']} * {_norm_sql('m.closeness', 'b.c_lo', 'b.c_hi')}"
+        f" + {_WEIGHTS['eigen']} * {_norm_sql('m.eigenvector', 'b.e_lo', 'b.e_hi')}"
+        f" + {_WEIGHTS['pagerank']} * {_norm_sql('m.pagerank', 'b.p_lo', 'b.p_hi')}"
+    )
+    return f"""
+    WITH dc AS MATERIALIZED ({d}),
+    pr AS MATERIALIZED ({p}),
+    ev AS MATERIALIZED ({e}),
+    cl AS MATERIALIZED ({c}),
+    m AS MATERIALIZED (
+      SELECT dc.node, dc.degree_centrality, pr.pagerank, ev.eigenvector, cl.closeness
+      FROM dc JOIN pr ON pr.node = dc.node
+      JOIN ev ON ev.node = dc.node
+      JOIN cl ON cl.node = dc.node
+    ),
+    b AS MATERIALIZED (
+      SELECT min(degree_centrality) AS d_lo, max(degree_centrality) AS d_hi,
+             min(closeness) AS c_lo, max(closeness) AS c_hi,
+             min(eigenvector) AS e_lo, max(eigenvector) AS e_hi,
+             min(pagerank) AS p_lo, max(pagerank) AS p_hi
+      FROM m
+    ),
+    scored AS (
+      SELECT m.node, round({comp}, 6) AS composite_score
+      FROM m CROSS JOIN b
+    )
+    SELECT CAST(row_number() OVER (ORDER BY composite_score DESC, node) AS BIGINT)
+             AS influencer_rank,
+           node, composite_score
+    FROM scored
+    QUALIFY influencer_rank <= 20
+    """
+
+
+@register(
+    "influencer_composite_top20",
+    oracle=_influencer_oracle(),
+    tags=("graph", "window", "composite"),
+)
+def influencer_composite_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+W5+W6 end-to-end: four centralities → min-max normalize →
+    weighted composite → top-20 ranks. The four centrality jobs each
+    reduce to |nodes|-sized outputs, so the normalize/rank tail is
+    trivially small no matter how big the raw data was."""
+    deg = REGISTRY["g2_degree_centrality"].fn(spark, sf_dir).select(
+        "node", "degree_centrality"
+    )
+    pr = REGISTRY["g6_pagerank"].fn(spark, sf_dir)
+    ev = REGISTRY["g5_eigenvector_centrality"].fn(spark, sf_dir)
+    cl = REGISTRY["g4_closeness_centrality"].fn(spark, sf_dir)
+    m = deg.join(pr, "node").join(ev, "node").join(cl, "node")
+    b = m.agg(
+        F.min("degree_centrality").alias("d_lo"), F.max("degree_centrality").alias("d_hi"),
+        F.min("closeness").alias("c_lo"), F.max("closeness").alias("c_hi"),
+        F.min("eigenvector").alias("e_lo"), F.max("eigenvector").alias("e_hi"),
+        F.min("pagerank").alias("p_lo"), F.max("pagerank").alias("p_hi"),
+    )
+
+    def norm(col: str, lo: str, hi: str):
+        return F.when(
+            F.col(hi) > F.col(lo),
+            (F.col(col) - F.col(lo)) / (F.col(hi) - F.col(lo)),
+        ).otherwise(F.lit(0.0))
+
+    comp = (
+        F.lit(_WEIGHTS["degree"]) * norm("degree_centrality", "d_lo", "d_hi")
+        + F.lit(_WEIGHTS["closeness"]) * norm("closeness", "c_lo", "c_hi")
+        + F.lit(_WEIGHTS["eigen"]) * norm("eigenvector", "e_lo", "e_hi")
+        + F.lit(_WEIGHTS["pagerank"]) * norm("pagerank", "p_lo", "p_hi")
+    )
+    scored = m.crossJoin(F.broadcast(b)).select(
+        "node", F.round(comp, 6).alias("composite_score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("composite_score"), F.asc("node"))
+    return (
+        scored.withColumn("influencer_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("influencer_rank") <= 20)
+        .select("influencer_rank", "node", "composite_score")
+    )
+
+
+def user_network_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §1.2 ``user_network`` deliverable: one row per node with
+    nested ``centralities`` and ``activity`` structs, community id,
+    influencer flag/rank — the reference's per-user document
+    (`network-analysis/network_analysis.py:302-320`) as a typed table.
+    """
+    deg = REGISTRY["g2_degree_centrality"].fn(spark, sf_dir)
+    pr = REGISTRY["g6_pagerank"].fn(spark, sf_dir)
+    ev = REGISTRY["g5_eigenvector_centrality"].fn(spark, sf_dir)
+    cl = REGISTRY["g4_closeness_centrality"].fn(spark, sf_dir)
+    top = influencer_composite_top20(spark, sf_dir).select(
+        "node", "influencer_rank"
+    )
+    # components: node -> component label
+    from reddit_can_bigdata_spark.operators.graph import CC_ITERS, _edges
+
+    e = _edges(spark, sf_dir).select("u", "v")
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("community_id")
+    )
+    for _ in range(CC_ITERS):
+        neigh = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("community_id").alias("nl"))
+        )
+        labels = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(F.col("community_id"), F.coalesce(F.col("nl"), F.col("community_id"))).alias(
+                "community_id"
+            ),
+        ).localCheckpoint(eager=True)
+
+    return (
+        deg.join(pr, "node")
+        .join(ev, "node")
+        .join(cl, "node")
+        .join(labels, "node")
+        .join(top, "node", "left")
+        .select(
+            F.col("node").alias("user"),
+            F.struct(
+                F.col("degree_centrality").alias("degree"),
+                F.col("closeness"),
+                F.col("eigenvector"),
+                F.col("pagerank"),
+            ).alias("centralities"),
+            F.col("community_id").cast("int").alias("community_id"),
+            F.col("influencer_rank").isNotNull().alias("is_influencer"),
+            F.col("influencer_rank").cast("int").alias("influencer_rank"),
+            F.col("degree").cast("int").alias("degree"),
+            F.col("weighted_degree").cast("long").alias("weighted_degree"),
+            F.current_timestamp().alias("analyzed_at"),
+        )
+    )
+
+
+def network_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 ``network_metadata`` singleton: node/edge counts, density,
+    community count, average clustering."""
+    meta = REGISTRY["g8_graph_metadata"].fn(spark, sf_dir)
+    tri = REGISTRY["g9_triangles_clustering"].fn(spark, sf_dir).select("avg_clustering")
+    ncomm = (
+        REGISTRY["g7_connected_components"].fn(spark, sf_dir)
+        .agg(F.count("*").cast("int").alias("num_communities"))
+    )
+    return (
+        meta.crossJoin(tri)
+        .crossJoin(ncomm)
+        .select(
+            F.lit("graph_metadata").alias("type"),
+            "num_nodes",
+            "num_edges",
+            "density",
+            "num_communities",
+            "avg_clustering",
+            F.current_timestamp().alias("analyzed_at"),
+        )
+    )

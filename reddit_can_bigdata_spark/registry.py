@@ -92,6 +92,7 @@ def _ensure_loaded() -> None:
         textstats,
         graph,
         advanced,
+        influencer,
     )
     from reddit_can_bigdata_spark.streaming import pipeline  # noqa: F401
 

@@ -1,0 +1,60 @@
+"""Influencer pipeline + user_network/network_metadata table tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_user_network_table_shape(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.influencer import user_network_table
+
+    df = user_network_table(spark, sf_dir)
+    dtypes = dict(df.dtypes)
+    assert dtypes["centralities"].startswith("struct<")
+    assert "degree:double" in dtypes["centralities"]
+    rows = df.collect()
+    assert len(rows) > 0
+    n_infl = sum(1 for r in rows if r["is_influencer"])
+    assert n_infl == min(20, len(rows))
+    ranks = sorted(r["influencer_rank"] for r in rows if r["influencer_rank"] is not None)
+    assert ranks == list(range(1, n_infl + 1))
+    # centrality sanity: all in [0, 1]-ish ranges
+    for r in rows:
+        c = r["centralities"]
+        assert 0.0 <= c["degree"] <= 1.0
+        assert 0.0 <= c["pagerank"] <= 1.0
+
+
+def test_network_metadata_singleton(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.influencer import network_metadata
+
+    rows = network_metadata(spark, sf_dir).collect()
+    assert len(rows) == 1
+    m = rows[0]
+    assert m["type"] == "graph_metadata"
+    n, e = m["num_nodes"], m["num_edges"]
+    assert 0.0 <= m["density"] <= 1.0
+    assert m["density"] == pytest.approx(2.0 * e / (n * (n - 1)), abs=1e-5)
+    assert m["num_communities"] >= 1
+    assert 0.0 <= m["avg_clustering"] <= 1.0
+
+
+def test_betweenness_driver_fallback_known_graphs():
+    """G3: Brandes fallback against hand-computed values."""
+    from reddit_can_bigdata_spark.operators.graph import betweenness_exact
+
+    # path graph 1-2-3-4: inner nodes lie on 2 shortest paths each
+    got = betweenness_exact([(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 0.0, 2: 2.0, 3: 2.0, 4: 0.0}
+    # star: center lies on all C(3,2)=3 leaf pairs
+    got = betweenness_exact([(0, 1), (0, 2), (0, 3)])
+    assert got == {0: 3.0, 1: 0.0, 2: 0.0, 3: 0.0}
+    # complete graph K4: every pair adjacent -> all zero
+    got = betweenness_exact([(a, b) for a in range(4) for b in range(a + 1, 4)])
+    assert all(v == 0.0 for v in got.values())
+    # bridge: two triangles joined by one edge
+    # 0-1-2 triangle, 3-4-5 triangle, bridge 2-3
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    got = betweenness_exact(edges)
+    assert got[2] == got[3] > got[0] == got[1] == got[4] == got[5]
