@@ -11,6 +11,20 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return load_tables(spark, sf_dir)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism.
+
+    The testdata files are single-row-group parquet, so Spark plans a
+    1-task scan; that's correct for a 500 KB file but serializes any
+    downstream explode (shingles, tokens, bit fan-outs) that grows the
+    data 30-100x in flight. Repartitioning right before the explode
+    spreads that work across all cores; results are unaffected (every
+    aggregate here is order-independent). At 100 TB inputs arrive in
+    many splits and this becomes a no-op-ish rebalance; AQE handles
+    the reverse (too many tiny partitions)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dsum(col: Column | str) -> Column:
     """Exact money-ish sum: accumulate as DECIMAL(18,4), emit double.
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from reddit_can_bigdata_spark.operators.common import tables
+from reddit_can_bigdata_spark.operators.common import spread, tables
 from reddit_can_bigdata_spark.registry import register
 
 # MinHash parameters — keep in sync between Spark + oracle SQL.
@@ -48,7 +48,7 @@ _SHINGLES_SQL = """
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) distinct pairs — 3-word shingles."""
-    docs = tables(spark, sf_dir)["documents"]
+    docs = spread(tables(spark, sf_dir)["documents"])
     return (
         docs.select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size("w") >= 3)
@@ -231,7 +231,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from reddit_can_bigdata_spark.functions.text import portable_hash32
 
-    docs = tables(spark, sf_dir)["documents"]
+    docs = spread(tables(spark, sf_dir)["documents"])
     bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))

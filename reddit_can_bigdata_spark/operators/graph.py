@@ -376,6 +376,91 @@ def g6_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 
+LP_ITERS = 4
+
+
+def _labelprop_oracle() -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED ({_EDGES_SQL})",
+        """sym AS MATERIALIZED (
+          SELECT u AS src, v AS dst, CAST(weight AS DOUBLE) AS w FROM e
+          UNION ALL SELECT v, u, CAST(weight AS DOUBLE) FROM e
+        )""",
+        "lp0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)",
+    ]
+    for i in range(LP_ITERS):
+        parts.append(
+            f"""lp{i + 1} AS MATERIALIZED (
+              SELECT node, label FROM (
+                SELECT s.src AS node, l.label,
+                       row_number() OVER (
+                         PARTITION BY s.src
+                         ORDER BY SUM(s.w) DESC, l.label
+                       ) AS rn
+                FROM sym s JOIN lp{i} l ON l.node = s.dst
+                GROUP BY s.src, l.label
+              ) WHERE rn = 1
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM lp{LP_ITERS} GROUP BY label"""
+    )
+
+
+@register(
+    "g7_label_propagation",
+    oracle=_labelprop_oracle(),
+    tags=("graph", "community", "iterative"),
+)
+def g7_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 (community structure, distributed path): weighted label
+    propagation — every node synchronously adopts the label carrying
+    the greatest total edge weight in its neighborhood (tie → smallest
+    label), fixed 4 rounds. This is the scalable stand-in for Louvain
+    (`louvain_communities(G, weight, seed=42)`,
+    `network-analysis/network_analysis.py:194`), which is inherently
+    sequential; community count/membership are asserted exactly only
+    at test scale (SURVEY §7.3 risk 1).
+
+    Each round = one shuffle (join on dst) + one hash aggregate + one
+    per-node window — linear in |E|. Deterministic by construction
+    (sync updates, total tie order), hence oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    e = _edges(spark, sf_dir)
+    sym = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("weight").cast("double").alias("w")
+    ).unionAll(
+        e.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), F.col("weight").cast("double").alias("w")
+        )
+    ).cache()
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("wsum"), F.asc("label"))
+    for _ in range(LP_ITERS):
+        votes = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy(F.col("src").alias("node"), F.col("label"))
+            .agg(F.sum("w").alias("wsum"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("label").cast("long").alias("community")).agg(
+        F.count("*").alias("n_nodes")
+    )
+
+
 def _components_oracle() -> str:
     parts = [
         f"WITH e AS MATERIALIZED (SELECT u, v FROM ({_EDGES_SQL}))",

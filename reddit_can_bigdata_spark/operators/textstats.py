@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from reddit_can_bigdata_spark.operators.common import tables
+from reddit_can_bigdata_spark.operators.common import spread, tables
 from reddit_can_bigdata_spark.registry import register
 
 _EN_STOP = ("the", "a", "of", "and", "to", "in", "is")
@@ -142,7 +142,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining pipeline actually budgets by), vocabulary size, and
     mean tokens/doc. Token explode partial-aggregates map-side; at
     100 TB swap COUNT(DISTINCT) for approx_count_distinct."""
-    docs = tables(spark, sf_dir)["documents"]
+    docs = spread(tables(spark, sf_dir)["documents"])
     tok = docs.select(
         "source", "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
@@ -152,6 +152,52 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.count("*").cast("double") / F.countDistinct("doc_id"), 6
         ).alias("avg_tokens_per_doc"),
+    )
+
+
+from reddit_can_bigdata_spark.ml.sentiment import (  # noqa: E402
+    NEGATIVE_WORDS as _NEG_WORDS,
+    POSITIVE_WORDS as _POS_WORDS,
+)
+
+
+@register(
+    "f13_lexicon_sentiment_distribution",
+    oracle=f"""
+    WITH scored AS (
+      SELECT len(list_filter(string_split(lower(text), ' '),
+                 t -> {_in_list_sql('t', _POS_WORDS)})) AS pos,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> {_in_list_sql('t', _NEG_WORDS)})) AS neg
+      FROM documents
+    ),
+    labeled AS (
+      SELECT CASE
+               WHEN pos + neg = 0 THEN 'neutral'
+               WHEN CAST(pos - neg AS DOUBLE) / (pos + neg) >= 0.05 THEN 'positive'
+               WHEN CAST(pos - neg AS DOUBLE) / (pos + neg) <= -0.05 THEN 'negative'
+               ELSE 'neutral' END AS lex_label
+      FROM scored
+    )
+    SELECT lex_label, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM labeled GROUP BY lex_label
+    """,
+    tags=("text", "sentiment", "ml"),
+)
+def f13_lexicon_sentiment_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13+A1: the lexicon sentiment labeler (the engine's VADER
+    stand-in, see ml/sentiment.py) with the reference's ±0.05 label
+    thresholds (`spark-ml-sentiment/spark_ml_sentiment.py:127-133`) and
+    the label-distribution aggregate (`:145`). Because the labeler is a
+    deterministic expression — not an external-lexicon UDF — the whole
+    ML labeling stage is exact-oracle-checkable."""
+    from reddit_can_bigdata_spark.ml.sentiment import lexicon_score
+
+    docs = tables(spark, sf_dir)["documents"]
+    return (
+        lexicon_score(docs)
+        .groupBy("lex_label")
+        .agg(F.count("*").alias("cnt"))
     )
 
 
@@ -180,7 +226,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact oracle parity."""
     from reddit_can_bigdata_spark.functions.text import portable_hash32
 
-    docs = tables(spark, sf_dir)["documents"]
+    docs = spread(tables(spark, sf_dir)["documents"])
     grams = (
         docs.select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size("w") >= 5)

@@ -93,6 +93,7 @@ def _ensure_loaded() -> None:
         graph,
         advanced,
         influencer,
+        tpch,
     )
     from reddit_can_bigdata_spark.streaming import pipeline  # noqa: F401
 

@@ -1,0 +1,67 @@
+"""Table sinks (SURVEY.md §2.1 S12-S17) — set-oriented, idempotent.
+
+The reference's write paths are all row-at-a-time driver loops with
+duplicate-key try/except (S12 `spark-streaming-pyspark/
+spark_streaming.py:109-155`, S15 `spark-ml-sentiment/
+spark_ml_sentiment.py:402-417`). Every sink here is a distributed
+DataFrame write:
+
+- ``overwrite_table``   — S16 truncate-and-reload
+- ``append_dedup``      — S12/O4 idempotent append (anti-join on key)
+- ``merge_upsert``      — S15 MERGE INTO semantics on plain parquet
+- ``write_singleton``   — S17 one-row metadata table
+
+On a lakehouse deployment these map to Delta/Iceberg ``MERGE INTO``;
+plain parquet emulates it with read-union-overwrite, which is atomic
+enough for a single writer (the reference's setting) and documented
+as the swap point.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    """S16: truncate-and-reload (`delete_many({}) + insert_many`,
+    `network-analysis/network_analysis.py:324-325`)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def append_dedup(spark: SparkSession, df: DataFrame, path: str, key: str) -> None:
+    """S12/O4: append only rows whose key is not already present —
+    one anti-join instead of per-row DuplicateKeyError handling."""
+    if _exists(spark, path):
+        existing = spark.read.parquet(path).select(key)
+        df = df.join(existing, key, "left_anti")
+    df.write.mode("append").parquet(path)
+
+
+def merge_upsert(spark: SparkSession, df: DataFrame, path: str, key: str) -> None:
+    """S15: MERGE — new rows win over stored rows with the same key
+    (`update_one(..., upsert=True)` per row in the reference). Plain
+    parquet: keep stored rows whose key is absent from the update set,
+    union the updates, rewrite. With Delta/Iceberg this is a real
+    ``MERGE INTO`` and only touched files rewrite."""
+    updates = df.dropDuplicates([key])
+    if _exists(spark, path):
+        current = spark.read.parquet(path)
+        keep = current.join(updates.select(key), key, "left_anti")
+        out = keep.unionByName(updates, allowMissingColumns=False)
+    else:
+        out = updates
+    # materialize before overwriting the path we just read
+    out = out.localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(path)
+
+
+def write_singleton(df: DataFrame, path: str) -> None:
+    """S17: one-row metadata table (`update_one({'type': ...},
+    upsert=True)`, `network-analysis/network_analysis.py:339-343`)."""
+    df.limit(1).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    return os.path.exists(path)

@@ -87,6 +87,48 @@ def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_etl_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+):
+    """S12/ST4 done right: streaming ETL with an idempotent,
+    set-oriented ``foreachBatch`` parquet append.
+
+    The reference's foreachBatch ``collect()``s every micro-batch to
+    the driver and inserts row-by-row with duplicate-key try/except
+    (`spark-streaming-pyspark/spark_streaming.py:109-155`). Here:
+
+    - in-stream dedup: ``dropDuplicates([id])`` within the watermark
+      (O3/O4 as stream state, not store round-trips);
+    - the batch writes distributed (``batch_df.write``), never
+      touching the driver;
+    - exactly-once-per-id across retries comes from the checkpoint +
+      dedup state; the sink itself stays append-only.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    raw_schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(raw_schema).parquet(source_dir)
+    if dict(stream.dtypes)[ts_col] != "timestamp":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicates([id_col])
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        deduped.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 @register(
     "streaming_windowed_counts",
     oracle="""

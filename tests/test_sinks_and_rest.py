@@ -1,0 +1,68 @@
+"""Sink semantics (S12-S17) and REST extraction (S4-S6) tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id string, val int")
+
+
+def test_append_dedup(spark, tmp_path):
+    from reddit_can_bigdata_spark.sources.storage import append_dedup
+
+    p = str(tmp_path / "t")
+    append_dedup(spark, _df(spark, [("a", 1), ("b", 2)]), p, "id")
+    append_dedup(spark, _df(spark, [("b", 99), ("c", 3)]), p, "id")
+    got = {r["id"]: r["val"] for r in spark.read.parquet(p).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}  # b kept original (append-only)
+
+
+def test_merge_upsert(spark, tmp_path):
+    from reddit_can_bigdata_spark.sources.storage import merge_upsert
+
+    p = str(tmp_path / "t")
+    merge_upsert(spark, _df(spark, [("a", 1), ("b", 2)]), p, "id")
+    merge_upsert(spark, _df(spark, [("b", 99), ("c", 3)]), p, "id")
+    got = {r["id"]: r["val"] for r in spark.read.parquet(p).collect()}
+    assert got == {"a": 1, "b": 99, "c": 3}  # b updated (upsert wins)
+
+
+def test_overwrite_and_singleton(spark, tmp_path):
+    from reddit_can_bigdata_spark.sources.storage import overwrite_table, write_singleton
+
+    p = str(tmp_path / "t")
+    overwrite_table(_df(spark, [("a", 1), ("b", 2)]), p)
+    overwrite_table(_df(spark, [("z", 9)]), p)
+    assert [r["id"] for r in spark.read.parquet(p).collect()] == ["z"]
+
+    s = str(tmp_path / "meta")
+    write_singleton(_df(spark, [("m", 1), ("n", 2)]), s)
+    assert spark.read.parquet(s).count() == 1
+
+
+def test_extract_post_defaults_and_filter():
+    from reddit_can_bigdata_spark.sources.rest import extract_post, matches_keywords
+
+    raw = {"id": "x1", "title": "AFCON final!", "permalink": "/r/soccer/x1",
+           "created_utc": 1735689600}
+    rec = extract_post(raw, scraped_at="2025-01-01T00:00:00")
+    assert rec["score"] == 0 and rec["upvote_ratio"] == 0.0 and rec["selftext"] == ""
+    assert rec["permalink"] == "https://reddit.com/r/soccer/x1"
+    assert rec["created_date"] == "2025-01-01T00:00:00"
+    assert matches_keywords(rec["title"], rec["selftext"])
+    assert not matches_keywords("unrelated post about baseball")
+
+
+def test_extract_comment_drops_deleted():
+    from reddit_can_bigdata_spark.sources.rest import extract_comment
+
+    assert extract_comment({"body": "[deleted]"}, "p1", "t") is None
+    assert extract_comment({"body": "[removed]"}, "p1", "t") is None
+    rec = extract_comment(
+        {"id": "c1", "body": "Allez!", "parent_id": "t3_p1", "created_utc": 1735689600.5},
+        "p1",
+        "t",
+    )
+    assert rec["post_id"] == "p1" and rec["created_utc"] == 1735689600.5

@@ -64,3 +64,50 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
     q.awaitTermination()
     rows = spark.table("dedup_test").collect()
     assert sorted(r["id"] for r in rows) == [1, 2, 3]
+
+
+def test_foreachbatch_idempotent_etl(spark, tmp_path):
+    """S12/ST4: streaming ETL with dedup + distributed parquet append;
+    duplicate ids collapse, restarts don't re-emit processed data."""
+    import pandas as pd
+
+    from reddit_can_bigdata_spark.streaming.pipeline import stream_etl_to_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "id": [1, 2, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:01", "2024-01-01 00:02"]
+            ).astype("datetime64[us]"),
+            "payload": ["a", "b", "b-dup", "c"],
+        }
+    ).to_parquet(src / "p0.parquet")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_etl_to_parquet(spark, str(src), out, ckpt)
+    q.awaitTermination()
+    rows1 = spark.read.parquet(out).collect()
+    assert sorted(r["id"] for r in rows1) == [1, 2, 3]
+
+    # restart with no new data: checkpoint prevents reprocessing
+    q2 = stream_etl_to_parquet(spark, str(src), out, ckpt)
+    q2.awaitTermination()
+    rows2 = spark.read.parquet(out).collect()
+    assert sorted(r["id"] for r in rows2) == [1, 2, 3]
+
+    # new file with one dup id and one new id -> only the new id lands
+    pd.DataFrame(
+        {
+            "id": [3, 4],
+            "ts": pd.to_datetime(["2024-01-01 00:02", "2024-01-01 00:03"]).astype(
+                "datetime64[us]"
+            ),
+            "payload": ["c-dup", "d"],
+        }
+    ).to_parquet(src / "p1.parquet")
+    q3 = stream_etl_to_parquet(spark, str(src), out, ckpt)
+    q3.awaitTermination()
+    rows3 = spark.read.parquet(out).collect()
+    assert sorted(r["id"] for r in rows3) == [1, 2, 3, 4]
