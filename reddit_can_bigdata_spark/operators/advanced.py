@@ -245,7 +245,7 @@ def g5_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(EIGEN_ITERS):
         m = (
-            sym.join(v, sym.src == v.node)
+            sym.join(F.broadcast(v), sym.src == v.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("val") * F.col("w")).alias("val"))
         )

@@ -171,7 +171,7 @@ def synthetic_posts_comments(
         ).alias("title"),
         F.when(F.col("id") % 17 == 0, "[deleted]")
         .when(F.col("id") % 23 == 0, "AutoModerator")
-        .otherwise(F.concat(F.lit("user"), (F.pmod(F.col("id") * F.col("id"), users)).cast("string")))
+        .otherwise(F.concat(F.lit("user"), (F.pmod(F.col("id") * 7 + 3, users)).cast("string")))
         .alias("author"),
         F.when(F.col("id") % 3 == 0, "soccer")
         .when(F.col("id") % 3 == 1, "football")
@@ -195,9 +195,11 @@ def synthetic_posts_comments(
     comments = spark.range(n_comments).select(
         F.lit("comment").alias("type"),
         F.concat(F.lit("c"), F.col("id")).alias("id"),
-        # ~80% valid FK, rest dangling (FIXTURES invariant 1)
+        # ~85% valid FK, rest dangling (FIXTURES invariant 1); modulus 7
+        # is coprime to the author cycle (30) so no author is starved
+        # of valid FKs by aliasing
         F.when(
-            F.col("id") % 5 == 4, F.concat(F.lit("pX"), F.col("id"))
+            F.col("id") % 7 == 6, F.concat(F.lit("pX"), F.col("id"))
         )
         .otherwise(F.concat(F.lit("p"), F.pmod(F.col("id") * 3, n_posts)))
         .alias("post_id"),

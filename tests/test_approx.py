@@ -1,0 +1,32 @@
+"""Accuracy contracts for the sketch-based scale-path aggregates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_hll_distinct_within_rsd(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.approx import approx_user_counts
+    from reddit_can_bigdata_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    exact = ev.select("user_id").distinct().count()
+    approx = approx_user_counts(ev, "user_id").collect()[0]["approx_distinct"]
+    assert approx == pytest.approx(exact, rel=0.1)  # 2% rsd target, 10% guard
+
+
+def test_gk_quantiles_within_error(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.approx import approx_quantiles
+    from reddit_can_bigdata_spark.tables import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    n = orders.count()
+    got = approx_quantiles(orders, "o_totalprice", [0.5, 0.9], err=0.01)
+    vals = sorted(r["o_totalprice"] for r in orders.select("o_totalprice").collect())
+    for q, g in zip([0.5, 0.9], got):
+        # rank-error contract: the returned value's rank is within n*err
+        import bisect
+
+        rank = bisect.bisect_left(vals, g)
+        assert abs(rank - q * n) <= max(n * 0.02, 2)

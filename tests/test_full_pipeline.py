@@ -1,0 +1,74 @@
+"""End-to-end integration: the reference's whole DAG
+(`airflow/dags/reddit_can_complete_pipeline.py`) as one engine flow —
+ingest → raw persistence → ETL featurization → sentiment labeling →
+interaction graph → influencer scoring — with the DAG's operational
+gates (row-count floors) asserted between stages (SURVEY §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_reddit_pipeline_end_to_end(spark, tmp_path):
+    from reddit_can_bigdata_spark.ml.sentiment import lexicon_score
+    from reddit_can_bigdata_spark.sources.reddit import (
+        featurize_posts,
+        interaction_edges,
+        parse_kafka_events,
+        synthetic_posts_comments,
+    )
+    from reddit_can_bigdata_spark.sources.storage import merge_upsert
+
+    # Stage 1 — ingest: entities serialized onto one JSON 'topic'
+    posts_raw, comments_raw = synthetic_posts_comments(spark)
+    wire = posts_raw.select(F.to_json(F.struct("*")).alias("value")).unionByName(
+        comments_raw.select(F.to_json(F.struct("*")).alias("value"))
+    )
+
+    # Stage 2 — decode + raw persistence (idempotent upsert by id)
+    posts, comments = parse_kafka_events(wire)
+    posts_path = str(tmp_path / "posts")
+    merge_upsert(spark, posts, posts_path, "id")
+    merge_upsert(spark, posts, posts_path, "id")  # re-run: no dupes
+    posts_stored = spark.read.parquet(posts_path)
+    assert posts_stored.count() == posts_raw.count()
+
+    # Stage 3 — ETL featurization (processed_posts)
+    processed = featurize_posts(posts_stored)
+    n_processed = processed.count()
+    assert n_processed >= 50  # DAG ML floor (reddit_can_complete_pipeline.py:37)
+    assert set(["cleaned_title", "combined_text", "text_length", "word_count"]) <= set(
+        processed.columns
+    )
+
+    # Stage 4 — sentiment labeling over processed text
+    labeled = lexicon_score(processed, text_col="combined_text")
+    dist = {r["lex_label"]: r["cnt"] for r in
+            labeled.groupBy("lex_label").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(dist.values()) == n_processed
+
+    # Stage 5 — interaction graph
+    edges = interaction_edges(posts_stored, comments)
+    users = (
+        edges.select(F.col("u").alias("x")).unionAll(edges.select(F.col("v").alias("x")))
+        .distinct()
+        .count()
+    )
+    assert users >= 30  # DAG network floor (reddit_can_complete_pipeline.py:38)
+
+    # Stage 6 — influencer scoring over the domain graph: degree-based
+    # composite (full centrality suite is covered by the testdata graph
+    # queries; here we assert the domain plumbing end-to-end)
+    deg = (
+        edges.select(F.col("u").alias("user"), "weight")
+        .unionAll(edges.select(F.col("v").alias("user"), "weight"))
+        .groupBy("user")
+        .agg(F.count("*").alias("degree"), F.sum("weight").alias("weighted_degree"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("weighted_degree"), F.asc("user"))
+    top = deg.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 20)
+    rows = top.collect()
+    assert 0 < len(rows) <= 20
+    assert rows == sorted(rows, key=lambda r: r["rank"])

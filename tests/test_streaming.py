@@ -111,3 +111,49 @@ def test_foreachbatch_idempotent_etl(spark, tmp_path):
     q3.awaitTermination()
     rows3 = spark.read.parquet(out).collect()
     assert sorted(r["id"] for r in rows3) == [1, 2, 3, 4]
+
+
+def test_st7_concurrent_queries_await_any(spark, tmp_path):
+    """ST7: multiple concurrent streaming queries managed via
+    spark.streams (the reference awaits only one and lets the others
+    die silently; the engine pattern is awaitAnyTermination + explicit
+    lifecycle)."""
+    import pandas as pd
+    import uuid
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00"]
+            ).astype("datetime64[us]"),
+            "kind": ["a", "b", "a"],
+        }
+    ).to_parquet(src / "p0.parquet")
+    schema = spark.read.parquet(str(src)).schema
+
+    def start(name):
+        from pyspark.sql import functions as F
+
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        agg = stream.groupBy("kind").count()
+        return (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    n1, n2 = f"q1_{uuid.uuid4().hex[:6]}", f"q2_{uuid.uuid4().hex[:6]}"
+    q1, q2 = start(n1), start(n2)
+    active_names = {q.name for q in spark.streams.active}
+    assert {n1, n2} <= active_names
+    q1.awaitTermination()
+    q2.awaitTermination()
+    r1 = {(r["kind"], r["count"]) for r in spark.table(n1).collect()}
+    r2 = {(r["kind"], r["count"]) for r in spark.table(n2).collect()}
+    assert r1 == r2 == {("a", 2), ("b", 1)}
