@@ -157,3 +157,48 @@ def test_st7_concurrent_queries_await_any(spark, tmp_path):
     r1 = {(r["kind"], r["count"]) for r in spark.table(n1).collect()}
     r2 = {(r["kind"], r["count"]) for r in spark.table(n2).collect()}
     assert r1 == r2 == {("a", 2), ("b", 1)}
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """Sessionization in streaming mode via session_window (the
+    streaming twin of the sessionize_events batch query)."""
+    import pandas as pd
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # user 1: two events 5 min apart (one session), then one 2h later
+    pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:05", "2024-01-01 02:05", "2024-01-01 00:00"]
+            ).astype("datetime64[us]"),
+        }
+    ).to_parquet(src / "p0.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    stream = stream.withColumn("ts", stream["ts"].cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"sessions_{uuid.uuid4().hex[:6]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 2]  # two sessions: sizes 2 and 1
+    assert per_user[2] == [1]
