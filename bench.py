@@ -28,6 +28,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up the JVM/codegen/parquet-reader paths once so the first
+    # measured query doesn't absorb ~4s of session startup.
+    from reddit_can_bigdata_spark.tables import load_tables
+
+    warm = load_tables(spark, sf_dir)
+    warm["documents"].count()
+    warm["lineitem"].groupBy("l_returnflag").count().collect()
+
     timings: dict[str, float] = {}
     for name, spec in sorted(bench_queries().items()):
         t0 = time.perf_counter()

@@ -287,6 +287,78 @@ def _closeness_oracle() -> str:
     )
 
 
+def _closeness_weighted_oracle() -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED ({_EDGES_SQL})",
+        """sym AS MATERIALIZED (
+          SELECT u AS src, v AS dst, weight FROM e
+          UNION ALL SELECT v, u, weight FROM e
+        )""",
+        "wd0 AS MATERIALIZED (SELECT DISTINCT src, src AS node, CAST(0 AS BIGINT) AS dist FROM sym)",
+    ]
+    for i in range(CLOSENESS_HOPS):
+        parts.append(
+            f"""wd{i + 1} AS MATERIALIZED (
+              SELECT src, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                SELECT src, node, dist FROM wd{i}
+                UNION ALL
+                SELECT d.src, s.dst AS node, d.dist + s.weight
+                FROM wd{i} d JOIN sym s ON s.src = d.node
+              ) GROUP BY src, node
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT src AS node,
+           round((CAST(COUNT(*) AS DOUBLE) - 1) / SUM(dist), 6) AS closeness_w
+    FROM wd{CLOSENESS_HOPS}
+    GROUP BY src HAVING SUM(dist) > 0"""
+    )
+
+
+@register(
+    "g4b_closeness_weighted",
+    oracle=_closeness_weighted_oracle(),
+    tags=("graph", "closeness", "weighted", "iterative"),
+)
+def g4b_closeness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 weighted variant — edge weights as distances, matching the
+    reference's `nx.closeness_centrality(G, distance='weight')`
+    (`network-analysis/network_analysis.py:154`). Same relaxation loop
+    as the hop version with dist+w instead of dist+1 (fixed-round
+    Bellman-Ford; exact once rounds ≥ longest shortest path's hop
+    count — true on the dense test graphs, documented bound
+    otherwise). Integer distances → exact oracle parity."""
+    e = _edges(spark, sf_dir)
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst"), "weight").unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"), "weight")
+    ).cache()
+    dist = sym.select("src").distinct().select(
+        "src", F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(CLOSENESS_HOPS):
+        expanded = (
+            dist.join(sym.withColumnRenamed("src", "mid"), dist.node == F.col("mid"))
+            .select("src", F.col("dst").alias("node"), (F.col("dist") + F.col("weight")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("src", "node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.groupBy("src")
+        .agg(
+            F.round((F.count("*").cast("double") - 1) / F.sum("dist"), 6).alias("closeness_w"),
+            F.sum("dist").alias("_t"),
+        )
+        .where(F.col("_t") > 0)
+        .select(F.col("src").alias("node"), "closeness_w")
+    )
+
+
 @register(
     "g4_closeness_centrality",
     oracle=_closeness_oracle(),

@@ -1,0 +1,231 @@
+"""Additional inventory coverage: set intersection, CUBE, computed
+flag columns (F6), string formatting (F14), calendar rollups (F11),
+cross-table stats (A7), and edit-distance near-dup — each with an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from reddit_can_bigdata_spark.operators.common import DSUM_SQL, dsum, tables
+from reddit_can_bigdata_spark.registry import register
+
+
+@register(
+    "intersect_click_and_view_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+    tags=("setop",),
+)
+def intersect_click_and_view_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT: users with both clicks and views (the
+    set-op family SURVEY §2.6 notes as built-in)."""
+    ev = tables(spark, sf_dir)["events"]
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    return clicks.intersect(views)
+
+
+@register(
+    "cube_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {dsum} AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """.format(dsum=DSUM_SQL.format(x="o_totalprice")),
+    tags=("agg", "cube"),
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping sets in one pass (complements the
+    ROLLUP query)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@register(
+    "f6_engagement_flags",
+    oracle="""
+    SELECT CASE WHEN value > 10.0 THEN true ELSE false END AS high_value,
+           CASE WHEN event_type IN ('click', 'purchase') THEN 'engaged'
+                WHEN event_type = 'view' THEN 'passive'
+                ELSE 'other' END AS engagement,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {dsum} AS total_value
+    FROM events GROUP BY high_value, engagement
+    """.format(dsum=DSUM_SQL.format(x="value")),
+    tags=("projection", "flags", "agg"),
+)
+def f6_engagement_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/P9: when/otherwise derived flag columns (has_text /
+    engagement_score analog, `spark-processor/spark_streaming.py:89-90`)
+    aggregated by flag."""
+    ev = tables(spark, sf_dir)["events"]
+    high = F.when(F.col("value") > 10.0, True).otherwise(False)
+    eng = (
+        F.when(F.col("event_type").isin("click", "purchase"), "engaged")
+        .when(F.col("event_type") == "view", "passive")
+        .otherwise("other")
+    )
+    return (
+        ev.groupBy(high.alias("high_value"), eng.alias("engagement"))
+        .agg(F.count("*").alias("cnt"), dsum("value").alias("total_value"))
+    )
+
+
+@register(
+    "f14_title_preview",
+    oracle="""
+    SELECT doc_id,
+           substr(text, 1, 40) || '...' AS preview,
+           printf('%s/%d', lang, n_chars) AS source_tag
+    FROM documents WHERE n_chars > 100
+    """,
+    tags=("string", "projection"),
+)
+def f14_title_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: string truncation + printf-style formatting
+    (`title[:50]`, `dashboard/dashboard.py:753`)."""
+    d = tables(spark, sf_dir)["documents"]
+    return d.where(F.col("n_chars") > 100).select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 40), F.lit("...")).alias("preview"),
+        F.format_string("%s/%d", F.col("lang"), F.col("n_chars")).alias("source_tag"),
+    )
+
+
+@register(
+    "f11_quarterly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum} AS total_price
+    FROM orders GROUP BY quarter_start
+    """.format(dsum=DSUM_SQL.format(x="o_totalprice")),
+    tags=("date", "agg"),
+)
+def f11_quarterly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 extended: calendar-quarter rollup via date_trunc — the
+    date-dimension family beyond day/weekday."""
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(
+            F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+                "quarter_start"
+            )
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@register(
+    "a7_table_counts",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)    AS n_orders,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)  AS n_lineitems,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)  AS n_customers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events)    AS n_events,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_documents
+    """,
+    tags=("agg", "stats"),
+)
+def a7_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: the DAG's pipeline-stats row — one count per table
+    (`airflow/dags/reddit_can_complete_pipeline.py:71-75`), computed as
+    parallel scalar aggregates cross-joined into one row."""
+    t = tables(spark, sf_dir)
+    counts = [
+        t["orders"].agg(F.count("*").alias("n_orders")),
+        t["lineitem"].agg(F.count("*").alias("n_lineitems")),
+        t["customer"].agg(F.count("*").alias("n_customers")),
+        t["events"].agg(F.count("*").alias("n_events")),
+        t["documents"].agg(F.count("*").alias("n_documents")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+@register(
+    "text_bpeish_token_count",
+    oracle="""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
+             AS bpeish_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
+    FROM documents GROUP BY source
+    """,
+    tags=("text", "tokens"),
+)
+def text_bpeish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, twice: whitespace split and a BPE-ish regex
+    (word runs + individual punctuation — the pre-tokenization rule
+    BPE vocabularies apply). Budgeting pretraining data is done in
+    tokens, and the two counts bracket the real tokenizer's output.
+    Pattern restricted to a dialect both Java regex and RE2 agree on.
+    """
+    d = tables(spark, sf_dir)["documents"]
+    bpeish = F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]', 0)"))
+    ws = F.size(F.split("text", " "))
+    return d.groupBy("source").agg(
+        F.sum(bpeish.cast("long")).alias("bpeish_tokens"),
+        F.sum(ws.cast("long")).alias("ws_tokens"),
+    )
+
+
+@register(
+    "dedup_levenshtein_prefix",
+    oracle="""
+    WITH blocked AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+             substr(text, 1, 30) AS prefix
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_distance
+    FROM blocked a JOIN blocked b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 10
+    """,
+    tags=("dedup", "levenshtein"),
+)
+def dedup_levenshtein_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup on 30-char prefixes, blocked by
+    (lang, length-bucket) so the pairwise stage is bounded per block
+    — the fuzzy-matching family alongside jaccard/minhash/simhash.
+    (ASCII inputs only: Spark's levenshtein counts codepoints, DuckDB
+    counts bytes — identical on ASCII, divergent on multibyte.)"""
+    d = tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        F.substring("text", 1, 30).alias("prefix"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(dist <= 10)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_distance"),
+        )
+    )

@@ -94,6 +94,7 @@ def _ensure_loaded() -> None:
         advanced,
         influencer,
         tpch,
+        extras,
     )
     from reddit_can_bigdata_spark.streaming import pipeline  # noqa: F401
 
