@@ -467,6 +467,106 @@ def g7_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _modularity_oracle() -> str:
+    lp = _labelprop_oracle()
+    # reuse the label-propagation chain, then compute weighted
+    # modularity Q = sum_c [ w_in_c/m - (deg_c/(2m))^2 ] over the
+    # final partition (lp{LP_ITERS}).
+    head = lp[: lp.rindex("SELECT CAST(label AS BIGINT)")].rstrip()
+    return (
+        head
+        + f""",
+    comm AS MATERIALIZED (SELECT node, label FROM lp{LP_ITERS}),
+    m2 AS MATERIALIZED (SELECT SUM(w) AS two_m FROM sym),
+    internal AS MATERIALIZED (
+      SELECT ca.label, SUM(s.w) AS w_in2   -- both directions => 2*w_in
+      FROM sym s
+      JOIN comm ca ON ca.node = s.src
+      JOIN comm cb ON cb.node = s.dst AND cb.label = ca.label
+      GROUP BY ca.label
+    ),
+    degs AS MATERIALIZED (
+      SELECT c.label, SUM(s.w) AS deg_c
+      FROM sym s JOIN comm c ON c.node = s.src GROUP BY c.label
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT label) FROM comm) AS BIGINT) AS n_communities,
+           round(CAST(SUM(coalesce(i.w_in2, 0.0) / m2.two_m
+                 - (d.deg_c / m2.two_m) * (d.deg_c / m2.two_m)) AS DOUBLE), 6) AS modularity
+    FROM degs d LEFT JOIN internal i ON i.label = d.label CROSS JOIN m2"""
+    )
+
+
+@register(
+    "g7c_modularity",
+    oracle=_modularity_oracle(),
+    tags=("graph", "community", "modularity"),
+)
+def g7c_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted modularity Q of the label-propagation partition —
+    the objective Louvain maximizes (Newman 2004), computed
+    relationally: Q = Σ_c [w_in(c)/m − (deg(c)/2m)²]. This is the
+    quantitative bridge to the reference's Louvain output: partitions
+    are compared by Q, not by label equality (SURVEY §7.3 risk 1).
+    Two joins + two aggregates over the community assignment."""
+    from pyspark.sql import Window
+
+    e = _edges(spark, sf_dir)
+    sym = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("weight").cast("double").alias("w")
+    ).unionAll(
+        e.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), F.col("weight").cast("double").alias("w")
+        )
+    ).cache()
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("wsum"), F.asc("label"))
+    for _ in range(LP_ITERS):
+        votes = (
+            sym.join(F.broadcast(labels), sym.dst == labels.node)
+            .groupBy(F.col("src").alias("node"), F.col("label"))
+            .agg(F.sum("w").alias("wsum"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    comm = labels
+    ca = comm.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    cb = comm.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    two_m = sym.agg(F.sum("w").alias("two_m"))
+    internal = (
+        sym.join(F.broadcast(ca), "src")
+        .join(F.broadcast(cb), "dst")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.sum("w").alias("w_in2"))
+    )
+    degs = (
+        sym.join(F.broadcast(ca), "src")
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.sum("w").alias("deg_c"))
+    )
+    ncomm = comm.agg(F.countDistinct("label").alias("n_communities"))
+    q = (
+        degs.join(internal, "label", "left")
+        .crossJoin(F.broadcast(two_m))
+        .agg(
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("w_in2"), F.lit(0.0)) / F.col("two_m")
+                    - (F.col("deg_c") / F.col("two_m")) * (F.col("deg_c") / F.col("two_m"))
+                ).cast("double"),
+                6,
+            ).alias("modularity")
+        )
+    )
+    return ncomm.crossJoin(q)
+
+
 def _components_oracle() -> str:
     parts = [
         f"WITH e AS MATERIALIZED (SELECT u, v FROM ({_EDGES_SQL}))",

@@ -19,6 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# the composite oracle below splices the centrality oracles out of the
+# registry at import time — make sure they are registered even when
+# this module is imported directly (not via registry._ensure_loaded)
+from reddit_can_bigdata_spark.operators import advanced as _advanced  # noqa: F401
+from reddit_can_bigdata_spark.operators import graph as _graph  # noqa: F401
 from reddit_can_bigdata_spark.registry import REGISTRY, register
 
 _WEIGHTS = {"degree": 0.25, "closeness": 0.20, "eigen": 0.25, "pagerank": 0.30}
