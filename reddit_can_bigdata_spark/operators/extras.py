@@ -157,6 +157,97 @@ def a7_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_event_type_by_day",
+    oracle="""
+    SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS event_day,
+           CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+    FROM events GROUP BY event_day
+    """,
+    tags=("pivot", "agg"),
+)
+def pivot_event_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long→wide counts per day × event type. Pivot values are
+    declared explicitly — at scale an undeclared pivot forces an extra
+    distinct-collect job over the full input to discover the columns.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id, event_type AS latest_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("window", "dedup", "snapshot"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot-per-key: row_number over (key, ts desc) = 1 —
+    the standard CDC/log-compaction read pattern (and the principled
+    form of the reference's 'keep newest' store semantics). One
+    shuffle on the key; at scale this is the query Delta/Iceberg
+    MERGE snapshots answer from storage."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_type"),
+        )
+    )
+
+
+@register(
+    "json_props_extraction",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+           CAST(COUNT(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("json", "agg"),
+)
+def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction (the schemaless tail
+    the reference leaves in Mongo documents): get_json_object pushes
+    the path access into codegen; at scale, frequently-queried props
+    should be promoted to typed columns at ingest (schema-on-write),
+    with this as the long-tail escape hatch."""
+    ev = tables(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("total_k"),
+        F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+    )
+
+
 @register(
     "text_bpeish_token_count",
     oracle="""

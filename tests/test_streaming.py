@@ -202,3 +202,79 @@ def test_session_window_streaming(spark, tmp_path):
         per_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(per_user[1]) == [1, 2]  # two sessions: sizes 2 and 1
     assert per_user[2] == [1]
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join: clicks matched to views of the same
+    user within the event-time constraint — both sides watermarked,
+    state bounded (the streaming twin of asof_join_latest_view)."""
+    import pandas as pd
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [10, 10, 10, 20, 20],
+            "event_type": ["view", "click", "view", "view", "click"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00",  # view by 10
+                    "2024-01-01 00:05",  # click by 10 (joins view@00:00)
+                    "2024-01-01 03:00",  # view by 10 (after the click)
+                    "2024-01-01 00:00",  # view by 20
+                    "2024-01-01 00:30",  # click by 20 (joins view@00:00)
+                ]
+            ).astype("datetime64[us]"),
+        }
+    ).to_parquet(src / "p0.parquet")
+    schema = spark.read.parquet(str(src)).schema
+
+    def stream():
+        s = spark.readStream.schema(schema).parquet(str(src))
+        return s.withColumn("ts", s["ts"].cast("timestamp"))
+
+    views = (
+        stream()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        stream()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("interval 1 hour")),
+        "inner",
+    ).select("click_id", "view_id", "c_user")
+    name = f"ssj_{uuid.uuid4().hex[:6]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["click_id"], r["view_id"]) for r in spark.table(name).collect()}
+    # click 2 joins view 1 (5 min before); click 5 joins view 4 (30 min
+    # before); view 3 is AFTER click 2 -> no pair
+    assert got == {(2, 1), (5, 4)}
