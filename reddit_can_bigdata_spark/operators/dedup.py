@@ -135,37 +135,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a cheap crossJoin with a 16-row broadcast. This is the standard
     web-scale near-dup design (e.g. Broder '97 shingling).
     """
-    spark_perms = spark.range(MINHASH_K).select(
-        F.col("id").cast("int").alias("i"),
-        (2 * F.col("id") + 1).cast("long").alias("a"),
-        (7919 * F.col("id") + 1).cast("long").alias("b"),
-    )
     from reddit_can_bigdata_spark.functions.text import portable_hash32
 
     hashed = _shingles(spark, sf_dir).select(
         "doc_id", portable_hash32(F.col("shingle")).alias("h")
     )
-    sigs = (
-        hashed.crossJoin(F.broadcast(spark_perms))
-        .select(
-            "doc_id",
-            "i",
-            ((F.col("a") * F.col("h") + F.col("b")) % F.lit(MINHASH_P)).alias("ph"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("ph").alias("minh"))
+    # Wide signature: ONE aggregation with K min-expressions instead of
+    # a Kx crossJoin + (doc, i) groupBy — the shuffle carries one
+    # 16-column row per doc rather than K rows per shingle (a 16x
+    # row-blowup eliminated; same values, so the oracle is unchanged).
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i + 1)) % F.lit(MINHASH_P)
+            ).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ]
     )
-    bands = (
-        sigs.withColumn("band", (F.col("i") / MINHASH_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.expr(
-                    "concat_ws(',', transform(array_sort(collect_list(struct(i, minh))),"
-                    " s -> cast(s.minh as string)))"
-                )
-            ).alias("band_key")
+    # band key b = md5("m_{rb} , ... , m_{rb+r-1}") — identical string
+    # to the oracle's ORDER BY i string_agg.
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * MINHASH_ROWS + r}").cast("string")
+                    for r in range(MINHASH_ROWS)
+                ],
+            )
         )
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
     )
     b1, b2 = bands.alias("b1"), bands.alias("b2")
     cand = (
@@ -178,17 +180,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = sum(
+        (F.col(f"sa.m{i}") == F.col(f"sb.m{i}")).cast("long") for i in range(MINHASH_K)
+    )
     return (
         cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.i") == F.col("sa.i")))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.sum((F.col("sa.minh") == F.col("sb.minh")).cast("long")).cast("double")
-                / F.lit(MINHASH_K),
-                6,
-            ).alias("est_jaccard")
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches.cast("double") / F.lit(MINHASH_K), 6).alias("est_jaccard"),
         )
     )
 
@@ -232,32 +235,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_can_bigdata_spark.functions.text import portable_hash32
 
     docs = spread(tables(spark, sf_dir)["documents"])
-    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", portable_hash32(F.col("token")))
     )
-    bitsums = (
-        tf.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "bit",
-            F.when(F.expr("(h >> bit) & 1 = 1"), F.col("cnt"))
-            .otherwise(-F.col("cnt"))
-            .alias("contrib"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
+    # One aggregation with 32 signed-sum expressions instead of a 32x
+    # bit fan-out + (doc, bit) groupBy — the shuffle carries one
+    # 32-column row per doc, not 32 rows per (doc, token). Identical
+    # integer arithmetic, so the oracle is unchanged.
+    wide = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1 = 1"), F.col("cnt")).otherwise(-F.col("cnt"))
+            ).alias(f"s{i}")
+            for i in range(32)
+        ]
     )
-    return bitsums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") >= 0, F.expr("cast(1 as bigint) << bit")).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("simhash")
+    simhash = sum(
+        (
+            F.when(F.col(f"s{i}") >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in range(32)
+        ),
+        F.lit(0).cast("long"),
     )
+    return wide.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 @register(
