@@ -247,22 +247,56 @@ def g8_graph_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def g9_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G9: triangle counting via 3-way self-join on the canonical
-    (u<v) edge list — each triangle appears exactly once as a<b<c —
-    then local clustering C(v)=2T(v)/(d(v)(d(v)-1)) averaged over all
+    """G9: triangle counting with DEGREE ORIENTATION — every edge is
+    directed from its lower-(degree, id) endpoint to the higher one,
+    so each triangle {x,y,z} with pi(x)<pi(y)<pi(z) is enumerated
+    exactly once as the wedge (x->y, x->z) closed by the edge (y->z).
+    Then local clustering C(v)=2T(v)/(d(v)(d(v)-1)) averaged over all
     nodes (`nx.average_clustering`,
     `network-analysis/network_analysis.py:335`).
 
-    Scale: the canonical orientation makes the join output linear in
-    triangle count; at 100 TB pre-sort edges by degree (degree
-    orientation) to bound the join's skew.
+    Scale: under degree orientation every node's OUT-degree is
+    O(sqrt(E)) (a classic bound: a node keeps an out-edge only toward
+    neighbors of >= its own degree), so the wedge join fans out at most
+    sqrt(E) per edge regardless of celebrity nodes — the skew bound the
+    raw (u<v) orientation lacks. The edge list is built once and
+    cached; the wedge join and the closing-edge join shuffle on vertex
+    ids.
     """
-    e = _edges(spark, sf_dir).select("u", "v")
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    e = _edges(spark, sf_dir).select("u", "v").cache()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .cache()
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    ).cache()
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    # wedge (src->b, src->c) with pi(b) < pi(c), closed by oriented b->c
+    wedge_lt = (F.col("e1.ddeg") < F.col("e2.ddeg")) | (
+        (F.col("e1.ddeg") == F.col("e2.ddeg")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
     tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
-        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+        e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & wedge_lt)
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+        )
     )
     # ONE traversal of the (huge) triangle set: explode the three
     # corners instead of unioning three selects — a union would
@@ -272,12 +306,6 @@ def g9_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
-    )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("degree"))
     )
     local = F.when(
         F.col("degree") >= 2,
