@@ -21,7 +21,9 @@ EIGEN_ITERS = 8
 CLOSENESS_HOPS = 6
 
 
-def _bfs_distances(sym: DataFrame, hops: int, step_col) -> DataFrame:
+def _bfs_distances(
+    sym: DataFrame, hops: int, step_col, sources: DataFrame | None = None
+) -> DataFrame:
     """All-sources shortest distances by frontier (delta) relaxation.
 
     Each round relaxes only edges out of rows improved in the previous
@@ -33,11 +35,15 @@ def _bfs_distances(sym: DataFrame, hops: int, step_col) -> DataFrame:
     fixed-round oracle because further rounds are provably no-ops.
 
     ``step_col`` maps the edge row to the added distance (lit(1) for
-    hops, col(weight) for weighted).
+    hops, col(weight) for weighted). ``sources`` optionally restricts
+    the BFS roots to a single-column ("src") DataFrame — the sampled
+    pivot-source path that makes closeness runnable at 100x scale
+    (state O(K·N) instead of O(N²)).
     """
     from pyspark.sql import functions as F  # local alias for clarity
 
-    dist = sym.select("src").distinct().select(
+    roots = sources if sources is not None else sym.select("src").distinct()
+    dist = roots.select(
         "src", F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")
     ).localCheckpoint(eager=True)
     frontier = dist
@@ -389,6 +395,85 @@ def g4b_closeness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("_t") > 0)
         .select(F.col("src").alias("node"), "closeness_w")
+    )
+
+
+CLOSENESS_SAMPLE_MOD = 7
+
+
+def _closeness_sampled_oracle() -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT u, v FROM ({_EDGES_SQL}))",
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)",
+        f"srcs AS MATERIALIZED (SELECT node AS src FROM nodes WHERE node % {CLOSENESS_SAMPLE_MOD} = 0)",
+        "sd0 AS MATERIALIZED (SELECT src, src AS node, 0 AS dist FROM srcs)",
+    ]
+    for i in range(CLOSENESS_HOPS):
+        parts.append(
+            f"""sd{i + 1} AS MATERIALIZED (
+              SELECT src, node, CAST(min(dist) AS INT) AS dist FROM (
+                SELECT src, node, dist FROM sd{i}
+                UNION ALL
+                SELECT d.src, s.dst AS node, d.dist + 1
+                FROM sd{i} d JOIN sym s ON s.src = d.node
+              ) GROUP BY src, node
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f""",
+    agg AS MATERIALIZED (
+      SELECT node, CAST(SUM(dist) AS BIGINT) AS sdist
+      FROM sd{CLOSENESS_HOPS} GROUP BY node HAVING SUM(dist) > 0
+    ),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    kk AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM srcs)
+    SELECT a.node, round(kk.k * (nn.n - 1) / (nn.n * a.sdist), 6) AS closeness_est
+    FROM agg a CROSS JOIN nn CROSS JOIN kk"""
+    )
+
+
+@register(
+    "g4c_closeness_sampled",
+    oracle=_closeness_sampled_oracle(),
+    tags=("graph", "closeness", "sampled", "iterative"),
+)
+def g4c_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 at scale: pivot-SAMPLED closeness (Eppstein–Wang estimator).
+
+    Exact closeness needs all-sources BFS — O(N²) state that cannot run
+    at 100x (`network-analysis/network_analysis.py:154`; SURVEY §7.3
+    risk 2). Instead, BFS from a deterministic 1-in-K source sample
+    (node % K == 0 — portable to the oracle, no engine hash), then for
+    every node v estimate
+
+        c(v) ≈ k·(n−1) / (n · Σ_{s∈S} d(s, v))
+
+    — the Eppstein–Wang '01 estimator. State is O(K·N); the BFS loop,
+    frontier relaxation, and hop bound are byte-identical to the exact
+    g4 path (same `_bfs_distances`), only the seed set shrinks. All
+    arithmetic is integer until one double division → exact oracle
+    parity."""
+    e = _edges(spark, sf_dir).select("u", "v")
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).cache()
+    nodes = sym.select("src").distinct()
+    srcs = nodes.where(F.col("src") % CLOSENESS_SAMPLE_MOD == 0)
+    dist = _bfs_distances(sym, CLOSENESS_HOPS, F.lit(1), sources=srcs)
+    n = nodes.agg(F.count("*").cast("double").alias("n"))
+    k = srcs.agg(F.count("*").cast("double").alias("k"))
+    agg = dist.groupBy("node").agg(F.sum("dist").alias("sdist")).where(F.col("sdist") > 0)
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "node",
+            F.round(
+                F.col("k") * (F.col("n") - 1) / (F.col("n") * F.col("sdist")), 6
+            ).alias("closeness_est"),
+        )
     )
 
 

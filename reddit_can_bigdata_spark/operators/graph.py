@@ -667,3 +667,197 @@ def g7_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").cast("long").alias("component")).agg(
         F.count("*").alias("n_nodes")
     )
+
+
+BW_LEVELS = 6  # >= test-graph diameter, like CLOSENESS_HOPS
+BW_SAMPLE_MOD = 7  # deterministic 1-in-7 source sample (node % 7 == 0)
+
+
+def _brandes_forward(sym: DataFrame, sources: DataFrame, levels: int) -> list[DataFrame]:
+    """Level-synchronous BFS with shortest-path counts from each source.
+
+    Returns one frontier DataFrame per BFS level, each holding
+    (src, node, sigma) where sigma is the number of shortest s→node
+    paths — the forward half of Brandes' algorithm, distributed: every
+    level is one join on the frontier + one anti-join against the
+    visited set + one hash aggregate. Early exit when a frontier
+    empties (provably a no-op for deeper fixed-round oracles).
+    """
+    lvl0 = sources.select(
+        F.col("node").alias("src"), F.col("node"), F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint(eager=True)
+    frontiers = [lvl0]
+    visited = lvl0.select("src", "node")
+    edges = sym.select(F.col("src").alias("mid"), "dst")
+    cur = lvl0
+    for _ in range(levels):
+        expanded = cur.join(edges, cur.node == F.col("mid")).select(
+            "src", F.col("dst").alias("node"), "sigma"
+        )
+        nxt = (
+            expanded.join(visited, ["src", "node"], "left_anti")
+            .groupBy("src", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        frontiers.append(nxt)
+        visited = visited.unionByName(nxt.select("src", "node")).localCheckpoint(eager=True)
+        cur = nxt
+    return frontiers
+
+
+def _brandes_backward(sym: DataFrame, frontiers: list[DataFrame]) -> list[DataFrame]:
+    """Dependency accumulation — the backward half of Brandes.
+
+    Walks the BFS levels deepest-first; a node u at level l receives
+    δ(u) = Σ_{v successor at l+1} σ(u)/σ(v) · (1 + δ(v)). Each step is
+    one join frontier→edges→next-level + one aggregate, so the whole
+    accumulation is O(diameter) shuffles, fully distributed (no
+    driver-side adjacency)."""
+    lv = frontiers[-1].select("src", "node", "sigma", F.lit(0.0).alias("delta"))
+    out = [lv]
+    edges = sym.select(F.col("src").alias("unode"), F.col("dst").alias("vnode"))
+    for f in reversed(frontiers[:-1]):
+        succ = lv.select(
+            F.col("src").alias("vsrc"),
+            F.col("node").alias("vnode"),
+            F.col("sigma").alias("vsigma"),
+            F.col("delta").alias("vdelta"),
+        )
+        contrib = (
+            f.join(edges, f.node == F.col("unode"))
+            .join(succ, ["vnode"])
+            .where(F.col("vsrc") == F.col("src"))
+            .groupBy("src", "node")
+            .agg(
+                F.sum(
+                    (F.col("sigma").cast("double") / F.col("vsigma"))
+                    * (F.lit(1.0) + F.col("vdelta"))
+                ).alias("delta")
+            )
+        )
+        lv = (
+            f.join(contrib, ["src", "node"], "left")
+            .select(
+                "src", "node", "sigma", F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta")
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(lv)
+    return out
+
+
+def _betweenness_sampled_oracle() -> str:
+    """Unrolled sampled-source Brandes as a DuckDB CTE chain: forward
+    BFS levels with sigma, then backward dependency accumulation, then
+    the n/k rescale. MATERIALIZED throughout (twice-referenced CTEs)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT u, v FROM ({_EDGES_SQL}))",
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)",
+        f"srcs AS MATERIALIZED (SELECT node FROM nodes WHERE node % {BW_SAMPLE_MOD} = 0)",
+        "new0 AS MATERIALIZED (SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma FROM srcs)",
+        "vis0 AS MATERIALIZED (SELECT src, node FROM new0)",
+    ]
+    for l in range(1, BW_LEVELS + 1):
+        parts.append(
+            f"""new{l} AS MATERIALIZED (
+              SELECT t.src, t.node, CAST(SUM(t.sigma) AS BIGINT) AS sigma FROM (
+                SELECT p.src, s.dst AS node, p.sigma
+                FROM new{l - 1} p JOIN sym s ON s.src = p.node
+              ) t
+              LEFT JOIN vis{l - 1} v ON v.src = t.src AND v.node = t.node
+              WHERE v.node IS NULL
+              GROUP BY t.src, t.node
+            )"""
+        )
+        parts.append(
+            f"vis{l} AS MATERIALIZED (SELECT src, node FROM vis{l - 1}"
+            f" UNION ALL SELECT src, node FROM new{l})"
+        )
+    parts.append(
+        f"lv{BW_LEVELS} AS MATERIALIZED"
+        f" (SELECT src, node, sigma, CAST(0 AS DOUBLE) AS delta FROM new{BW_LEVELS})"
+    )
+    for l in range(BW_LEVELS - 1, -1, -1):
+        parts.append(
+            f"""lv{l} AS MATERIALIZED (
+              SELECT u.src, u.node, u.sigma,
+                     COALESCE(SUM((CAST(u.sigma AS DOUBLE) / t.vsigma) * (1.0 + t.vdelta)), 0.0)
+                       AS delta
+              FROM new{l} u
+              LEFT JOIN (
+                SELECT s.src AS unode, v.src AS vsrc, v.sigma AS vsigma, v.delta AS vdelta
+                FROM sym s JOIN lv{l + 1} v ON v.node = s.dst
+              ) t ON t.unode = u.node AND t.vsrc = u.src
+              GROUP BY u.src, u.node, u.sigma
+            )"""
+        )
+    all_lv = " UNION ALL ".join(
+        f"SELECT src, node, delta FROM lv{l}" for l in range(BW_LEVELS + 1)
+    )
+    parts.append(
+        f"acc AS MATERIALIZED (SELECT node, SUM(delta) AS sdelta FROM ({all_lv})"
+        " WHERE node <> src GROUP BY node)"
+    )
+    parts.append("nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)")
+    parts.append("kk AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM srcs)")
+    return (
+        ",\n".join(parts)
+        + """
+    SELECT a.node, round((nn.n / kk.k) * a.sdelta / 2, 6) AS betweenness_est
+    FROM acc a CROSS JOIN nn CROSS JOIN kk"""
+    )
+
+
+@register(
+    "g3b_betweenness_sampled",
+    oracle=_betweenness_sampled_oracle(),
+    tags=("graph", "betweenness", "sampled", "iterative"),
+)
+def g3b_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 at scale: source-SAMPLED Brandes betweenness, fully
+    distributed (the scale path `network-analysis/network_analysis.py:145`
+    keeps driver-side; SURVEY §7.3 risk 2).
+
+    Runs Brandes' two phases as level-synchronous DataFrame loops from
+    a deterministic 1-in-K source sample (node % K == 0): forward BFS
+    accumulates shortest-path counts σ per (source, node); backward
+    accumulation pushes dependencies δ down the BFS DAG one level per
+    round. Estimate = (n/k) · Σ_S δ / 2 (undirected pairs counted
+    twice; Brandes '01 pivot estimator). With K=1 this IS exact
+    betweenness — `tests/test_graph_invariants.py` pins that against
+    the driver-side `betweenness_exact` on the fixture graph.
+
+    Scale: state is O(K·N) per phase, every round is join+agg on
+    (src, node) keys — no collected adjacency, no O(N²) blowup."""
+    e = _edges(spark, sf_dir).select("u", "v")
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).cache()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    srcs = nodes.where(F.col("node") % BW_SAMPLE_MOD == 0)
+    frontiers = _brandes_forward(sym, srcs, BW_LEVELS)
+    levels = _brandes_backward(sym, frontiers)
+    all_lv = levels[0]
+    for lv in levels[1:]:
+        all_lv = all_lv.unionByName(lv)
+    n = nodes.agg(F.count("*").cast("double").alias("n"))
+    k = srcs.agg(F.count("*").cast("double").alias("k"))
+    acc = (
+        all_lv.where(F.col("node") != F.col("src"))
+        .groupBy("node")
+        .agg(F.sum("delta").alias("sdelta"))
+    )
+    return (
+        acc.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "node",
+            F.round((F.col("n") / F.col("k")) * F.col("sdelta") / 2, 6).alias(
+                "betweenness_est"
+            ),
+        )
+    )

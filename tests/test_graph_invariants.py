@@ -56,6 +56,66 @@ def test_components_partition_nodes(spark, sf_dir, edges):
     assert all(r["component"] in nodes for r in rows)
 
 
+def test_distributed_brandes_full_sources_matches_exact(spark, sf_dir, edges):
+    """With the sample widened to ALL sources, the distributed
+    level-synchronous Brandes must EXACTLY reproduce the driver-side
+    `betweenness_exact` — no sampling error, so any deviation is an
+    algorithmic bug, not noise."""
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.operators.graph import (
+        BW_LEVELS,
+        _brandes_backward,
+        _brandes_forward,
+        _edges,
+        betweenness_exact,
+    )
+
+    e = _edges(spark, sf_dir).select("u", "v")
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).cache()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    frontiers = _brandes_forward(sym, nodes, BW_LEVELS)
+    levels = _brandes_backward(sym, frontiers)
+    all_lv = levels[0]
+    for lv in levels[1:]:
+        all_lv = all_lv.unionByName(lv)
+    got = {
+        r["node"]: r["bc"]
+        for r in all_lv.where(F.col("node") != F.col("src"))
+        .groupBy("node")
+        .agg((F.sum("delta") / 2).alias("bc"))
+        .collect()
+    }
+    exact = betweenness_exact([(u, v) for u, v, _ in edges])
+    assert set(got) == set(exact)
+    for nd, bc in exact.items():
+        assert got[nd] == pytest.approx(bc, abs=1e-6), f"node {nd}"
+
+
+def test_sampled_closeness_approximates_exact(spark, sf_dir):
+    """g4c (1-in-7 pivot sample, Eppstein–Wang rescale) must track the
+    exact all-sources closeness g4 on the test graph: every node
+    estimated, small mean relative error."""
+    from reddit_can_bigdata_spark.operators.advanced import (
+        g4_closeness_centrality,
+        g4c_closeness_sampled,
+    )
+
+    exact = {
+        r["node"]: r["closeness"] for r in g4_closeness_centrality(spark, sf_dir).collect()
+    }
+    est = {
+        r["node"]: r["closeness_est"]
+        for r in g4c_closeness_sampled(spark, sf_dir).collect()
+    }
+    common = [n for n in est if n in exact]
+    assert len(common) >= 0.9 * len(exact)
+    errs = [abs(est[n] - exact[n]) / exact[n] for n in common]
+    assert sum(errs) / len(errs) < 0.25
+
+
 def test_components_match_union_find(spark, sf_dir, edges):
     from reddit_can_bigdata_spark.operators.graph import g7_connected_components
 
