@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from reddit_can_bigdata_spark.operators.common import DSUM_SQL, dsum, tables
-from reddit_can_bigdata_spark.operators.graph import _EDGES_SQL, _edges
+from reddit_can_bigdata_spark.operators.graph import (
+    _EDGES_SQL,
+    _edges,
+    _join_state,
+    _state_mode,
+)
 from reddit_can_bigdata_spark.registry import register
 
 EIGEN_ITERS = 8
@@ -277,7 +282,9 @@ def _eigenvector_oracle() -> str:
     oracle=_eigenvector_oracle(),
     tags=("graph", "eigenvector", "iterative"),
 )
-def g5_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g5_eigenvector_centrality(
+    spark: SparkSession, sf_dir: str, state_mode: str | None = None
+) -> DataFrame:
     """G5: weighted eigenvector centrality
     (`network-analysis/network_analysis.py:163`) by power iteration —
     v' = normalize(A·v), fixed 8 iterations, L2 norm (nx convention).
@@ -291,13 +298,14 @@ def g5_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             F.col("v").alias("src"), F.col("u").alias("dst"), F.col("weight").cast("double").alias("w")
         )
-    ).cache()
+    ).repartition("src").cache()
     v = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("val")
     )
+    mode = _state_mode(v.count(), state_mode)
     for _ in range(EIGEN_ITERS):
         m = (
-            sym.join(F.broadcast(v), sym.src == v.node)
+            _join_state(sym, v, sym.src == v.node, mode)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("val") * F.col("w")).alias("val"))
         )

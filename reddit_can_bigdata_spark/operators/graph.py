@@ -27,6 +27,34 @@ PAGERANK_ITERS = 10
 PAGERANK_DAMPING = 0.85
 CC_ITERS = 8
 
+# Iterative loops (G5/G6/G7) join a |nodes|-sized state vector
+# (ranks / labels / eigenvector values) against the big cached edge
+# table every round. Broadcasting the state keeps the edge table
+# unshuffled — the right trade while the vector fits in driver +
+# executor memory — but at 100x nodes it is the classic broadcast
+# OOM. Above this ceiling the loops switch to a shuffle join against
+# the key-partitioned edge table.
+STATE_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _state_mode(n_state_rows: float, override: str | None = None) -> str:
+    """Pick 'broadcast' or 'shuffle' for the per-iteration state join."""
+    if override is not None:
+        return override
+    return "broadcast" if n_state_rows <= STATE_BROADCAST_MAX_ROWS else "shuffle"
+
+
+def _join_state(edges: DataFrame, state: DataFrame, on, mode: str) -> DataFrame:
+    """Join the (big, cached) edge table with the per-node state vector.
+
+    'broadcast': hash map of the state on every executor, edge table
+    never moves. 'shuffle': shuffle-hash join — the edge table is
+    already partitioned on its join key by the caller, so the exchange
+    moves only the |nodes|-sized state side; no size ceiling."""
+    if mode == "broadcast":
+        return edges.join(F.broadcast(state), on)
+    return edges.join(state.hint("shuffle_hash"), on)
+
 
 def betweenness_exact(edge_list: list[tuple[int, int]]) -> dict[int, float]:
     """G3: exact betweenness centrality (Brandes' algorithm, unweighted)
@@ -356,7 +384,9 @@ def _pagerank_oracle() -> str:
     tags=("graph", "pagerank", "iterative"),
     bench=True,
 )
-def g6_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g6_pagerank(
+    spark: SparkSession, sf_dir: str, state_mode: str | None = None
+) -> DataFrame:
     """G6: weighted PageRank (`nx.pagerank`,
     `network-analysis/network_analysis.py:171`) as an iterative
     DataFrame loop — rank' = (1-d)/N + d * Σ_in rank·w/wdeg, fixed 10
@@ -383,23 +413,28 @@ def g6_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2x on the 10-round loop going 32 -> 8 partitions at sf0.1). On a
     # cluster, size by bytes (~128MB/partition), not by core count.
     n_parts = max(4, spark.sparkContext.defaultParallelism // 4)
+    # keyed repartition: in shuffle state-join mode the src-partitioned
+    # cache co-locates the join so only the state side moves; in
+    # broadcast mode it is an equally good fat-partition layout.
     trans = (
         sym.join(wdeg, "src")
         .select("src", "dst", (F.col("w") / F.col("wd")).alias("p"))
-        .repartition(n_parts)
+        .repartition(n_parts, "src")
         .cache()
     )
     nodes = wdeg.select(F.col("src").alias("node"))
     n_nodes = float(nodes.count())
+    mode = _state_mode(n_nodes, state_mode)
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - PAGERANK_DAMPING) / n_nodes
     for _ in range(PAGERANK_ITERS):
-        # ranks is |nodes|-sized — broadcast it so the (big) transition
-        # matrix never shuffles; the groupBy partial-aggregates
-        # map-side, so the per-iteration shuffle carries only
-        # |nodes| x |partitions| rows.
+        # ranks is |nodes|-sized — below the broadcast ceiling it
+        # broadcasts so the (big) transition matrix never shuffles; the
+        # groupBy partial-aggregates map-side, so the per-iteration
+        # shuffle carries only |nodes| x |partitions| rows. Above the
+        # ceiling it becomes a co-partitioned shuffle-hash join.
         ranks = (
-            trans.join(F.broadcast(ranks), trans.src == ranks.node)
+            _join_state(trans, ranks, trans.src == ranks.node, mode)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 (F.lit(teleport) + F.lit(PAGERANK_DAMPING) * F.sum(F.col("rank") * F.col("p"))).alias(
@@ -451,25 +486,18 @@ def _labelprop_oracle() -> str:
     )
 
 
-@register(
-    "g7_label_propagation",
-    oracle=_labelprop_oracle(),
-    tags=("graph", "community", "iterative"),
-)
-def g7_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G7 (community structure, distributed path): weighted label
-    propagation — every node synchronously adopts the label carrying
-    the greatest total edge weight in its neighborhood (tie → smallest
-    label), fixed 4 rounds. This is the scalable stand-in for Louvain
-    (`louvain_communities(G, weight, seed=42)`,
-    `network-analysis/network_analysis.py:194`), which is inherently
-    sequential; community count/membership are asserted exactly only
-    at test scale (SURVEY §7.3 risk 1).
+def _label_prop(
+    spark: SparkSession, sf_dir: str, state_mode: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared weighted label-propagation loop: returns (sym, labels).
 
-    Each round = one shuffle (join on dst) + one hash aggregate + one
-    per-node window — linear in |E|. Deterministic by construction
-    (sync updates, total tie order), hence oracle-checkable.
-    """
+    Every node synchronously adopts the label carrying the greatest
+    total edge weight in its neighborhood (tie → smallest label),
+    fixed 4 rounds. Each round = one state join (broadcast under the
+    ceiling, co-partitioned shuffle above — `_state_mode`) + one hash
+    aggregate + one per-node window — linear in |E|. Deterministic by
+    construction (sync updates, total tie order), hence
+    oracle-checkable."""
     from pyspark.sql import Window
 
     e = _edges(spark, sf_dir)
@@ -479,14 +507,15 @@ def g7_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             F.col("v").alias("src"), F.col("u").alias("dst"), F.col("weight").cast("double").alias("w")
         )
-    ).cache()
+    ).repartition("dst").cache()
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    mode = _state_mode(labels.count(), state_mode)
     w = Window.partitionBy("node").orderBy(F.desc("wsum"), F.asc("label"))
     for _ in range(LP_ITERS):
         votes = (
-            sym.join(F.broadcast(labels), sym.dst == labels.node)
+            _join_state(sym, labels, sym.dst == labels.node, mode)
             .groupBy(F.col("src").alias("node"), F.col("label"))
             .agg(F.sum("w").alias("wsum"))
         )
@@ -496,6 +525,24 @@ def g7_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
             .localCheckpoint(eager=True)
         )
+    return sym, labels
+
+
+@register(
+    "g7_label_propagation",
+    oracle=_labelprop_oracle(),
+    tags=("graph", "community", "iterative"),
+)
+def g7_label_propagation(
+    spark: SparkSession, sf_dir: str, state_mode: str | None = None
+) -> DataFrame:
+    """G7 (community structure, distributed path): weighted label
+    propagation — the scalable stand-in for Louvain
+    (`louvain_communities(G, weight, seed=42)`,
+    `network-analysis/network_analysis.py:194`), which is inherently
+    sequential; community count/membership are asserted exactly only
+    at test scale (SURVEY §7.3 risk 1). Loop in `_label_prop`."""
+    _, labels = _label_prop(spark, sf_dir, state_mode)
     return labels.groupBy(F.col("label").cast("long").alias("community")).agg(
         F.count("*").alias("n_nodes")
     )
@@ -535,40 +582,16 @@ def _modularity_oracle() -> str:
     oracle=_modularity_oracle(),
     tags=("graph", "community", "modularity"),
 )
-def g7c_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g7c_modularity(
+    spark: SparkSession, sf_dir: str, state_mode: str | None = None
+) -> DataFrame:
     """Weighted modularity Q of the label-propagation partition —
     the objective Louvain maximizes (Newman 2004), computed
     relationally: Q = Σ_c [w_in(c)/m − (deg(c)/2m)²]. This is the
     quantitative bridge to the reference's Louvain output: partitions
     are compared by Q, not by label equality (SURVEY §7.3 risk 1).
     Two joins + two aggregates over the community assignment."""
-    from pyspark.sql import Window
-
-    e = _edges(spark, sf_dir)
-    sym = e.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("weight").cast("double").alias("w")
-    ).unionAll(
-        e.select(
-            F.col("v").alias("src"), F.col("u").alias("dst"), F.col("weight").cast("double").alias("w")
-        )
-    ).cache()
-    labels = sym.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    w = Window.partitionBy("node").orderBy(F.desc("wsum"), F.asc("label"))
-    for _ in range(LP_ITERS):
-        votes = (
-            sym.join(F.broadcast(labels), sym.dst == labels.node)
-            .groupBy(F.col("src").alias("node"), F.col("label"))
-            .agg(F.sum("w").alias("wsum"))
-        )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=True)
-        )
-    comm = labels
+    sym, comm = _label_prop(spark, sf_dir, state_mode)
     ca = comm.select(F.col("node").alias("src"), F.col("label").alias("la"))
     cb = comm.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
     two_m = sym.agg(F.sum("w").alias("two_m"))
@@ -630,7 +653,9 @@ def _components_oracle() -> str:
     oracle=_components_oracle(),
     tags=("graph", "components", "iterative"),
 )
-def g7_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g7_connected_components(
+    spark: SparkSession, sf_dir: str, state_mode: str | None = None
+) -> DataFrame:
     """G7 (scalable path): community structure via min-label
     propagation — each node repeatedly adopts the smallest label in
     its neighborhood (fixed 8 rounds ≥ test-graph diameter), yielding
@@ -642,13 +667,14 @@ def g7_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir).select("u", "v")
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).cache()
+    ).repartition("dst").cache()
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    mode = _state_mode(labels.count(), state_mode)
     for _ in range(CC_ITERS):
         neigh = (
-            sym.join(F.broadcast(labels), sym.dst == labels.node)
+            _join_state(sym, labels, sym.dst == labels.node, mode)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )

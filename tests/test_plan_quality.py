@@ -90,3 +90,48 @@ def test_fk_join_then_group_reuses_partitioning(spark, sf_dir):
     # 2 exchanges to co-partition the two scans; the group-by reuses
     # that partitioning -> no third exchange.
     assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_iterative_state_join_has_broadcast_ceiling(spark, sf_dir):
+    """G5/G6/G7 loops: below the state-size ceiling the per-iteration
+    state join broadcasts (edge table never shuffles); above it the
+    SAME code must switch to a shuffle join — the broadcast-OOM guard.
+    One iteration both ways: expected join strategy AND identical
+    results."""
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.operators.graph import (
+        _edges,
+        _join_state,
+        _state_mode,
+        STATE_BROADCAST_MAX_ROWS,
+        g6_pagerank,
+    )
+
+    assert _state_mode(100) == "broadcast"
+    assert _state_mode(STATE_BROADCAST_MAX_ROWS + 1) == "shuffle"
+    assert _state_mode(10, override="shuffle") == "shuffle"
+
+    e = _edges(spark, sf_dir)
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst"), "weight")
+    state = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("rank")
+    )
+    one_bc = _join_state(sym, state, sym.src == state.node, "broadcast").groupBy(
+        "dst"
+    ).agg(F.sum(F.col("rank") * F.col("weight")).alias("s"))
+    one_sh = _join_state(sym, state, sym.src == state.node, "shuffle").groupBy(
+        "dst"
+    ).agg(F.sum(F.col("rank") * F.col("weight")).alias("s"))
+    assert "BroadcastHashJoin" in join_kinds(one_bc), join_kinds(one_bc)
+    sh_kinds = join_kinds(one_sh)
+    assert "ShuffledHashJoin" in sh_kinds or "SortMergeJoin" in sh_kinds, sh_kinds
+
+    rows_bc = {(r["dst"], r["s"]) for r in one_bc.collect()}
+    rows_sh = {(r["dst"], r["s"]) for r in one_sh.collect()}
+    assert rows_bc == rows_sh
+
+    # full 10-iteration pagerank agrees across modes (rounded output)
+    pr_bc = {r["node"]: r["pagerank"] for r in g6_pagerank(spark, sf_dir, "broadcast").collect()}
+    pr_sh = {r["node"]: r["pagerank"] for r in g6_pagerank(spark, sf_dir, "shuffle").collect()}
+    assert pr_bc == pr_sh
