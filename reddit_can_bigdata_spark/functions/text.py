@@ -38,15 +38,19 @@ def clean_text_expr(col: Column) -> Column:
     Mirrors the reference semantics at
     `spark-streaming-pyspark/spark_streaming.py:70-81`: lowercase,
     strip URLs, strip @mentions, de-prefix #hashtags, non-word chars
-    to space, collapse whitespace, trim. Patterns avoid capture-group
-    backreferences so the identical pattern runs under both Java regex
-    (Spark) and RE2 (DuckDB oracle).
+    to space, collapse whitespace, trim. The keep-class is the unicode
+    letter class ``\\p{L}`` (plus digits), not ``[a-z]`` — the
+    reference's domain is French Reddit text ("équipe", "coupe
+    d'afrique") and its UDF keeps ``\\w`` letters; ``\\p{L}`` parses
+    identically under Java regex (Spark) and RE2 (DuckDB oracle).
+    Patterns avoid capture-group backreferences for the same
+    cross-dialect reason.
     """
     c = F.lower(col)
     c = F.regexp_replace(c, r"http\S+|www\S+", " ")
     c = F.regexp_replace(c, r"@\w+", " ")
     c = F.regexp_replace(c, r"#", "")
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"[^\p{L}0-9\s]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
 
@@ -57,7 +61,7 @@ CLEAN_TEXT_SQL = (
     "regexp_replace(lower({x}), 'http\\S+|www\\S+', ' ', 'g'),"
     " '@\\w+', ' ', 'g'),"
     " '#', '', 'g'),"
-    " '[^a-z0-9\\s]', ' ', 'g'),"
+    " '[^\\p{{L}}0-9\\s]', ' ', 'g'),"
     " '\\s+', ' ', 'g'))"
 )
 

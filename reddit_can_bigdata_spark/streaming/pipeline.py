@@ -9,8 +9,9 @@ version:
   file-stream here — same DataFrame code either way);
 - watermarked event-time windows (ST5 — a capability the reference
   *lacks*: it accepts late data unconditionally);
-- ``dropDuplicates`` within the watermark for ingest dedup (O3/O4
-  done properly, instead of store-level unique-index try/except);
+- ``dropDuplicatesWithinWatermark`` for ingest dedup with bounded
+  state (O3/O4 done properly, instead of store-level unique-index
+  try/except);
 - sinks write set-oriented via ``foreachBatch(batch.write...)`` or a
   memory/table sink — never ``collect()`` row loops.
 
@@ -23,6 +24,7 @@ batch aggregation — which is exactly what the DuckDB oracle computes.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -69,22 +71,34 @@ def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = os.path.join(tempfile.gettempdir(), f"evstream_{uuid.uuid4().hex[:8]}")
     os.makedirs(stream_dir, exist_ok=True)
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    agg = windowed_event_counts(stream)
     name = f"wincounts_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    q = None
+    try:
+        stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+        if dict(stream.dtypes)["ts"] == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = windowed_event_counts(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # pin the (small: windows x event_types) result to executor
+        # storage so the memory-sink view and on-disk litter can be
+        # dropped before returning — repeated invocations no longer
+        # accumulate temp views / checkpoint dirs in the session.
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stream_dir, ignore_errors=True)
 
 
 def stream_etl_to_parquet(
@@ -103,8 +117,12 @@ def stream_etl_to_parquet(
     the driver and inserts row-by-row with duplicate-key try/except
     (`spark-streaming-pyspark/spark_streaming.py:109-155`). Here:
 
-    - in-stream dedup: ``dropDuplicates([id])`` within the watermark
-      (O3/O4 as stream state, not store round-trips);
+    - in-stream dedup: ``dropDuplicatesWithinWatermark([id])`` —
+      unlike ``dropDuplicates([id])``, whose per-key state is NEVER
+      evicted unless the event-time column is part of the dedup keys,
+      this evicts each id's state once it falls behind the watermark,
+      so state stays bounded on a continuous stream (O3/O4 as stream
+      state, not store round-trips);
     - the batch writes distributed (``batch_df.write``), never
       touching the driver;
     - exactly-once-per-id across retries comes from the checkpoint +
@@ -116,7 +134,9 @@ def stream_etl_to_parquet(
     stream = spark.readStream.schema(raw_schema).parquet(source_dir)
     if dict(stream.dtypes)[ts_col] != "timestamp":
         stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    deduped = stream.withWatermark(ts_col, watermark).dropDuplicates([id_col])
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)

@@ -43,6 +43,19 @@ def test_clean_text_idempotent_and_plain(spark):
     assert twice["c"] == row["c"]  # idempotent
 
 
+def test_clean_text_keeps_unicode_letters(spark):
+    """The reference's domain is French CAN-2025 text; its UDF keeps
+    \\w letters, so accented letters must survive cleaning (the keep
+    class is \\p{L}, not [a-z])."""
+    from reddit_can_bigdata_spark.functions.text import clean_text_expr
+
+    df = spark.createDataFrame(
+        [("L'Équipe du Sénégal a GAGNÉ!! #CAN2025 ça va 😀",)], "t string"
+    )
+    row = df.select(clean_text_expr(F.col("t")).alias("c")).collect()[0]
+    assert row["c"] == "l équipe du sénégal a gagné can2025 ça va"
+
+
 def test_o7_random_split_deterministic_with_seed(spark, sf_dir):
     """O7: randomSplit(seed=42) mirrors the reference's 80/20 split
     (`spark-ml-sentiment/spark_ml_sentiment.py:208`) — same seed, same

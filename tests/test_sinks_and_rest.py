@@ -29,6 +29,28 @@ def test_merge_upsert(spark, tmp_path):
     assert got == {"a": 1, "b": 99, "c": 3}  # b updated (upsert wins)
 
 
+def test_merge_upsert_deterministic_winner_within_batch(spark, tmp_path):
+    """When one batch carries several updates for the same key, the
+    winner must be deterministic: highest version_col (last-write-wins
+    like the reference's sequential loop), or the descending struct of
+    the remaining columns when no version column is given."""
+    from reddit_can_bigdata_spark.sources.storage import merge_upsert
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("k", 5, 2), ("k", 9, 1), ("k", 1, 3)], "id string, val int, ver int"
+    )
+    merge_upsert(spark, df, p, "id", version_col="ver")
+    got = spark.read.parquet(p).collect()
+    assert len(got) == 1 and got[0]["val"] == 1  # ver=3 wins
+
+    p2 = str(tmp_path / "t2")
+    df2 = spark.createDataFrame([("k", 5), ("k", 9), ("k", 1)], "id string, val int")
+    merge_upsert(spark, df2, p2, "id")
+    got2 = spark.read.parquet(p2).collect()
+    assert len(got2) == 1 and got2[0]["val"] == 9  # max struct wins
+
+
 def test_overwrite_and_singleton(spark, tmp_path):
     from reddit_can_bigdata_spark.sources.storage import overwrite_table, write_singleton
 

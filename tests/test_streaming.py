@@ -24,8 +24,11 @@ def test_stream_batch_equivalence(spark, sf_dir):
 
 
 def test_streaming_dedup_with_watermark(spark, tmp_path):
-    """O3/O4 done properly: dropDuplicates over a watermarked stream
-    removes duplicate ids within the watermark horizon."""
+    """O3/O4 done properly: dropDuplicatesWithinWatermark removes
+    duplicate ids within the watermark horizon AND evicts each id's
+    dedup state once it falls behind the watermark (plain
+    dropDuplicates([id]) keeps per-id state forever unless the
+    event-time column is a dedup key — unbounded on a real stream)."""
     import pandas as pd
 
     src = tmp_path / "src"
@@ -52,7 +55,9 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
     stream = spark.readStream.schema(batch_schema).parquet(str(src))
     # parquet NTZ timestamps -> TIMESTAMP (watermarks require tz-aware)
     stream = stream.withColumn("ts", stream["ts"].cast("timestamp"))
-    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicates(["id"])
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["id"]
+    )
     q = (
         deduped.writeStream.format("memory")
         .queryName("dedup_test")
