@@ -14,11 +14,13 @@ what changes is everything around them:
 - results are written set-oriented, never ``toPandas()`` + per-row
   upsert (`spark_ml_sentiment.py:402-417`).
 
-The lexicon here is a small fixed word list (the real VADER lexicon is
-an external dependency not present in this container); the *pipeline
-shape*, seeding (seed=42, `spark_ml_sentiment.py:208,254`), feature
-layout (text TF-IDF + numeric features), model-selection-by-accuracy
-and agreement-rate reporting all mirror the reference.
+The lexicon here is a ~120-word common-English sentiment word list
+inlined below (the real VADER lexicon is an external dependency not
+present in this container; plain unigram polarity words are the
+standard public-domain approximation); the *pipeline shape*, seeding
+(seed=42, `spark_ml_sentiment.py:208,254`), feature layout (text
+TF-IDF + numeric features), model-selection-by-accuracy and
+agreement-rate reporting all mirror the reference.
 """
 
 from __future__ import annotations
@@ -27,8 +29,38 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-POSITIVE_WORDS = ("fast", "small", "value", "merge", "spark")
-NEGATIVE_WORDS = ("slow", "big", "error", "scan", "filter")
+# Unigram polarity lexicon — common-English sentiment words in the
+# style of the Hu-Liu opinion lexicon / VADER's unigram core. Inlined
+# so the labeler stays a pure Catalyst expression and the DuckDB
+# oracle can embed the identical list.
+POSITIVE_WORDS = (
+    "good", "great", "excellent", "amazing", "awesome", "fantastic",
+    "wonderful", "love", "loved", "loving", "best", "better", "win",
+    "winner", "winning", "won", "happy", "joy", "glad", "beautiful",
+    "brilliant", "perfect", "nice", "superb", "outstanding",
+    "impressive", "positive", "success", "successful", "strong",
+    "fast", "quick", "smooth", "easy", "helpful", "friendly", "fun",
+    "enjoy", "enjoyed", "excited", "exciting", "incredible",
+    "favorite", "reliable", "efficient", "improved", "improvement",
+    "gain", "value", "valuable", "useful", "clean", "clear",
+    "correct", "stable", "secure", "robust", "elegant", "simple",
+    "powerful", "champion", "victory", "celebrate", "proud",
+    "thanks", "thank", "delight", "delightful", "pleasant", "bravo",
+)
+NEGATIVE_WORDS = (
+    "bad", "terrible", "awful", "horrible", "worst", "worse", "hate",
+    "hated", "sad", "angry", "mad", "fail", "failed", "failure",
+    "failing", "broken", "bug", "buggy", "error", "errors", "crash",
+    "crashed", "slow", "sluggish", "lag", "laggy", "problem",
+    "problems", "issue", "issues", "wrong", "poor", "weak", "ugly",
+    "annoying", "frustrating", "frustrated", "useless", "waste",
+    "wasted", "difficult", "confusing", "confused", "unstable",
+    "insecure", "unreliable", "messy", "dirty", "defeat", "loss",
+    "lose", "losing", "lost", "pain", "painful", "disappointing",
+    "disappointed", "complain", "complaint", "negative", "disaster",
+    "mess", "mediocre", "boring", "noisy", "garbage", "trash",
+    "scam", "fraud", "worthless",
+)
 
 
 def lexicon_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -90,9 +122,24 @@ def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         VectorAssembler,
     )
 
-    labeled = lexicon_score(docs, text_col).withColumn(
-        "text_length", F.length(text_col).cast("double")
+    from reddit_can_bigdata_spark.functions.text import emoji_counts, word_count_expr
+
+    _, _, emoji_score = emoji_counts(F.col(text_col))
+    labeled = (
+        lexicon_score(docs, text_col)
+        .withColumn("text_length", F.length(text_col).cast("double"))
+        .withColumn("word_count", word_count_expr(F.col(text_col)).cast("double"))
+        .withColumn("emoji_score", emoji_score.cast("double"))
     )
+    # Reference-shaped numeric features (M6, `spark_ml_sentiment.py:
+    # 199-203`): text_length / word_count / emoji_score always, plus
+    # the post-engagement analogs (score, num_comments) when the input
+    # carries them (Reddit posts do; the documents corpus doesn't).
+    numeric = ["text_length", "word_count", "emoji_score", "pos_hits", "neg_hits"]
+    for opt in ("score", "num_comments"):
+        if opt in docs.columns:
+            labeled = labeled.withColumn(opt, F.col(opt).cast("double"))
+            numeric.append(opt)
 
     tokenizer = Tokenizer(inputCol=text_col, outputCol="tokens")
     remover = StopWordsRemover(inputCol="tokens", outputCol="filtered")
@@ -100,7 +147,7 @@ def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     idf = IDF(inputCol="tf", outputCol="tfidf")
     indexer = StringIndexer(inputCol="lex_label", outputCol="label", handleInvalid="keep")
     assembler = VectorAssembler(
-        inputCols=["tfidf", "text_length", "pos_hits", "neg_hits"],
+        inputCols=["tfidf"] + numeric,
         outputCol="features",
         handleInvalid="skip",
     )

@@ -86,10 +86,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH perms AS ({_PERM_SQL}),
+# Shared CTE chain: shingle → portable hash → K permutations → banded
+# buckets → candidate pairs → per-pair signature-overlap estimate.
+# Used by the minhash oracle AND the clusters oracle downstream of it.
+_MINHASH_EST_CTES = f"""perms AS ({_PERM_SQL}),
     shingles AS ({_SHINGLES_SQL}),
     hashed AS (
       SELECT doc_id, (('0x' || substr(md5(shingle), 1, 8))::BIGINT) AS h
@@ -110,14 +110,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bands b1 JOIN bands b2
         ON b1.band = b2.band AND b1.band_key = b2.band_key
        AND b1.doc_id < b2.doc_id
-    )
-    SELECT c.doc_a, c.doc_b,
-           round(CAST(COUNT_IF(sa.minh = sb.minh) AS DOUBLE) / {MINHASH_K}, 6)
-             AS est_jaccard
-    FROM cand c
-    JOIN sigs sa ON sa.doc_id = c.doc_a
-    JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
-    GROUP BY c.doc_a, c.doc_b
+    ),
+    est AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b,
+             round(CAST(COUNT_IF(sa.minh = sb.minh) AS DOUBLE) / {MINHASH_K}, 6)
+               AS est_jaccard
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+      GROUP BY c.doc_a, c.doc_b
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_EST_CTES}
+    SELECT doc_a, doc_b, est_jaccard FROM est
     """,
     tags=("dedup", "minhash", "lsh"),
     bench=True,
@@ -328,4 +337,74 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .where(jac >= 0.1)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# LSH candidate pairs alone are not what a pipeline consumes — it
+# wants every doc mapped to a canonical representative. Threshold the
+# estimated jaccard, then run min-label components over the surviving
+# pair graph.
+CLUSTER_JACCARD = 0.5
+CLUSTER_ITERS = 6  # ≥ near-dup cluster diameter (clusters are clique-ish)
+
+
+def _clusters_oracle() -> str:
+    from reddit_can_bigdata_spark.operators.graph import min_label_rounds_sql
+
+    parts = [
+        f"WITH {_MINHASH_EST_CTES}",
+        f"""pairs AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM est WHERE est_jaccard >= {CLUSTER_JACCARD}
+        )""",
+        """sym AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        )""",
+        *min_label_rounds_sql("sym", CLUSTER_ITERS),
+    ]
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT d.doc_id AS doc_id,
+               CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS canonical_id
+        FROM documents d LEFT JOIN l{CLUSTER_ITERS} l ON l.node = d.doc_id
+        """
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=_clusters_oracle(),
+    tags=("dedup", "minhash", "components"),
+    bench=True,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: MinHash-LSH candidates with
+    est_jaccard ≥ 0.5 form an undirected pair graph; min-label
+    connected components (`operators.graph.min_label_components`)
+    assign each near-dup group its smallest doc_id as canonical; docs
+    with no near-dup partner map to themselves. Output: one row per
+    document, ``(doc_id, canonical_id)`` — the table a training-data
+    pipeline actually joins against to drop duplicates.
+
+    Scale: the component loop runs on the candidate-PAIR graph (far
+    smaller than the corpus); the per-round state join inherits the
+    broadcast-ceiling guard; the final mapping is one left join on
+    doc_id — corpus-linear."""
+    from reddit_can_bigdata_spark.operators.graph import min_label_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= CLUSTER_JACCARD
+    )
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .repartition("dst")
+        .cache()
+    )
+    labels = min_label_components(sym, CLUSTER_ITERS)
+    docs = tables(spark, sf_dir)["documents"].select("doc_id")
+    return docs.join(labels, docs.doc_id == labels.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).cast("long").alias("canonical_id"),
     )

@@ -486,28 +486,17 @@ def _labelprop_oracle() -> str:
     )
 
 
-def _label_prop(
-    spark: SparkSession, sf_dir: str, state_mode: str | None = None
-) -> tuple[DataFrame, DataFrame]:
-    """Shared weighted label-propagation loop: returns (sym, labels).
-
-    Every node synchronously adopts the label carrying the greatest
-    total edge weight in its neighborhood (tie → smallest label),
-    fixed 4 rounds. Each round = one state join (broadcast under the
-    ceiling, co-partitioned shuffle above — `_state_mode`) + one hash
-    aggregate + one per-node window — linear in |E|. Deterministic by
-    construction (sync updates, total tie order), hence
-    oracle-checkable."""
+def label_prop_partition(sym: DataFrame, state_mode: str | None = None) -> DataFrame:
+    """Weighted label-propagation loop over a prepared symmetric edge
+    list (src, dst, w) — every node synchronously adopts the label
+    carrying the greatest total edge weight in its neighborhood (tie →
+    smallest label), fixed 4 rounds. Each round = one state join
+    (broadcast under the ceiling, co-partitioned shuffle above —
+    `_state_mode`) + one hash aggregate + one per-node window — linear
+    in |E|. Deterministic by construction (sync updates, total tie
+    order), hence oracle-checkable. Returns (node, label)."""
     from pyspark.sql import Window
 
-    e = _edges(spark, sf_dir)
-    sym = e.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("weight").cast("double").alias("w")
-    ).unionAll(
-        e.select(
-            F.col("v").alias("src"), F.col("u").alias("dst"), F.col("weight").cast("double").alias("w")
-        )
-    ).repartition("dst").cache()
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -525,7 +514,24 @@ def _label_prop(
             .select("node", "label")
             .localCheckpoint(eager=True)
         )
-    return sym, labels
+    return labels
+
+
+def _label_prop(
+    spark: SparkSession, sf_dir: str, state_mode: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Label propagation over the event co-occurrence graph: builds
+    the cached dst-partitioned symmetric edge list, runs
+    `label_prop_partition`; returns (sym, labels)."""
+    e = _edges(spark, sf_dir)
+    sym = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("weight").cast("double").alias("w")
+    ).unionAll(
+        e.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), F.col("weight").cast("double").alias("w")
+        )
+    ).repartition("dst").cache()
+    return sym, label_prop_partition(sym, state_mode)
 
 
 @register(
@@ -624,23 +630,68 @@ def g7c_modularity(
     return ncomm.crossJoin(q)
 
 
-def _components_oracle() -> str:
+def min_label_components(
+    sym: DataFrame, iters: int, state_mode: str | None = None
+) -> DataFrame:
+    """Min-label propagation over a symmetric edge list (src, dst):
+    every node repeatedly adopts the smallest label among itself and
+    its neighbors for ``iters`` fixed rounds (≥ component diameter ⇒
+    connected components). Returns (node, label).
+
+    Each round = one state join (broadcast under the `_state_mode`
+    ceiling, co-partitioned shuffle above) + one hash aggregate —
+    linear in |E|. The caller should pass a cached, dst-partitioned
+    ``sym``. Shared by G7 components and the dedup clusterer."""
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    mode = _state_mode(labels.count(), state_mode)
+    for _ in range(iters):
+        neigh = (
+            _join_state(sym, labels, sym.dst == labels.node, mode)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # labels is referenced twice above — checkpoint or the plan
+        # doubles per iteration (2^iters blowup)
+        labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def min_label_rounds_sql(sym_cte: str, iters: int) -> list[str]:
+    """Unrolled DuckDB CTEs `l0..l{iters}` mirroring
+    `min_label_components` over a symmetric-edge CTE named
+    ``sym_cte`` with (src, dst) columns. MATERIALIZED, or DuckDB
+    inlines the twice-referenced rounds and the plan explodes 2^k."""
     parts = [
-        f"WITH e AS MATERIALIZED (SELECT u, v FROM ({_EDGES_SQL}))",
-        """sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e)""",
-        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)",
+        f"l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM {sym_cte})"
     ]
-    for i in range(CC_ITERS):
+    for i in range(iters):
         parts.append(
             f"""l{i + 1} AS MATERIALIZED (
               SELECT l.node,
                      least(l.label, coalesce(min(nl.label), l.label)) AS label
               FROM l{i} l
-              LEFT JOIN sym s ON s.src = l.node
+              LEFT JOIN {sym_cte} s ON s.src = l.node
               LEFT JOIN l{i} nl ON nl.node = s.dst
               GROUP BY l.node, l.label
             )"""
         )
+    return parts
+
+
+def _components_oracle() -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT u, v FROM ({_EDGES_SQL}))",
+        """sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e)""",
+        *min_label_rounds_sql("sym", CC_ITERS),
+    ]
     return (
         ",\n".join(parts)
         + f"\nSELECT CAST(label AS BIGINT) AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes"
@@ -668,28 +719,7 @@ def g7_connected_components(
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).repartition("dst").cache()
-    labels = sym.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    mode = _state_mode(labels.count(), state_mode)
-    for _ in range(CC_ITERS):
-        neigh = (
-            _join_state(sym, labels, sym.dst == labels.node, mode)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        labels = (
-            labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-        )
-        # labels is referenced twice above — checkpoint or the plan
-        # doubles per iteration (2^CC_ITERS blowup)
-        labels = labels.localCheckpoint(eager=True)
+    labels = min_label_components(sym, CC_ITERS, state_mode)
     return labels.groupBy(F.col("label").cast("long").alias("component")).agg(
         F.count("*").alias("n_nodes")
     )

@@ -116,6 +116,139 @@ def test_sampled_closeness_approximates_exact(spark, sf_dir):
     assert sum(errs) / len(errs) < 0.25
 
 
+def _modularity(edges, part) -> float:
+    """Weighted Newman modularity Q of a partition over an undirected
+    edge list — the objective Louvain maximizes."""
+    s = sum(w for _, _, w in edges)  # total edge weight (each edge once)
+    deg: dict[int, float] = {}
+    w_in: dict[int, float] = {}
+    for u, v, w in edges:
+        deg[u] = deg.get(u, 0.0) + w
+        deg[v] = deg.get(v, 0.0) + w
+        if part[u] == part[v]:
+            w_in[part[u]] = w_in.get(part[u], 0.0) + w
+    deg_c: dict[int, float] = {}
+    for node, d in deg.items():
+        deg_c[part[node]] = deg_c.get(part[node], 0.0) + d
+    return sum(
+        w_in.get(c, 0.0) / s - (deg_c[c] / (2.0 * s)) ** 2 for c in deg_c
+    )
+
+
+def _louvain(edges) -> dict[int, int]:
+    """Driver-side greedy Louvain (deterministic: nodes visited in
+    sorted order, ties to the smallest community id) — the exactness
+    bridge to the reference's `louvain_communities(G, weight, seed=42)`
+    (`network-analysis/network_analysis.py:194`). Returns node→community."""
+    adj: dict[int, dict[int, float]] = {}
+    for u, v, w in edges:
+        adj.setdefault(u, {})[v] = adj.setdefault(u, {}).get(v, 0.0) + w
+        adj.setdefault(v, {})[u] = adj.setdefault(v, {}).get(u, 0.0) + w
+    mapping = {n: n for n in adj}  # original node -> current supernode
+    final = dict(mapping)
+    cur_edges = list(edges)
+    while True:
+        two_m = 2.0 * sum(w for _, _, w in cur_edges)
+        deg = {n: sum(ws.values()) for n, ws in adj.items()}
+        comm = {n: n for n in adj}
+        comm_deg = dict(deg)
+        moved_any = False
+        for _ in range(20):  # local-move passes until stable
+            moved = False
+            for n in sorted(adj):
+                c0 = comm[n]
+                comm_deg[c0] -= deg[n]
+                # weight from n to each neighboring community
+                w_to: dict[int, float] = {}
+                for nb, w in adj[n].items():
+                    if nb != n:
+                        w_to[comm[nb]] = w_to.get(comm[nb], 0.0) + w
+                best_c, best_gain = c0, w_to.get(c0, 0.0) - comm_deg[c0] * deg[n] / two_m
+                for c, w in sorted(w_to.items()):
+                    gain = w - comm_deg[c] * deg[n] / two_m
+                    if gain > best_gain + 1e-12:
+                        best_c, best_gain = c, gain
+                comm_deg[best_c] = comm_deg.get(best_c, 0.0) + deg[n]
+                if best_c != c0:
+                    comm[n] = best_c
+                    moved = moved_any = True
+            if not moved:
+                break
+        if not moved_any:
+            return final
+        final = {n: comm[mapping[n]] for n in final}
+        mapping = dict(final)
+        # aggregate: communities become supernodes
+        agg: dict[tuple[int, int], float] = {}
+        for u, v, w in cur_edges:
+            a, b = comm[u], comm[v]
+            key = (min(a, b), max(a, b))
+            agg[key] = agg.get(key, 0.0) + w
+        cur_edges = [(a, b, w) for (a, b), w in agg.items()]
+        adj = {}
+        for u, v, w in cur_edges:
+            adj.setdefault(u, {})[v] = adj.setdefault(u, {}).get(v, 0.0) + w
+            if u != v:
+                adj.setdefault(v, {})[u] = adj.setdefault(v, {}).get(u, 0.0) + w
+
+
+def _planted_graph():
+    """Deterministic planted-partition graph: 3 communities of 8
+    nodes, all intra-community pairs at weight 10, a light ring of
+    inter-community bridges at weight 1. Louvain must recover the
+    planted split (high Q); the fixture event graph is a complete
+    K100 with near-uniform weights, which genuinely HAS no community
+    structure (Q*≈0) — useless for this bridge."""
+    edges = []
+    for c in range(3):
+        members = [c * 8 + i for i in range(8)]
+        for i, u in enumerate(members):
+            for v in members[i + 1 :]:
+                edges.append((u, v, 10.0))
+    for c in range(3):
+        edges.append((c * 8, ((c + 1) % 3) * 8 + 1, 1.0))
+    return edges
+
+
+def test_labelprop_modularity_close_to_louvain(spark, sf_dir, edges):
+    """SURVEY §7.3 risk 1 bridge: the distributed label-propagation
+    partition's modularity Q must come close to what Louvain — the
+    reference's actual algorithm (`louvain_communities`, seed=42) —
+    achieves on the same graph. Partitions are compared by Q, not
+    label equality. Asserted on a planted-partition graph (where the
+    right answer is unambiguous) AND on the fixture event graph."""
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.operators.graph import (
+        g7c_modularity,
+        label_prop_partition,
+    )
+
+    planted = _planted_graph()
+    part_louvain = _louvain(planted)
+    q_louvain = _modularity(planted, part_louvain)
+    assert q_louvain > 0.5  # Louvain recovers the planted structure
+    # singletons sanity-check the Q formula's sign convention
+    assert _modularity(planted, {n: n for n in part_louvain}) <= 0.0
+
+    sym = spark.createDataFrame(
+        [(u, v, w) for u, v, w in planted] + [(v, u, w) for u, v, w in planted],
+        "src long, dst long, w double",
+    ).cache()
+    part_lp = {
+        r["node"]: r["label"] for r in label_prop_partition(sym).collect()
+    }
+    q_lp = _modularity(planted, part_lp)
+    assert q_lp >= 0.8 * q_louvain, (
+        f"label-prop Q={q_lp:.4f} too far below Louvain Q={q_louvain:.4f}"
+    )
+
+    # fixture event graph: K100, no structure — both must agree Q≈0
+    q_louvain_fix = _modularity(edges, _louvain(edges))
+    row = g7c_modularity(spark, sf_dir).collect()[0]
+    assert abs(row["modularity"] - q_louvain_fix) < 0.05
+
+
 def test_components_match_union_find(spark, sf_dir, edges):
     from reddit_can_bigdata_spark.operators.graph import g7_connected_components
 

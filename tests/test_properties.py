@@ -40,7 +40,9 @@ def test_clean_text_output_is_normalized(spark, strings):
     for r in df.select(clean_text_expr(F.col("s")).alias("c")).collect():
         c = r["c"]
         assert c == c.lower()
-        assert not re.search(r"[^a-z0-9 ]", c), repr(c)
+        # keep class is unicode letters + digits + single spaces
+        for ch in c:
+            assert ch == " " or ch.isdigit() or ch.isalpha(), repr(c)
         assert "  " not in c
         assert c == c.strip()
 
