@@ -281,6 +281,7 @@ def _eigenvector_oracle() -> str:
     "g5_eigenvector_centrality",
     oracle=_eigenvector_oracle(),
     tags=("graph", "eigenvector", "iterative"),
+    bench=True,
 )
 def g5_eigenvector_centrality(
     spark: SparkSession, sf_dir: str, state_mode: str | None = None
@@ -489,6 +490,7 @@ def g4c_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g4_closeness_centrality",
     oracle=_closeness_oracle(),
     tags=("graph", "closeness", "iterative"),
+    bench=True,
 )
 def g4_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: closeness centrality over hop distances

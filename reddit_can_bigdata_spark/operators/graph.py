@@ -703,6 +703,7 @@ def _components_oracle() -> str:
     "g7_connected_components",
     oracle=_components_oracle(),
     tags=("graph", "components", "iterative"),
+    bench=True,
 )
 def g7_connected_components(
     spark: SparkSession, sf_dir: str, state_mode: str | None = None
@@ -872,6 +873,7 @@ def _betweenness_sampled_oracle() -> str:
     "g3b_betweenness_sampled",
     oracle=_betweenness_sampled_oracle(),
     tags=("graph", "betweenness", "sampled", "iterative"),
+    bench=True,
 )
 def g3b_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 at scale: source-SAMPLED Brandes betweenness, fully

@@ -79,6 +79,7 @@ def _influencer_oracle() -> str:
     "influencer_composite_top20",
     oracle=_influencer_oracle(),
     tags=("graph", "window", "composite"),
+    bench=True,
 )
 def influencer_composite_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2+W5+W6 end-to-end: four centralities → min-max normalize →
