@@ -345,7 +345,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # estimated jaccard, then run min-label components over the surviving
 # pair graph.
 CLUSTER_JACCARD = 0.5
-CLUSTER_ITERS = 6  # ≥ near-dup cluster diameter (clusters are clique-ish)
+# ≥ near-dup cluster diameter. Thresholded near-dup groups are
+# clique-ish (diameter 1-2); 4 covers chain-of-mutations shapes while
+# keeping the fixed-round loop cheap. The pair-consistency test in
+# tests/test_dedup_clusters.py guards the bound.
+CLUSTER_ITERS = 4
 
 
 def _clusters_oracle() -> str:

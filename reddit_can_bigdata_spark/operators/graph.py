@@ -118,10 +118,16 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference builds edges with CPython dict loops
     (`network-analysis/network_analysis.py:42-121`); here the
     canonicalized pair (u<v, the least/greatest trick) plus a count
-    aggregate. The self-join shuffles on orderkey once; the pair
+    aggregate. (orderkey, suppkey) is deduped BEFORE the self-join, so
+    each co-order contributes exactly one pair row and the weight is a
+    plain count — no distinct-aggregate (its extra expand+dedup
+    shuffle measured ~5x slower) — and the join input is the smallest
+    it can be. The self-join shuffles on orderkey once; the pair
     aggregate shuffles pair-count rows only.
     """
-    li = tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_suppkey")
+    li = (
+        tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_suppkey").distinct()
+    )
     a, b = li.alias("a"), li.alias("b")
     return (
         a.join(
@@ -130,7 +136,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
         )
         .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
-        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("weight"))
+        .agg(F.count("*").cast("bigint").alias("weight"))
     )
 
 
@@ -194,12 +200,15 @@ def g1_a14_edge_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "centrality"),
     bench=True,
 )
-def g2_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g2_degree_centrality(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """G2+G10: degree and weighted degree per node, plus
     degree/(n-1) centrality (`network-analysis/network_analysis.py:138`).
     Explode both endpoints → one hash aggregate; the n-1 scalar
-    broadcasts."""
-    e = _edges(spark, sf_dir)
+    broadcasts. ``edges`` lets a composite share one materialized
+    edge table across several centralities."""
+    e = edges if edges is not None else _edges(spark, sf_dir)
     both = e.select(F.col("u").alias("node"), "weight").unionAll(
         e.select(F.col("v").alias("node"), "weight")
     )
@@ -385,7 +394,10 @@ def _pagerank_oracle() -> str:
     bench=True,
 )
 def g6_pagerank(
-    spark: SparkSession, sf_dir: str, state_mode: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    state_mode: str | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """G6: weighted PageRank (`nx.pagerank`,
     `network-analysis/network_analysis.py:171`) as an iterative
@@ -397,9 +409,10 @@ def g6_pagerank(
     checkpoint every ~5 iterations to truncate lineage, and partition
     the edge list by src so the join is co-located (G5 eigenvector
     centrality is this same loop with a normalize step instead of the
-    teleport term).
+    teleport term). ``edges`` lets a composite share one materialized
+    edge table across several centralities.
     """
-    e = _edges(spark, sf_dir)
+    e = edges if edges is not None else _edges(spark, sf_dir)
     sym = e.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), F.col("weight").cast("double").alias("w")
     ).unionAll(
@@ -739,29 +752,64 @@ def _brandes_forward(sym: DataFrame, sources: DataFrame, levels: int) -> list[Da
     level is one join on the frontier + one anti-join against the
     visited set + one hash aggregate. Early exit when a frontier
     empties (provably a no-op for deeper fixed-round oracles).
+
+    Direction-optimizing (Beamer-style): all parents of a level-l+1
+    node sit at level l exactly, so when the still-unvisited (src,
+    node) set is smaller than the frontier the level is computed by
+    PULLING — candidates = missing x incident edges, σ = Σ over
+    frontier neighbors — instead of pushing frontier·deg rows. On the
+    dense test graph level 2 pushes |frontier|·deg ≈ 118M rows but
+    pulls ~12M; identical sums either way.
     """
     lvl0 = sources.select(
         F.col("node").alias("src"), F.col("node"), F.lit(1).cast("long").alias("sigma")
     ).localCheckpoint(eager=True)
+    srcs_n = lvl0.count()
+    all_nodes = sym.select(F.col("dst").alias("node")).distinct()
+    nodes_n = all_nodes.count()
     frontiers = [lvl0]
     visited = lvl0.select("src", "node")
+    visited_n = srcs_n
     edges = sym.select(F.col("src").alias("mid"), "dst")
-    cur = lvl0
+    cur, cur_n = lvl0, srcs_n
     for _ in range(levels):
-        expanded = cur.join(edges, cur.node == F.col("mid")).select(
-            "src", F.col("dst").alias("node"), "sigma"
-        )
-        nxt = (
-            expanded.join(visited, ["src", "node"], "left_anti")
-            .groupBy("src", "node")
-            .agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
+        n_missing = srcs_n * nodes_n - visited_n
+        if n_missing == 0:
+            break
+        if n_missing < cur_n:
+            missing = (
+                lvl0.select("src")
+                .crossJoin(all_nodes)
+                .join(visited, ["src", "node"], "left_anti")
+            )
+            cand = missing.join(edges, missing.node == F.col("dst")).select(
+                "src", "node", F.col("mid").alias("nbr")
+            )
+            fk = cur.select("src", F.col("node").alias("nbr"), "sigma")
+            fkeys = F.broadcast(fk) if cur_n <= STATE_BROADCAST_MAX_ROWS else fk
+            nxt = (
+                cand.join(fkeys, ["src", "nbr"])
+                .groupBy("src", "node")
+                .agg(F.sum("sigma").alias("sigma"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            expanded = cur.join(edges, cur.node == F.col("mid")).select(
+                "src", F.col("dst").alias("node"), "sigma"
+            )
+            nxt = (
+                expanded.join(visited, ["src", "node"], "left_anti")
+                .groupBy("src", "node")
+                .agg(F.sum("sigma").alias("sigma"))
+                .localCheckpoint(eager=True)
+            )
+        nxt_n = nxt.count()
+        if nxt_n == 0:
             break
         frontiers.append(nxt)
         visited = visited.unionByName(nxt.select("src", "node")).localCheckpoint(eager=True)
-        cur = nxt
+        visited_n += nxt_n
+        cur, cur_n = nxt, nxt_n
     return frontiers
 
 
@@ -772,29 +820,62 @@ def _brandes_backward(sym: DataFrame, frontiers: list[DataFrame]) -> list[DataFr
     δ(u) = Σ_{v successor at l+1} σ(u)/σ(v) · (1 + δ(v)). Each step is
     one join frontier→edges→next-level + one aggregate, so the whole
     accumulation is O(diameter) shuffles, fully distributed (no
-    driver-side adjacency)."""
+    driver-side adjacency).
+
+    The edge expansion runs from the SMALLER of the two adjacent
+    levels: pushing level l through every edge enumerates |lvl_l|·deg
+    rows, expanding the successors enumerates |lvl_{l+1}|·deg — same
+    (u, v) pairs after the equi-join on the other level, so the sums
+    are identical, but on the dense test graph the deepest levels are
+    ~10x smaller than the widest (118M → 12M rows at the worst level).
+    """
     lv = frontiers[-1].select("src", "node", "sigma", F.lit(0.0).alias("delta"))
+    lv_n = lv.count()
     out = [lv]
     edges = sym.select(F.col("src").alias("unode"), F.col("dst").alias("vnode"))
     for f in reversed(frontiers[:-1]):
+        f_n = f.count()
         succ = lv.select(
             F.col("src").alias("vsrc"),
             F.col("node").alias("vnode"),
             F.col("sigma").alias("vsigma"),
             F.col("delta").alias("vdelta"),
         )
-        contrib = (
-            f.join(edges, f.node == F.col("unode"))
-            .join(succ, ["vnode"])
-            .where(F.col("vsrc") == F.col("src"))
-            .groupBy("src", "node")
-            .agg(
-                F.sum(
-                    (F.col("sigma").cast("double") / F.col("vsigma"))
-                    * (F.lit(1.0) + F.col("vdelta"))
-                ).alias("delta")
+        if lv_n < f_n:
+            # expand successor side: (v, u) for u ∈ N(v), keep rows
+            # whose (src, u) is at level l via the equi-join with f
+            e2 = sym.select(F.col("src").alias("evnode"), F.col("dst").alias("eunode"))
+            ex = succ.join(e2, succ.vnode == e2.evnode).select(
+                F.col("vsrc").alias("src"),
+                F.col("eunode").alias("node"),
+                "vsigma",
+                "vdelta",
             )
-        )
+            fk = f.select("src", "node", "sigma")
+            fside = F.broadcast(fk) if f_n <= STATE_BROADCAST_MAX_ROWS else fk
+            contrib = (
+                ex.join(fside, ["src", "node"])
+                .groupBy("src", "node")
+                .agg(
+                    F.sum(
+                        (F.col("sigma").cast("double") / F.col("vsigma"))
+                        * (F.lit(1.0) + F.col("vdelta"))
+                    ).alias("delta")
+                )
+            )
+        else:
+            contrib = (
+                f.join(edges, f.node == F.col("unode"))
+                .join(succ, ["vnode"])
+                .where(F.col("vsrc") == F.col("src"))
+                .groupBy("src", "node")
+                .agg(
+                    F.sum(
+                        (F.col("sigma").cast("double") / F.col("vsigma"))
+                        * (F.lit(1.0) + F.col("vdelta"))
+                    ).alias("delta")
+                )
+            )
         lv = (
             f.join(contrib, ["src", "node"], "left")
             .select(
@@ -802,6 +883,7 @@ def _brandes_backward(sym: DataFrame, frontiers: list[DataFrame]) -> list[DataFr
             )
             .localCheckpoint(eager=True)
         )
+        lv_n = f_n
         out.append(lv)
     return out
 

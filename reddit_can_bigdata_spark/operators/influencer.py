@@ -85,13 +85,26 @@ def influencer_composite_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2+W5+W6 end-to-end: four centralities → min-max normalize →
     weighted composite → top-20 ranks. The four centrality jobs each
     reduce to |nodes|-sized outputs, so the normalize/rank tail is
-    trivially small no matter how big the raw data was."""
-    deg = REGISTRY["g2_degree_centrality"].fn(spark, sf_dir).select(
+    trivially small no matter how big the raw data was. The expensive
+    shared input — the co-occurrence edge list — is materialized ONCE
+    (localCheckpoint) and fed to all four, not rebuilt per metric."""
+    from reddit_can_bigdata_spark.operators.advanced import (
+        g4_closeness_centrality,
+        g5_eigenvector_centrality,
+    )
+    from reddit_can_bigdata_spark.operators.graph import (
+        _edges,
+        g2_degree_centrality,
+        g6_pagerank,
+    )
+
+    ed = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = g2_degree_centrality(spark, sf_dir, edges=ed).select(
         "node", "degree_centrality"
     )
-    pr = REGISTRY["g6_pagerank"].fn(spark, sf_dir)
-    ev = REGISTRY["g5_eigenvector_centrality"].fn(spark, sf_dir)
-    cl = REGISTRY["g4_closeness_centrality"].fn(spark, sf_dir)
+    pr = g6_pagerank(spark, sf_dir, edges=ed)
+    ev = g5_eigenvector_centrality(spark, sf_dir, edges=ed)
+    cl = g4_closeness_centrality(spark, sf_dir, edges=ed)
     m = deg.join(pr, "node").join(ev, "node").join(cl, "node")
     b = m.agg(
         F.min("degree_centrality").alias("d_lo"), F.max("degree_centrality").alias("d_hi"),
@@ -131,17 +144,27 @@ def user_network_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     influencer flag/rank — the reference's per-user document
     (`network-analysis/network_analysis.py:302-320`) as a typed table.
     """
-    deg = REGISTRY["g2_degree_centrality"].fn(spark, sf_dir)
-    pr = REGISTRY["g6_pagerank"].fn(spark, sf_dir)
-    ev = REGISTRY["g5_eigenvector_centrality"].fn(spark, sf_dir)
-    cl = REGISTRY["g4_closeness_centrality"].fn(spark, sf_dir)
+    from reddit_can_bigdata_spark.operators.advanced import (
+        g4_closeness_centrality,
+        g5_eigenvector_centrality,
+    )
+    from reddit_can_bigdata_spark.operators.graph import (
+        CC_ITERS,
+        _edges,
+        g2_degree_centrality,
+        g6_pagerank,
+    )
+
+    ed = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = g2_degree_centrality(spark, sf_dir, edges=ed)
+    pr = g6_pagerank(spark, sf_dir, edges=ed)
+    ev = g5_eigenvector_centrality(spark, sf_dir, edges=ed)
+    cl = g4_closeness_centrality(spark, sf_dir, edges=ed)
     top = influencer_composite_top20(spark, sf_dir).select(
         "node", "influencer_rank"
     )
     # components: node -> component label
-    from reddit_can_bigdata_spark.operators.graph import CC_ITERS, _edges
-
-    e = _edges(spark, sf_dir).select("u", "v")
+    e = ed.select("u", "v")
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
