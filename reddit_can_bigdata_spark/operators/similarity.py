@@ -86,6 +86,33 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """The deterministic 8-centroid codebook (vec_id < 8 — a stand-in
+    for k-means, which would be seeded and persisted the same way)."""
+    return emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+
+
+def ivf_assign(emb: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (tie →
+    smallest cid): the IVF inverted-file assignment,
+    (vec_id, label, embedding, cid). Centroids broadcast; one window
+    per vector — corpus-linear."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(emb)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "embedding", "cid", cosine_expr("embedding", "cv").alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+
+
 @register(
     "sim_ivf_cluster_search",
     oracle=f"""
@@ -117,23 +144,12 @@ def sim_ivf_cluster_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic centroids (vec_id < 8 — a stand-in for a k-means
     codebook), then answer the query by scanning only the query's
     cluster. At scale the clustered table is written partitioned by
-    ``cid`` so a probe reads 1/K of the data; recall is tuned by
-    probing the closest n_probe centroids instead of 1."""
+    ``cid`` so a probe reads 1/K of the data (that persisted layout is
+    `plans.layout.write_ivf_index` / `ivf_probe`, partition pruning
+    asserted in tests/test_layout.py); recall is tuned by probing the
+    closest n_probe centroids instead of 1."""
     emb = tables(spark, sf_dir)["embeddings"]
-    from pyspark.sql import Window
-
-    cents = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "label", "embedding", "cid", cosine_expr("embedding", "cv").alias("sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-    clustered = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "cid")
-    )
+    clustered = ivf_assign(emb)
     qc = (
         clustered.where(F.col("vec_id") == 0)
         .select("cid", F.col("embedding").alias("qv"))

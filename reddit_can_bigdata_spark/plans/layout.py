@@ -61,3 +61,45 @@ def write_date_partitioned(
         .partitionBy(part_col)
         .parquet(path)
     )
+
+
+def write_ivf_index(emb: DataFrame, path: str) -> None:
+    """Persist the IVF inverted file as a PHYSICAL layout: vectors
+    partitioned on disk by centroid id, plus the (tiny) codebook next
+    to it. A probe then reads exactly 1-of-K partition directories —
+    at 100 TB the difference between scanning ~everything per query
+    (the in-memory assignment `sim_ivf_cluster_search` recomputes) and
+    scanning N/K. Asserted via PartitionFilters in tests/test_layout.py."""
+    from reddit_can_bigdata_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    ivf_assign(emb).write.mode("overwrite").partitionBy("cid").parquet(path)
+    ivf_centroids(emb).write.mode("overwrite").parquet(path + "_centroids")
+
+
+def ivf_probe(spark: SparkSession, path: str, query_vec, k: int = 5) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index: score the
+    query against the K-row codebook (one collect of K scalars —
+    O(K), not O(N)), then scan ONLY the winning ``cid=...`` partition
+    with a literal partition filter so pruning is static and visible
+    in the plan. ``query_vec`` is a python list[float]."""
+    from reddit_can_bigdata_spark.operators.similarity import cosine_expr
+
+    cents = spark.read.parquet(path + "_centroids")
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec]).alias("qv")
+    best = (
+        cents.select("cid", qlit, "cv")
+        .select("cid", cosine_expr("cv", "qv").alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("cid"))
+        .limit(1)
+        .collect()
+    )
+    qcid = best[0]["cid"]
+    part = spark.read.parquet(path).where(F.col("cid") == qcid)
+    cos = cosine_expr("embedding", "qv")
+    return (
+        part.select("vec_id", "label", qlit, "embedding")
+        .select("vec_id", "label", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )

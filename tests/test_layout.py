@@ -61,6 +61,35 @@ def test_date_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert one_day.count() == expected
 
 
+def test_ivf_persisted_index_prunes_to_one_partition(spark, sf_dir, tmp_path):
+    """The persisted IVF layout: a probe must (a) scan exactly one
+    cid=... partition — PartitionFilters in the plan AND 1-of-K input
+    files — and (b) return the same hits as the in-memory IVF search
+    restricted to the query's cluster."""
+    from reddit_can_bigdata_spark.operators.similarity import sim_ivf_cluster_search
+    from reddit_can_bigdata_spark.plans.layout import ivf_probe, write_ivf_index
+    from reddit_can_bigdata_spark.tables import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path)
+
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    probe = ivf_probe(spark, path, qv, k=6)
+    plan = formatted_plan(probe)
+    # static partition pruning: a literal cid equality in the scan's
+    # PartitionFilters (inputFiles() is not pruning-aware, the plan is)
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*cid[^\]]*= \d+", plan), plan
+
+    got = [(r["vec_id"], r["cosine"]) for r in probe.collect() if r["vec_id"] != 0]
+    expected = [
+        (r["vec_id"], r["cosine"]) for r in sim_ivf_cluster_search(spark, sf_dir).collect()
+    ]
+    assert got[: len(expected)] == expected
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting preserves join semantics row-for-row on skewed data."""
     from reddit_can_bigdata_spark.plans.layout import salted_join
