@@ -96,6 +96,6 @@ def _ensure_loaded() -> None:
         tpch,
         extras,
     )
-    from reddit_can_bigdata_spark.streaming import pipeline  # noqa: F401
+    from reddit_can_bigdata_spark.streaming import pipeline, stateful  # noqa: F401
 
     _LOADED = True
