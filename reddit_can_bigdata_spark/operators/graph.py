@@ -957,7 +957,9 @@ def _betweenness_sampled_oracle() -> str:
     tags=("graph", "betweenness", "sampled", "iterative"),
     bench=True,
 )
-def g3b_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g3b_betweenness_sampled(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """G3 at scale: source-SAMPLED Brandes betweenness, fully
     distributed (the scale path `network-analysis/network_analysis.py:145`
     keeps driver-side; SURVEY §7.3 risk 2).
@@ -973,7 +975,7 @@ def g3b_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: state is O(K·N) per phase, every round is join+agg on
     (src, node) keys — no collected adjacency, no O(N²) blowup."""
-    e = _edges(spark, sf_dir).select("u", "v")
+    e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).cache()

@@ -75,6 +75,120 @@ def _influencer_oracle() -> str:
     """
 
 
+def _influencer_ref_weights_oracle() -> str:
+    """The reference's EXACT metric set — 0.25·degree +
+    0.20·betweenness + 0.25·eigenvector + 0.30·pagerank
+    (`network-analysis/network_analysis.py:225-250`) — with the
+    distributed sampled-Brandes estimator supplying betweenness.
+    Nodes that no sampled shortest path passes through carry
+    betweenness 0 (left join), like NetworkX's leaves."""
+    d = REGISTRY["g2_degree_centrality"].oracle
+    p = REGISTRY["g6_pagerank"].oracle
+    e = REGISTRY["g5_eigenvector_centrality"].oracle
+    bw = REGISTRY["g3b_betweenness_sampled"].oracle
+    comp = (
+        f"0.25 * {_norm_sql('m.degree_centrality', 'b.d_lo', 'b.d_hi')}"
+        f" + 0.20 * {_norm_sql('m.betweenness', 'b.b_lo', 'b.b_hi')}"
+        f" + 0.25 * {_norm_sql('m.eigenvector', 'b.e_lo', 'b.e_hi')}"
+        f" + 0.30 * {_norm_sql('m.pagerank', 'b.p_lo', 'b.p_hi')}"
+    )
+    return f"""
+    WITH dc AS MATERIALIZED ({d}),
+    pr AS MATERIALIZED ({p}),
+    ev AS MATERIALIZED ({e}),
+    bw AS MATERIALIZED ({bw}),
+    m AS MATERIALIZED (
+      SELECT dc.node, dc.degree_centrality, pr.pagerank, ev.eigenvector,
+             COALESCE(bw.betweenness_est, 0.0) AS betweenness
+      FROM dc JOIN pr ON pr.node = dc.node
+      JOIN ev ON ev.node = dc.node
+      LEFT JOIN bw ON bw.node = dc.node
+    ),
+    b AS MATERIALIZED (
+      SELECT min(degree_centrality) AS d_lo, max(degree_centrality) AS d_hi,
+             min(betweenness) AS b_lo, max(betweenness) AS b_hi,
+             min(eigenvector) AS e_lo, max(eigenvector) AS e_hi,
+             min(pagerank) AS p_lo, max(pagerank) AS p_hi
+      FROM m
+    ),
+    scored AS (
+      SELECT m.node, round({comp}, 6) AS composite_score
+      FROM m CROSS JOIN b
+    )
+    SELECT CAST(row_number() OVER (ORDER BY composite_score DESC, node) AS BIGINT)
+             AS influencer_rank,
+           node, composite_score
+    FROM scored
+    QUALIFY influencer_rank <= 20
+    """
+
+
+@register(
+    "influencer_composite_ref_weights",
+    oracle=_influencer_ref_weights_oracle(),
+    tags=("graph", "window", "composite", "betweenness"),
+)
+def influencer_composite_ref_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-parity composite: 0.25·degree + 0.20·BETWEENNESS
+    + 0.25·eigenvector + 0.30·pagerank — the reference's actual weight
+    set, feasible distributed now that `g3b_betweenness_sampled`
+    exists (the default `influencer_composite_top20` documents the
+    closeness substitution it previously required). Shares one
+    materialized edge table across all four metrics."""
+    from reddit_can_bigdata_spark.operators.advanced import g5_eigenvector_centrality
+    from reddit_can_bigdata_spark.operators.graph import (
+        _edges,
+        g2_degree_centrality,
+        g3b_betweenness_sampled,
+        g6_pagerank,
+    )
+
+    ed = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = g2_degree_centrality(spark, sf_dir, edges=ed).select(
+        "node", "degree_centrality"
+    )
+    pr = g6_pagerank(spark, sf_dir, edges=ed)
+    ev = g5_eigenvector_centrality(spark, sf_dir, edges=ed)
+    bw = g3b_betweenness_sampled(spark, sf_dir, edges=ed)
+    m = (
+        deg.join(pr, "node")
+        .join(ev, "node")
+        .join(bw, "node", "left")
+        .withColumn("betweenness", F.coalesce(F.col("betweenness_est"), F.lit(0.0)))
+        .drop("betweenness_est")
+    )
+    b = m.agg(
+        F.min("degree_centrality").alias("d_lo"), F.max("degree_centrality").alias("d_hi"),
+        F.min("betweenness").alias("b_lo"), F.max("betweenness").alias("b_hi"),
+        F.min("eigenvector").alias("e_lo"), F.max("eigenvector").alias("e_hi"),
+        F.min("pagerank").alias("p_lo"), F.max("pagerank").alias("p_hi"),
+    )
+
+    def norm(col: str, lo: str, hi: str):
+        return F.when(
+            F.col(hi) > F.col(lo),
+            (F.col(col) - F.col(lo)) / (F.col(hi) - F.col(lo)),
+        ).otherwise(F.lit(0.0))
+
+    comp = (
+        F.lit(0.25) * norm("degree_centrality", "d_lo", "d_hi")
+        + F.lit(0.20) * norm("betweenness", "b_lo", "b_hi")
+        + F.lit(0.25) * norm("eigenvector", "e_lo", "e_hi")
+        + F.lit(0.30) * norm("pagerank", "p_lo", "p_hi")
+    )
+    scored = m.crossJoin(F.broadcast(b)).select(
+        "node", F.round(comp, 6).alias("composite_score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("composite_score"), F.asc("node"))
+    return (
+        scored.withColumn("influencer_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("influencer_rank") <= 20)
+        .select("influencer_rank", "node", "composite_score")
+    )
+
+
 @register(
     "influencer_composite_top20",
     oracle=_influencer_oracle(),
