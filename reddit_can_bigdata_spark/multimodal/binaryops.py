@@ -97,6 +97,79 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+FRAME_BYTES = 8  # fake codec: fixed-size byte chunks stand in for frames
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling: one input video row → every Nth frame as its
+    own row (1→N inside the Arrow batch — the mapInPandas shape a real
+    ffmpeg-backed sampler plugs into; here the deterministic fake
+    'codec' treats the payload as fixed-size byte chunks).
+
+    Scale notes: the fan-out happens executor-side inside the batch —
+    no shuffle; frames inherit the input partitioning, so a downstream
+    per-media aggregation repartitions on media_id once. Decode cost
+    is paid only by rows that survived upstream relational filters.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, payloads = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                frames = [
+                    raw[off : off + FRAME_BYTES]
+                    for off in range(0, len(raw), FRAME_BYTES)
+                ]
+                for i in range(0, len(frames), every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    payloads.append(frames[i])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.where(F.col("kind") == "video").mapInPandas(
+        batches, schema=FRAMES_SCHEMA
+    )
+
+
+def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize plumbing: same MEDIA_SCHEMA out as in (so resized media
+    flows through every downstream operator unchanged), payload
+    rewritten by the codec and width/height metadata updated.
+
+    The fake codec scales the payload to out_w*out_h//1024 bytes by
+    cyclic repetition/truncation — deterministic, so tests can assert
+    exact output; a real implementation replaces only the inner
+    function with PIL/opencv calls (`decode_image`)."""
+    target = max(1, out_w * out_h // 1024)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(
+                lambda b: (bytes(b) * (target // max(len(bytes(b)), 1) + 1))[:target]
+            )
+            out["width"] = pd.Series([out_w] * len(out), dtype="int32")
+            out["height"] = pd.Series([out_h] * len(out), dtype="int32")
+            yield out
+
+    return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests: payload bytes derived
     from the media_id (no randomness — reproducible across runs)."""

@@ -31,3 +31,64 @@ def test_decode_is_explicitly_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_sample_frames_one_to_n_and_deterministic(spark):
+    """Frame sampling: 1 video row -> every-Nth-frame rows, exact
+    chunking/indexing, only video rows pass, stable across runs."""
+    from reddit_can_bigdata_spark.multimodal.binaryops import (
+        FRAME_BYTES,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    frames = sample_frames(media, every_n=2)
+    rows = frames.collect()
+    assert rows, "expected frames"
+    # only video rows produce frames
+    video_ids = {r["media_id"] for r in media.where("kind = 'video'").collect()}
+    assert {r["media_id"] for r in rows} <= video_ids
+    # exact chunk semantics against a python reference
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where("kind = 'video'").collect()
+    }
+    expected = set()
+    for mid, raw in payloads.items():
+        chunks = [raw[o : o + FRAME_BYTES] for o in range(0, len(raw), FRAME_BYTES)]
+        for i in range(0, len(chunks), 2):
+            expected.add((mid, i, chunks[i]))
+    got = {(r["media_id"], r["frame_idx"], bytes(r["frame_payload"])) for r in rows}
+    assert got == expected
+    rerun = {
+        (r["media_id"], r["frame_idx"], bytes(r["frame_payload"]))
+        for r in sample_frames(media, every_n=2).collect()
+    }
+    assert rerun == got
+
+
+def test_resize_media_schema_stable_and_metadata_updated(spark):
+    """Resize keeps MEDIA_SCHEMA (composable with every downstream
+    op), rewrites payload to the target size, updates width/height."""
+    from reddit_can_bigdata_spark.multimodal.binaryops import (
+        resize_media,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 12)
+    out = resize_media(media, 64, 64)
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in media.schema.fields
+    ]
+    rows = out.collect()
+    assert len(rows) == 12
+    target = max(1, 64 * 64 // 1024)
+    for r in rows:
+        assert len(bytes(r["payload"])) == target
+        assert (r["width"], r["height"]) == (64, 64)
+    # feature extraction composes on the resized output
+    from reddit_can_bigdata_spark.multimodal.binaryops import extract_features
+
+    feats = extract_features(out)
+    assert feats.count() == 12
