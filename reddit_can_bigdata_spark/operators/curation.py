@@ -1,0 +1,73 @@
+"""Dataset-curation operators for a training-data pipeline.
+
+Two ops every LLM data pipeline runs constantly, both deterministic
+(hash- or rank-based, never RNG) so (a) reruns and retries produce the
+same dataset and (b) an independent SQL engine can verify them
+exactly — `rand(seed)`-based sampling can't cross engines:
+
+- deterministic stratified sampling: keep a fixed per-stratum
+  percentage chosen by a portable content hash;
+- per-group capping: keep the top-N rows of each group by an explicit
+  quality ordering (the "cap documents per domain" step that stops a
+  single source from dominating the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from reddit_can_bigdata_spark.functions.text import PORTABLE_HASH32_SQL, portable_hash32
+from reddit_can_bigdata_spark.operators.common import tables
+from reddit_can_bigdata_spark.registry import register
+
+SAMPLE_PCT = 10  # keep 1 in 10 of every language stratum
+CAP_PER_SOURCE = 20  # keep at most 20 documents per source
+
+
+@register(
+    "curate_deterministic_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {PORTABLE_HASH32_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 100 < {SAMPLE_PCT}
+    """,
+    tags=("curation", "sampling"),
+)
+def curate_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample, stratified implicitly by the uniform
+    hash (each lang stratum keeps ~10% because the hash is independent
+    of lang). `sample(fraction, seed)` is partitioning-dependent and
+    engine-specific; hashing the stable key is reproducible everywhere
+    — the property a curated training set needs across reruns,
+    retries, and engines. One narrow filter, fully pushed down."""
+    docs = tables(spark, sf_dir)["documents"]
+    keep = portable_hash32(F.col("doc_id").cast("string")) % 100 < SAMPLE_PCT
+    return docs.where(keep).select("doc_id", "lang")
+
+
+@register(
+    "curate_cap_per_group",
+    oracle=f"""
+    SELECT source, doc_id, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY source ORDER BY n_chars DESC, doc_id
+    ) <= {CAP_PER_SOURCE}
+    """,
+    tags=("curation", "window"),
+)
+def curate_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap: keep each source's top-N documents by length
+    (tie → smallest doc_id, so the kept set is total-order stable).
+    One shuffle on source + a per-group heap-ish window — the
+    domain-balancing step of corpus curation. At 100 TB a skewed
+    source is exactly one AQE-split partition; the window never sees
+    more than one group per task."""
+    docs = tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= CAP_PER_SOURCE)
+        .drop("rn")
+    )

@@ -95,6 +95,7 @@ def _ensure_loaded() -> None:
         influencer,
         tpch,
         extras,
+        curation,
     )
     from reddit_can_bigdata_spark.streaming import pipeline, stateful  # noqa: F401
 
