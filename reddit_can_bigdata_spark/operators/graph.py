@@ -777,10 +777,13 @@ def _brandes_forward(sym: DataFrame, sources: DataFrame, levels: int) -> list[Da
         if n_missing == 0:
             break
         if n_missing < cur_n:
+            # repartition: the tiny missing set fans out deg× next —
+            # without the spread the whole pull pipeline is one task
             missing = (
                 lvl0.select("src")
                 .crossJoin(all_nodes)
                 .join(visited, ["src", "node"], "left_anti")
+                .repartition(sym.sparkSession.sparkContext.defaultParallelism)
             )
             cand = missing.join(edges, missing.node == F.col("dst")).select(
                 "src", "node", F.col("mid").alias("nbr")
