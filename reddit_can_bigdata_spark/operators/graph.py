@@ -521,12 +521,25 @@ def label_prop_partition(sym: DataFrame, state_mode: str | None = None) -> DataF
             .groupBy(F.col("src").alias("node"), F.col("label"))
             .agg(F.sum("w").alias("wsum"))
         )
-        labels = (
+        nxt = (
             votes.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("node", "label")
             .localCheckpoint(eager=True)
         )
+        # sync label-prop is deterministic, so an unchanged round is a
+        # fixed point and every further round is a no-op — early exit
+        # keeps the fixed-round oracle bit-identical.
+        changed = (
+            nxt.alias("a")
+            .join(labels.alias("b"), "node")
+            .where(F.col("a.label") != F.col("b.label"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
     return labels
 
 
@@ -665,15 +678,26 @@ def min_label_components(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = labels.join(neigh, "node", "left").select(
+        nxt = labels.join(neigh, "node", "left").select(
             "node",
             F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
                 "label"
             ),
+            (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                "chg"
+            ),
         )
-        # labels is referenced twice above — checkpoint or the plan
+        # nxt is referenced twice below — checkpoint or the plan
         # doubles per iteration (2^iters blowup)
-        labels = labels.localCheckpoint(eager=True)
+        nxt = nxt.localCheckpoint(eager=True)
+        changed = nxt.where("chg").limit(1).count()
+        labels = nxt.select("node", "label")
+        # min-label is monotone: once a round changes nothing, every
+        # further round is a provable no-op — the fixed-round oracle
+        # stays bit-identical while the dense test graph converges in
+        # 2-3 of the 8 budgeted rounds.
+        if changed == 0:
+            break
     return labels
 
 
