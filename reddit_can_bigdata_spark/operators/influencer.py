@@ -147,9 +147,25 @@ def influencer_composite_ref_weights(spark: SparkSession, sf_dir: str) -> DataFr
     deg = g2_degree_centrality(spark, sf_dir, edges=ed).select(
         "node", "degree_centrality"
     )
-    pr = g6_pagerank(spark, sf_dir, edges=ed)
-    ev = g5_eigenvector_centrality(spark, sf_dir, edges=ed)
-    bw = g3b_betweenness_sampled(spark, sf_dir, edges=ed)
+    # independent iterative metrics — submit concurrently (see
+    # influencer_composite_top20)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as pool:
+        fpr = pool.submit(
+            lambda: g6_pagerank(spark, sf_dir, edges=ed).localCheckpoint(eager=True)
+        )
+        fev = pool.submit(
+            lambda: g5_eigenvector_centrality(spark, sf_dir, edges=ed).localCheckpoint(
+                eager=True
+            )
+        )
+        fbw = pool.submit(
+            lambda: g3b_betweenness_sampled(spark, sf_dir, edges=ed).localCheckpoint(
+                eager=True
+            )
+        )
+        pr, ev, bw = fpr.result(), fev.result(), fbw.result()
     m = (
         deg.join(pr, "node")
         .join(ev, "node")
@@ -216,9 +232,29 @@ def influencer_composite_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = g2_degree_centrality(spark, sf_dir, edges=ed).select(
         "node", "degree_centrality"
     )
-    pr = g6_pagerank(spark, sf_dir, edges=ed)
-    ev = g5_eigenvector_centrality(spark, sf_dir, edges=ed)
-    cl = g4_closeness_centrality(spark, sf_dir, edges=ed)
+    # The three iterative centralities are independent until the final
+    # join and each is scheduler-latency-bound (per-round
+    # localCheckpoint barriers), so submit their jobs CONCURRENTLY —
+    # Spark's scheduler interleaves the stages and the cluster stays
+    # full instead of draining between rounds. Results are identical
+    # to sequential execution (each loop is self-contained).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as pool:
+        fpr = pool.submit(
+            lambda: g6_pagerank(spark, sf_dir, edges=ed).localCheckpoint(eager=True)
+        )
+        fev = pool.submit(
+            lambda: g5_eigenvector_centrality(spark, sf_dir, edges=ed).localCheckpoint(
+                eager=True
+            )
+        )
+        fcl = pool.submit(
+            lambda: g4_closeness_centrality(spark, sf_dir, edges=ed).localCheckpoint(
+                eager=True
+            )
+        )
+        pr, ev, cl = fpr.result(), fev.result(), fcl.result()
     m = deg.join(pr, "node").join(ev, "node").join(cl, "node")
     b = m.agg(
         F.min("degree_centrality").alias("d_lo"), F.max("degree_centrality").alias("d_hi"),
