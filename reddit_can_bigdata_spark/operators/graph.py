@@ -308,6 +308,41 @@ def g9_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
         .cache()
     )
+    # Strategy switch: per-node triangle counts via the complement
+    # identity T(v) = C(deg v, 2) − open_wedges(v), where an open
+    # wedge at v is a NON-adjacent neighbor pair — countable over the
+    # missing-pair set. On dense graphs |missing|·deg is far below the
+    # direct path's Σwedges + 3·|triangles| (the K1000-ish test graph:
+    # ~42M vs ~550M rows); on sparse graphs the missing set is O(N²)
+    # and the degree-oriented wedge join wins. Pick by measured sizes;
+    # both produce identical exact results.
+    n_edges = e.count()
+    n_nodes = deg.count()
+    n_missing = n_nodes * (n_nodes - 1) // 2 - n_edges
+    avg_deg = 2.0 * n_edges / max(n_nodes, 1)
+    direct_cost = deg.agg(
+        F.sum(F.col("degree") * F.col("degree")).alias("s")
+    ).collect()[0]["s"]  # Σdeg² bounds the wedge join output
+    if n_missing * avg_deg < direct_cost:
+        tpn = _triangles_per_node_complement(e, deg)
+    else:
+        tpn = _triangles_per_node_oriented(e, deg)
+    local = F.when(
+        F.col("degree") >= 2,
+        2.0 * F.coalesce(F.col("n_tri"), F.lit(0)) / (F.col("degree") * (F.col("degree") - 1.0)),
+    ).otherwise(0.0)
+    return deg.join(tpn, "node", "left").agg(
+        (F.coalesce(F.sum("n_tri"), F.lit(0)) / 3).cast("long").alias("total_triangles"),
+        F.round((F.sum(local).cast("double") / F.count("*")), 6).alias("avg_clustering"),
+    )
+
+
+def _triangles_per_node_oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Direct path: degree-oriented wedge join (each triangle
+    enumerated once), per-node counts from ONE traversal of the
+    triangle set (corner explode — a 3-branch union would re-execute
+    the dominant join per branch, measured 50s -> ~15s). Returns
+    3·T(v) per node as n_tri rows."""
     ed = (
         e.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v")
@@ -335,22 +370,59 @@ def g9_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
         )
     )
-    # ONE traversal of the (huge) triangle set: explode the three
-    # corners instead of unioning three selects — a union would
-    # re-execute the 3-way join per branch (4x the dominant cost,
-    # measured 50s -> ~15s at sf0.1). Total count = sum/3.
-    tpn = (
+    return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
     )
-    local = F.when(
-        F.col("degree") >= 2,
-        2.0 * F.coalesce(F.col("n_tri"), F.lit(0)) / (F.col("degree") * (F.col("degree") - 1.0)),
-    ).otherwise(0.0)
-    return deg.join(tpn, "node", "left").agg(
-        (F.coalesce(F.sum("n_tri"), F.lit(0)) / 3).cast("long").alias("total_triangles"),
-        F.round((F.sum(local).cast("double") / F.count("*")), 6).alias("avg_clustering"),
+
+
+def _triangles_per_node_complement(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Complement path for dense graphs: every neighbor pair of v is
+    either a triangle or an open wedge, so
+    T(v) = C(deg v, 2) − |{(a,b) missing : v ∈ N(a) ∩ N(b)}|.
+    Enumerate common neighbors of each MISSING pair (candidates =
+    |missing|·deg through two broadcastable edge joins, spread across
+    tasks) and subtract. Exact for any graph; chosen only when the
+    missing set is small."""
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    nodes = deg.select("node")
+    a = nodes.select(F.col("node").alias("a"))
+    b = nodes.select(F.col("node").alias("b"))
+    n_parts = e.sparkSession.sparkContext.defaultParallelism
+    missing = (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .join(
+            e.select(F.col("u").alias("a"), F.col("v").alias("b")), ["a", "b"], "left_anti"
+        )
+        .repartition(n_parts)
+    )
+    # v ∈ N(b): expand; then keep v ∈ N(a) via the second edge probe.
+    # (a,b) missing ⇒ a ∉ N(b) and b ∉ N(a), so v ≠ a, v ≠ b for free.
+    cand = missing.join(
+        sym.select(F.col("src").alias("b"), F.col("dst").alias("vn")), "b"
+    )
+    witnessed = cand.join(
+        F.broadcast(sym.select(F.col("src").alias("a"), F.col("dst").alias("vn"))),
+        ["a", "vn"],
+        "left_semi",
+    )
+    open_wedges = witnessed.groupBy(F.col("vn").alias("node")).agg(
+        F.count("*").alias("n_open")
+    )
+    # n_tri = T(v), the same unit the oriented path's corner counts
+    # produce (each triangle contributes once per corner)
+    return deg.join(open_wedges, "node", "left").select(
+        "node",
+        (
+            (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
+            - F.coalesce(F.col("n_open"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_tri"),
     )
 
 
