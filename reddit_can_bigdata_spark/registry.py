@@ -96,6 +96,7 @@ def _ensure_loaded() -> None:
         tpch,
         extras,
         curation,
+        timeseries,
     )
     from reddit_can_bigdata_spark.streaming import pipeline, stateful  # noqa: F401
 
