@@ -11,7 +11,11 @@ bit-portable across engines by design).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from reddit_can_bigdata_spark.functions.text import PORTABLE_HASH32_SQL
+from reddit_can_bigdata_spark.operators.common import tables
+from reddit_can_bigdata_spark.registry import register
 
 
 def approx_user_counts(df: DataFrame, col: str, rsd: float = 0.02) -> DataFrame:
@@ -27,3 +31,75 @@ def approx_quantiles(df: DataFrame, col: str, probs: list[float], err: float = 0
     """A9 at scale: Greenwald-Khanna sketch via approxQuantile —
     single pass, bounded error, no global sort."""
     return df.stat.approxQuantile(col, probs, err)
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2719  # prime; eps ≈ e/width ≈ 0.001
+
+
+def cms_sketch(df: DataFrame, col: str) -> DataFrame:
+    """Count-Min Sketch as a RELATION: (row_i, bucket, cnt) counters,
+    depth×width fixed size regardless of key cardinality. Each input
+    row increments one bucket per hash row (portable md5-based hash,
+    salted by the row index), so partial sketches merge by adding
+    counts — a treeAggregate-able heavy-hitter structure whose build
+    is one explode(depth) + one bounded group-by.
+
+    Unlike Spark's built-in binary sketch this one is engine-portable:
+    the identical table is computable in DuckDB, so the driver's
+    oracle gate hash-checks the sketch itself; the CMS guarantee
+    (true ≤ estimate ≤ true + collisions) is contract-tested on top.
+    """
+    from reddit_can_bigdata_spark.functions.text import portable_hash32
+
+    rows = df.select(
+        F.col(col).alias("key"),
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("row_i"),
+    )
+    bucket = portable_hash32(
+        F.concat(F.col("row_i").cast("string"), F.lit(":"), F.col("key"))
+    ) % CMS_WIDTH
+    return (
+        rows.select("row_i", bucket.alias("bucket"))
+        .groupBy("row_i", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_CMS_HASH = PORTABLE_HASH32_SQL.format(
+    x="(CAST(row_i AS VARCHAR) || ':' || key)"
+)
+
+
+@register(
+    "cms_event_type_sketch",
+    oracle=f"""
+    WITH rows AS (
+      SELECT event_type AS key, i AS row_i
+      FROM events CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) t(i)
+    )
+    SELECT row_i, {_CMS_HASH} % {CMS_WIDTH} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM rows GROUP BY row_i, bucket
+    """,
+    tags=("approx", "sketch", "cms"),
+)
+def cms_event_type_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch of event_type frequencies as a relation —
+    the sketch TABLE itself is hash-exact against the DuckDB oracle
+    (portable md5 bucket hashing), making the approximate structure
+    exactly verifiable even though its estimates are approximate."""
+    return cms_sketch(tables(spark, sf_dir)["events"], "event_type")
+
+
+def cms_estimate(sketch_rows: list, key: str) -> int:
+    """Point estimate from a collected sketch: min over hash rows of
+    the key's bucket counter (CMS query)."""
+    import hashlib
+
+    counters = {(r["row_i"], r["bucket"]): r["cnt"] for r in sketch_rows}
+    ests = []
+    for i in range(CMS_DEPTH):
+        h = int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:8], 16) % CMS_WIDTH
+        ests.append(counters.get((i, h), 0))
+    return min(ests)

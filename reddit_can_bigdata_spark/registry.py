@@ -97,6 +97,7 @@ def _ensure_loaded() -> None:
         extras,
         curation,
         timeseries,
+        approx,
     )
     from reddit_can_bigdata_spark.streaming import pipeline, stateful  # noqa: F401
 

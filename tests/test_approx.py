@@ -30,3 +30,27 @@ def test_gk_quantiles_within_error(spark, sf_dir):
 
         rank = bisect.bisect_left(vals, g)
         assert abs(rank - q * n) <= max(n * 0.02, 2)
+
+
+def test_count_min_sketch_one_sided_error(spark, sf_dir):
+    """CMS contract: for every observed key, true count <= estimate
+    <= true + collisions (bounded by N/width per hash row)."""
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.operators.approx import (
+        CMS_WIDTH,
+        cms_estimate,
+        cms_sketch,
+    )
+    from reddit_can_bigdata_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_type")
+    sketch_rows = cms_sketch(ev, "event_type").collect()
+    true = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(true.values())
+    for key, t in true.items():
+        est = cms_estimate(sketch_rows, key)
+        assert t <= est <= t + n / CMS_WIDTH * 4, (key, t, est)
