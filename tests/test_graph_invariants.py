@@ -249,6 +249,36 @@ def test_labelprop_modularity_close_to_louvain(spark, sf_dir, edges):
     assert abs(row["modularity"] - q_louvain_fix) < 0.05
 
 
+def test_bfs_push_and_pull_modes_agree(spark, sf_dir):
+    """Direction-optimizing BFS: with unweighted=True the loop may
+    take pull rounds (missing-set semi-join + degree shortcut); with
+    unweighted=False it always pushes the frontier. Both must produce
+    the IDENTICAL distance relation — the optimization's correctness
+    contract."""
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.operators.advanced import (
+        CLOSENESS_HOPS,
+        _bfs_distances,
+    )
+    from reddit_can_bigdata_spark.operators.graph import _edges
+
+    e = _edges(spark, sf_dir).select("u", "v")
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).cache()
+    pull = {
+        (r["src"], r["node"]): r["dist"]
+        for r in _bfs_distances(sym, CLOSENESS_HOPS, F.lit(1), unweighted=True).collect()
+    }
+    push = {
+        (r["src"], r["node"]): r["dist"]
+        for r in _bfs_distances(sym, CLOSENESS_HOPS, F.lit(1), unweighted=False).collect()
+    }
+    assert pull == push
+    assert pull, "distance relation should be non-empty"
+
+
 def test_components_match_union_find(spark, sf_dir, edges):
     from reddit_can_bigdata_spark.operators.graph import g7_connected_components
 
