@@ -1,0 +1,436 @@
+"""Pretraining-corpus operators: chunking, keyword extraction, quality
+rules, sequence packing, LM scoring, and winnowing fingerprints.
+
+These extend the reference's text featurization (SURVEY §2.7) to the
+document-level operations a 100 TB LLM training-data pipeline runs
+between "raw corpus" and "tokenized shards". Every one is a pure
+Catalyst expression chain (no UDFs) with an exact DuckDB oracle; the
+float-free ones are bit-exact across engines, the two log-based scores
+round to 6 decimals (the registry's convention for iterative/float
+results, see `registry.py`).
+
+Scale stance (local[32] tests, 1000-executor design):
+
+- chunking and quality rules are narrow maps — they scale embarrassingly;
+- TF-IDF's document-frequency table is vocabulary-sized (≪ corpus),
+  so it broadcasts back onto the term stream;
+- packing windows partition by ``source`` (shard), never globally —
+  each shard packs independently, which is exactly how a real
+  tokenizer-sharder runs;
+- winnowing is a per-document sliding window after a narrow k-gram
+  fan-out — one shuffle on doc_id, bounded frame state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from reddit_can_bigdata_spark.functions.text import (
+    PORTABLE_HASH32_SQL,
+    portable_hash32,
+)
+from reddit_can_bigdata_spark.operators.common import spread, tables
+from reddit_can_bigdata_spark.registry import register
+
+CHUNK_TOKENS = 16  # tokens per chunk window
+CHUNK_STRIDE = 8  # tokens between chunk starts (50% overlap)
+TFIDF_TOPK = 3
+PACK_BUDGET = 256  # tokens per packed training sequence
+WINNOW_K = 3  # tokens per k-gram (shingle)
+WINNOW_W = 4  # winnowing window: k-grams per selection window
+
+
+@register(
+    "pretrain_doc_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS start
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS chunk_start,
+           CAST(least({CHUNK_TOKENS}, len(toks) - start) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(
+             list_slice(toks, start + 1, start + {CHUNK_TOKENS}), ' ')
+             AS chunk_text
+    FROM s
+    """,
+    tags=("pretrain", "chunking"),
+)
+def pretrain_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 16, stride 8, 50%
+    overlap): the context-window splitter that turns
+    long documents into training-sized pieces, each start offset a
+    chunk. Pure flatMap — ``sequence`` + ``explode`` + ``slice`` —
+    no shuffle at all; at 100 TB this runs at scan speed and the
+    output is written straight back out partitioned by shard."""
+    docs = tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(
+        F.lit(0), F.size("toks") - F.lit(1), F.lit(CHUNK_STRIDE)
+    )
+    exploded = base.select(
+        "doc_id", "toks", F.explode(starts).alias("start")
+    )
+    return exploded.select(
+        "doc_id",
+        F.expr(f"start div {CHUNK_STRIDE}").cast("bigint").alias("chunk_id"),
+        F.col("start").cast("bigint").alias("chunk_start"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("toks") - F.col("start"))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+    )
+
+
+@register(
+    "pretrain_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term
+    ) <= {TFIDF_TOPK}
+    """,
+    tags=("pretrain", "tfidf", "keywords"),
+)
+def pretrain_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by TF-IDF, fully
+    relational: term counts per doc (one shuffle on (doc_id, term)),
+    document frequencies (vocabulary-sized — broadcast back), scalar
+    doc count, then a per-doc ranking window. Ordering uses the
+    ROUNDED score plus the term as tiebreak so the kept set is
+    deterministic and identical across engines. At 100 TB the df
+    table is the only global state and it is ≪ corpus-sized (the
+    vocabulary), exactly why TF-IDF scales where pairwise similarity
+    doesn't."""
+    docs = tables(spark, sf_dir)["documents"]
+    tok = spread(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TFIDF_TOPK)
+        .drop("rn")
+    )
+
+
+_STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is",
+    "le", "la", "les", "et", "de", "un", "une",
+)
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "pretrain_quality_rules",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS n_tokens,
+             CAST(len(replace(text, ' ', '')) AS BIGINT) AS sum_tok_len,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ({_STOP_LIST_SQL}))) AS BIGINT) AS stop_hits,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> regexp_matches(t, '^[a-z]+$'))) AS BIGINT) AS alpha_toks
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           (n_tokens BETWEEN 10 AND 1000) AS ok_len,
+           (sum_tok_len >= 3 * n_tokens AND sum_tok_len <= 10 * n_tokens)
+             AS ok_mean_word_len,
+           (stop_hits >= 1) AS ok_stopwords,
+           (5 * alpha_toks >= 4 * n_tokens) AS ok_alpha_ratio,
+           ((n_tokens BETWEEN 10 AND 1000)
+            AND sum_tok_len >= 3 * n_tokens AND sum_tok_len <= 10 * n_tokens
+            AND stop_hits >= 1
+            AND 5 * alpha_toks >= 4 * n_tokens) AS keep
+    FROM feats
+    """,
+    tags=("pretrain", "quality"),
+)
+def pretrain_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
+    adapted to the fixture corpus): token-count bounds, mean word
+    length in [3,10], ≥1 stopword, ≥80% alphabetic tokens. Every rule
+    is an INTEGER comparison (ratios as cross-multiplications, e.g.
+    ``5*alpha >= 4*n`` for ≥0.8) so the verdicts are bit-exact across
+    engines — no float thresholds to drift. One narrow projection;
+    scales at scan speed."""
+    docs = tables(spark, sf_dir)["documents"]
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    n_tokens = F.expr("size(filter(split(text, ' '), t -> t <> ''))").cast(
+        "bigint"
+    )
+    sum_tok_len = F.length(F.regexp_replace("text", " ", "")).cast("bigint")
+    stop_hits = F.expr(
+        f"size(filter(split(text, ' '), t -> t IN ({stop_list})))"
+    ).cast("bigint")
+    alpha_toks = F.expr(
+        "size(filter(split(text, ' '), t -> t rlike '^[a-z]+$'))"
+    ).cast("bigint")
+    feats = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        sum_tok_len.alias("sum_tok_len"),
+        stop_hits.alias("stop_hits"),
+        alpha_toks.alias("alpha_toks"),
+    )
+    ok_len = F.col("n_tokens").between(10, 1000)
+    ok_mwl = (F.col("sum_tok_len") >= 3 * F.col("n_tokens")) & (
+        F.col("sum_tok_len") <= 10 * F.col("n_tokens")
+    )
+    ok_stop = F.col("stop_hits") >= 1
+    ok_alpha = 5 * F.col("alpha_toks") >= 4 * F.col("n_tokens")
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        ok_len.alias("ok_len"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        (ok_len & ok_mwl & ok_stop & ok_alpha).alias("keep"),
+    )
+
+
+@register(
+    "pretrain_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens, start_offset,
+           CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           (start_offset // {PACK_BUDGET}
+            <> (start_offset + n_tokens - 1) // {PACK_BUDGET})
+             AS crosses_boundary
+    FROM packed
+    """,
+    tags=("pretrain", "packing"),
+)
+def pretrain_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style tokenizer
+    sharder): within each ``source`` shard, documents are laid end to
+    end in deterministic doc_id order; each doc gets its token start
+    offset, its 256-token training-sequence id, and a flag
+    for docs straddling a sequence boundary. All integer window
+    arithmetic — bit-exact. Packing is per-shard BY DESIGN: a global
+    order would funnel 100 TB through one window task, while per-shard
+    packing parallelizes perfectly and is what real pipelines do
+    (shards are the unit of tokenization)."""
+    docs = tables(spark, sf_dir)["documents"]
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+    )
+    seq_id = F.expr(f"start_offset div {PACK_BUDGET}").cast("bigint")
+    end_seq = F.expr(
+        f"(start_offset + n_tokens - 1) div {PACK_BUDGET}"
+    ).cast("bigint")
+    return packed.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        seq_id.alias("seq_id"),
+        (seq_id != end_seq).alias("crosses_boundary"),
+    )
+
+
+@register(
+    "pretrain_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok2 GROUP BY term
+    ),
+    total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total_toks FROM vocab)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(vocab.cnt)) - ANY_VALUE(ln(total.total_toks)), 6)
+             AS avg_logprob
+    FROM tok2 JOIN vocab USING (term) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+    tags=("pretrain", "lm-score"),
+)
+def pretrain_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score: each document's mean log
+    probability of its tokens under the corpus's own unigram
+    distribution — the cheapest perplexity proxy, used to rank
+    documents for quality before an expensive LM scores them.
+    ``avg(ln p(t))`` decomposes to ``avg(ln cnt) − ln total``, so the
+    join carries integer counts and only two log calls per row happen
+    at the end (rounded to 6dp — ln/avg agree across engines far
+    below that). The vocabulary table broadcasts; one shuffle for the
+    vocab count, one for the per-doc average."""
+    docs = tables(spark, sf_dir)["documents"]
+    tok = spread(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    vocab = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total_toks"))
+    return (
+        tok.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt"))) - F.first(F.log(F.col("total_toks"))),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "pretrain_winnowing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    kg AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks) - {WINNOW_K - 1})) AS pos,
+             toks
+      FROM d
+      WHERE len(toks) >= {WINNOW_K}
+    ),
+    hashed AS (
+      SELECT doc_id, pos,
+             {PORTABLE_HASH32_SQL.format(
+                 x="toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]"
+             )} * 1048576 + pos AS enc,
+             CAST(len(toks) - {WINNOW_K - 1} AS BIGINT) AS nk
+      FROM kg
+    ),
+    sel AS (
+      SELECT doc_id,
+             MIN(enc) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS pick
+      FROM hashed
+      QUALIFY pos <= nk - {WINNOW_W - 1}
+    )
+    SELECT DISTINCT doc_id,
+           CAST(pick % 1048576 AS BIGINT) AS pos,
+           CAST(pick // 1048576 AS BIGINT) AS khash
+    FROM sel
+    """,
+    tags=("pretrain", "fingerprint", "winnowing"),
+)
+def pretrain_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003): hash
+    every 3-token shingle, slide a 4-wide window over the
+    hash sequence, keep each window's minimum (leftmost on ties), and
+    dedupe — the guarantee is that any shared run of ≥ w+k−1 tokens
+    between two documents shares a fingerprint. The argmin survives
+    the window MIN by packing ``hash·2^20 + pos`` into one BIGINT
+    (positions < 2^20), keeping the whole operator integer-exact and
+    portable. One narrow k-gram fan-out + one bounded-frame window on
+    doc_id — linear at any scale, and the selected-fingerprint table
+    is what a plagiarism/near-dup index actually stores."""
+    docs = tables(spark, sf_dir)["documents"]
+    base = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= WINNOW_K
+    )
+    kgram = F.expr(
+        "transform(sequence(1, size(toks) - {km1}), i -> "
+        "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', "
+        "element_at(toks, i + 2)))".format(km1=WINNOW_K - 1)
+    )
+    hashed = (
+        spread(base)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_toks"),
+            F.posexplode(kgram).alias("pos0", "kgram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            (portable_hash32(F.col("kgram")) * 1048576 + F.col("pos0") + 1)
+            .cast("bigint")
+            .alias("enc"),
+            (F.col("n_toks") - (WINNOW_K - 1)).cast("bigint").alias("nk"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    sel = hashed.withColumn("pick", F.min("enc").over(w)).where(
+        F.col("pos") <= F.col("nk") - (WINNOW_W - 1)
+    )
+    return sel.select(
+        "doc_id",
+        (F.col("pick") % 1048576).cast("bigint").alias("pos"),
+        F.expr("pick div 1048576").cast("bigint").alias("khash"),
+    ).distinct()

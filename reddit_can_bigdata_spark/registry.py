@@ -98,6 +98,7 @@ def _ensure_loaded() -> None:
         curation,
         timeseries,
         approx,
+        pretrain,
     )
     from reddit_can_bigdata_spark.streaming import pipeline, stateful  # noqa: F401
 

@@ -78,6 +78,11 @@ def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
         if dict(stream.dtypes)["ts"] == "bigint":
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(stream.dtypes)["ts"] != "timestamp":
+            # TIMESTAMP_NTZ parquet: event-time watermarks require
+            # TIMESTAMP; the UTC-session cast preserves the wall clock
+            # (same normalization as tables.py).
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
         agg = windowed_event_counts(stream)
         q = (
             agg.writeStream.format("memory")

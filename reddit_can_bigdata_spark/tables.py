@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -51,6 +51,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # session.py nanosAsLong); values are µs-precision so the
             # div-1000 conversion is lossless.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif name == "events" and isinstance(
+            df.schema["ts"].dataType, TimestampNTZType
+        ):
+            # parquet naive timestamp[us] reads as TIMESTAMP_NTZ under
+            # Spark 4's inferTimestampNTZ; functions like unix_micros
+            # require TIMESTAMP. Session tz is pinned to UTC
+            # (session.py), so this cast preserves the wall clock and
+            # matches DuckDB's naive reading of the same file.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,142 @@
+"""Invariant tests for the pretraining-corpus operators
+(`operators/pretrain.py`). Oracle parity (hash-exact vs DuckDB) is
+covered by `test_oracle_parity.py`; these pin the semantic guarantees
+the hashes alone don't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_can_bigdata_spark.operators import pretrain as P
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        # two docs sharing a 7-token run (>= w+k-1 = 6) => winnowing
+        # MUST give them a common fingerprint
+        (1, "alpha beta gamma delta epsilon zeta eta unique1 tail1", "s0"),
+        (2, "head2 alpha beta gamma delta epsilon zeta eta other2", "s0"),
+        # a doc with no overlap
+        (3, "one two three four five six seven eight nine ten", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def _with_docs(spark, df, fn, sf_dir):
+    """Run a registered query with `documents` swapped for a fixture."""
+    import reddit_can_bigdata_spark.operators.common as C
+
+    orig = C.load_tables
+
+    def patched(spark_, sf_dir_):
+        out = orig(spark_, sf_dir_)
+        out["documents"] = df
+        return out
+
+    C.load_tables = patched
+    try:
+        return fn(spark, sf_dir)
+    finally:
+        C.load_tables = orig
+
+
+def test_winnowing_guarantee(spark, docs_df, sf_dir):
+    """Docs sharing a run of >= w+k-1 tokens share a fingerprint hash
+    (the winnowing paper's core guarantee), and a disjoint doc shares
+    none."""
+    out = _with_docs(
+        spark, docs_df, P.pretrain_winnowing, sf_dir
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.khash)
+    assert by_doc[1] & by_doc[2], "overlapping docs must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_chunks_cover_every_token(spark, docs_df, sf_dir):
+    """Chunk windows cover position 0..n-1 of every doc, and each
+    chunk's token count matches its slice bounds."""
+    chunks = _with_docs(spark, docs_df, P.pretrain_doc_chunks, sf_dir)
+    rows = chunks.collect()
+    n_toks = {r.doc_id: len(r.text.split(" ")) for r in docs_df.collect()}
+    covered = {}
+    for r in rows:
+        assert 1 <= r.n_chunk_tokens <= P.CHUNK_TOKENS
+        assert len(r.chunk_text.split(" ")) == r.n_chunk_tokens
+        covered.setdefault(r.doc_id, set()).update(
+            range(r.chunk_start, r.chunk_start + r.n_chunk_tokens)
+        )
+    for doc_id, n in n_toks.items():
+        assert covered[doc_id] == set(range(n))
+
+
+def test_packing_offsets_contiguous(spark, docs_df, sf_dir):
+    """Within a source, start offsets are exactly the running sum of
+    token counts in doc_id order (no gaps, no overlaps)."""
+    packed = _with_docs(
+        spark, docs_df, P.pretrain_sequence_packing, sf_dir
+    )
+    rows = sorted(packed.collect(), key=lambda r: (r.source, r.doc_id))
+    running = {}
+    for r in rows:
+        assert r.start_offset == running.get(r.source, 0)
+        running[r.source] = r.start_offset + r.n_tokens
+        assert r.seq_id == r.start_offset // P.PACK_BUDGET
+
+
+def test_quality_rules_integer_thresholds(spark, sf_dir):
+    """Boundary docs land on the documented side of each rule: 9
+    tokens fails ok_len, 10 passes; mean word length exactly 3.0
+    passes."""
+    rows = [
+        (1, " ".join(["the"] * 9), "s"),  # 9 tokens -> fails ok_len
+        (2, " ".join(["the"] * 10), "s"),  # 10 tokens, mwl=3.0 -> passes
+        (3, " ".join(["ab"] * 20), "s"),  # mwl=2.0 -> fails mean-word-len
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in _with_docs(
+            spark, df, P.pretrain_quality_rules, sf_dir
+        ).collect()
+    }
+    assert not out[1].ok_len and out[2].ok_len
+    assert out[2].ok_mean_word_len and out[2].keep
+    assert not out[3].ok_mean_word_len and not out[3].keep
+
+
+def test_tfidf_prefers_rare_terms(spark, sf_dir):
+    """A term unique to one doc outranks a corpus-wide term."""
+    rows = [
+        (1, "common common rareword", "s"),
+        (2, "common common common", "s"),
+        (3, "common stuff here", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = _with_docs(spark, df, P.pretrain_tfidf_topk, sf_dir)
+    top_doc1 = (
+        out.where(F.col("doc_id") == 1).orderBy(F.desc("tfidf")).first()
+    )
+    assert top_doc1.term == "rareword"
+
+
+def test_unigram_logprob_ranks_typical_text_higher(spark, sf_dir):
+    """A doc of corpus-frequent tokens scores a higher (less negative)
+    avg logprob than a doc of corpus-unique tokens."""
+    rows = [
+        (1, "common common common common", "s"),
+        (2, "weird1 weird2 weird3 weird4", "s"),
+        (3, "common common common filler", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {
+        r.doc_id: r.avg_logprob
+        for r in _with_docs(
+            spark, df, P.pretrain_unigram_logprob, sf_dir
+        ).collect()
+    }
+    assert out[1] > out[2]
