@@ -225,3 +225,126 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+KNN_QUERIES = 16  # vec_id < 16 are the query batch
+KNN_K = 3
+IVF_NPROBE = 2
+
+
+@register(
+    "sim_knn_join",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {KNN_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             {_cos_sql('e.embedding', 'q.qv')} AS cos_raw
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= {KNN_QUERIES}
+    )
+    SELECT qid, vec_id, label, round(cos_raw, 6) AS cosine
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY qid ORDER BY cos_raw DESC, vec_id
+    ) <= {KNN_K}
+    """,
+    tags=("similarity", "ann", "knn-join"),
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN JOIN: top-3 nearest corpus vectors for EACH of a
+    16-query batch in one pass — the shape embedding pipelines
+    actually run (dedup a shard against an index, retrieve neighbors
+    for every new document), not one-query-at-a-time probes.
+
+    The query batch broadcasts (queries ≪ corpus); the corpus is
+    scanned ONCE with per-(query, partition) heaps via the ranking
+    window — corpus-linear with a Q-way fan-out, no corpus shuffle at
+    all until the (|Q|·k)-sized window input. At 100 TB with a large
+    Q, block both sides by IVF cluster id first (the
+    `plans.layout.write_ivf_index` layout) so each task joins one
+    cluster against its queries — same plan, 1/K the candidates.
+    Ordering uses the bit-identical sequential dot product, so the
+    kept set is deterministic across engines."""
+    from pyspark.sql import Window
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.where(F.col("vec_id") >= KNN_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid", "vec_id", "label",
+            cosine_expr("embedding", "qv").alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .select("qid", "vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@register(
+    "sim_ivf_multiprobe",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    clustered AS (SELECT vec_id, label, embedding, cid FROM assigned WHERE rn = 1),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cid, qv.qv
+      FROM centroids c CROSS JOIN qv
+      ORDER BY {_cos_sql('c.cv', 'qv.qv')} DESC, c.cid
+      LIMIT {IVF_NPROBE}
+    )
+    SELECT x.vec_id, x.label,
+           round({_cos_sql('x.embedding', 'probe.qv')}, 6) AS cosine
+    FROM clustered x JOIN probe ON x.cid = probe.cid
+    WHERE x.vec_id <> 0
+    ORDER BY {_cos_sql('x.embedding', 'probe.qv')} DESC, x.vec_id
+    LIMIT 5
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with n_probe=2: scan the TWO clusters whose
+    centroids are nearest the query, not just the assigned one — the
+    recall/latency dial every IVF index exposes (a query near a
+    cluster boundary misses true neighbors in the adjacent cell at
+    n_probe=1). Candidate volume is n_probe/K of the corpus; on the
+    persisted `write_ivf_index` layout this reads exactly n_probe
+    partitions (static pruning, see tests/test_layout.py)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    clustered = ivf_assign(emb)
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cents = ivf_centroids(emb)
+    probe = (
+        cents.crossJoin(F.broadcast(qv))
+        .orderBy(F.desc(cosine_expr("cv", "qv")), F.asc("cid"))
+        .limit(IVF_NPROBE)
+        .select("cid", "qv")
+    )
+    cos = cosine_expr("embedding", "qv")
+    return (
+        clustered.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )
