@@ -67,8 +67,8 @@ def multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promo_revenue_share",
     oracle=f"""
-    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL} END) AS DOUBLE)
-             / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_share,
+    SELECT ROUND(CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL} END) AS DOUBLE)
+             / CAST(SUM({_REV_SQL}) AS DOUBLE), 12) AS promo_share,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     """,
@@ -76,15 +76,16 @@ def multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped: conditional revenue share for PROMO parts.
-    One broadcast join + one aggregate; both sums are decimal-exact so
-    the final single division is engine-stable."""
+    One broadcast join + one aggregate; both sums are decimal-exact,
+    and the double ratio is rounded to 12 decimals because Spark's and
+    DuckDB's decimal->double cast can land on adjacent ULPs."""
     t = tables(spark, sf_dir)
     promo = F.sum(F.when(F.col("p_type") == "PROMO", _rev())).cast("double")
     return (
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
-            (promo / F.sum(_rev()).cast("double")).alias("promo_share"),
+            F.round(promo / F.sum(_rev()).cast("double"), 12).alias("promo_share"),
             F.count("*").alias("n_items"),
         )
     )
