@@ -548,7 +548,9 @@ def _closeness_sampled_oracle() -> str:
     oracle=_closeness_sampled_oracle(),
     tags=("graph", "closeness", "sampled", "iterative"),
 )
-def g4c_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g4c_closeness_sampled(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """G4 at scale: pivot-SAMPLED closeness (Eppstein–Wang estimator).
 
     Exact closeness needs all-sources BFS — O(N²) state that cannot run
@@ -564,7 +566,7 @@ def g4c_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     g4 path (same `_bfs_distances`), only the seed set shrinks. All
     arithmetic is integer until one double division → exact oracle
     parity."""
-    e = _edges(spark, sf_dir).select("u", "v")
+    e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).cache()
@@ -621,4 +623,46 @@ def g4_closeness_centrality(
         )
         .where(F.col("_total") > 0)
         .select(F.col("src").alias("node"), "closeness")
+    )
+
+
+# Exact closeness materializes O(N²) (src, node, dist) state; with
+# ~32 bytes/row this ceiling caps the BFS state around ~3e9 rows /
+# ~100 GB spread over the cluster — the practical upper bound before
+# the all-sources frontier join dominates the whole job. Above it the
+# Eppstein–Wang sampled estimator (O(K·N) state, same loop) takes
+# over. Mirrors the `_state_mode` broadcast/shuffle gate.
+CLOSENESS_EXACT_MAX_NODES = 50_000
+
+
+def closeness_for_scale(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    n_nodes: int | None = None,
+    mode: str | None = None,
+) -> DataFrame:
+    """Size-gated closeness: exact `g4` below
+    ``CLOSENESS_EXACT_MAX_NODES`` graph nodes, sampled `g4c`
+    (renamed to the same ``closeness`` column) above. ``mode``
+    overrides: 'exact' | 'sampled' | None (auto by node count).
+
+    This is what composites (`influencer_composite_top20`,
+    `user_network_table`) call so the one O(N²) component never runs
+    on a graph where it would be the first thing to die at 100×.
+    """
+    if mode is None:
+        if n_nodes is None:
+            e = edges if edges is not None else _edges(spark, sf_dir)
+            n_nodes = (
+                e.select(F.col("u").alias("n"))
+                .unionAll(e.select(F.col("v").alias("n")))
+                .distinct()
+                .count()
+            )
+        mode = "exact" if n_nodes <= CLOSENESS_EXACT_MAX_NODES else "sampled"
+    if mode == "exact":
+        return g4_closeness_centrality(spark, sf_dir, edges=edges)
+    return g4c_closeness_sampled(spark, sf_dir, edges=edges).select(
+        "node", F.col("closeness_est").alias("closeness")
     )

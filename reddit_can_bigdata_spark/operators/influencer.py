@@ -217,9 +217,14 @@ def influencer_composite_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce to |nodes|-sized outputs, so the normalize/rank tail is
     trivially small no matter how big the raw data was. The expensive
     shared input — the co-occurrence edge list — is materialized ONCE
-    (localCheckpoint) and fed to all four, not rebuilt per metric."""
+    (localCheckpoint) and fed to all four, not rebuilt per metric.
+
+    Closeness is SIZE-GATED via `closeness_for_scale`: exact g4 below
+    `CLOSENESS_EXACT_MAX_NODES` (the oracle's form, used at test
+    scale), Eppstein–Wang sampled g4c above — exact closeness is
+    O(N²) state and would be the first component to die at 100×."""
     from reddit_can_bigdata_spark.operators.advanced import (
-        g4_closeness_centrality,
+        closeness_for_scale,
         g5_eigenvector_centrality,
     )
     from reddit_can_bigdata_spark.operators.graph import (
@@ -229,6 +234,12 @@ def influencer_composite_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ed = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    n_nodes = (
+        ed.select(F.col("u").alias("n"))
+        .unionAll(ed.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
     deg = g2_degree_centrality(spark, sf_dir, edges=ed).select(
         "node", "degree_centrality"
     )
@@ -250,9 +261,9 @@ def influencer_composite_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         fcl = pool.submit(
-            lambda: g4_closeness_centrality(spark, sf_dir, edges=ed).localCheckpoint(
-                eager=True
-            )
+            lambda: closeness_for_scale(
+                spark, sf_dir, edges=ed, n_nodes=n_nodes
+            ).localCheckpoint(eager=True)
         )
         pr, ev, cl = fpr.result(), fev.result(), fcl.result()
     m = deg.join(pr, "node").join(ev, "node").join(cl, "node")
@@ -295,7 +306,7 @@ def user_network_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`network-analysis/network_analysis.py:302-320`) as a typed table.
     """
     from reddit_can_bigdata_spark.operators.advanced import (
-        g4_closeness_centrality,
+        closeness_for_scale,
         g5_eigenvector_centrality,
     )
     from reddit_can_bigdata_spark.operators.graph import (
@@ -303,36 +314,27 @@ def user_network_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         _edges,
         g2_degree_centrality,
         g6_pagerank,
+        min_label_components,
     )
 
     ed = _edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = g2_degree_centrality(spark, sf_dir, edges=ed)
     pr = g6_pagerank(spark, sf_dir, edges=ed)
     ev = g5_eigenvector_centrality(spark, sf_dir, edges=ed)
-    cl = g4_closeness_centrality(spark, sf_dir, edges=ed)
+    # size-gated: exact g4 at test scale, sampled g4c at 100x
+    cl = closeness_for_scale(spark, sf_dir, edges=ed)
     top = influencer_composite_top20(spark, sf_dir).select(
         "node", "influencer_rank"
     )
-    # components: node -> component label
+    # components via the shared guarded loop (broadcast-ceiling +
+    # early-exit), not a private copy of it
     e = ed.select("u", "v")
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).cache()
+    labels = min_label_components(sym, CC_ITERS).select(
+        "node", F.col("label").alias("community_id")
     )
-    labels = sym.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("community_id")
-    )
-    for _ in range(CC_ITERS):
-        neigh = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("community_id").alias("nl"))
-        )
-        labels = labels.join(neigh, "node", "left").select(
-            "node",
-            F.least(F.col("community_id"), F.coalesce(F.col("nl"), F.col("community_id"))).alias(
-                "community_id"
-            ),
-        ).localCheckpoint(eager=True)
 
     return (
         deg.join(pr, "node")

@@ -40,6 +40,32 @@ def test_network_metadata_singleton(spark, sf_dir):
     assert 0.0 <= m["avg_clustering"] <= 1.0
 
 
+def test_closeness_size_gate_swap_point(spark, sf_dir, monkeypatch):
+    """`closeness_for_scale` swaps exact g4 -> sampled g4c at the node
+    ceiling: below it the result equals g4 (the composite oracle's
+    form); above it (ceiling forced to 0) it equals g4c renamed."""
+    from reddit_can_bigdata_spark.operators import advanced
+
+    exact = advanced.closeness_for_scale(spark, sf_dir)
+    want = {
+        (r["node"], r["closeness"])
+        for r in advanced.g4_closeness_centrality(spark, sf_dir).collect()
+    }
+    assert {(r["node"], r["closeness"]) for r in exact.collect()} == want
+
+    monkeypatch.setattr(advanced, "CLOSENESS_EXACT_MAX_NODES", 0)
+    sampled = advanced.closeness_for_scale(spark, sf_dir)
+    assert sampled.columns == ["node", "closeness"]
+    want_s = {
+        (r["node"], r["closeness_est"])
+        for r in advanced.g4c_closeness_sampled(spark, sf_dir).collect()
+    }
+    assert {(r["node"], r["closeness"]) for r in sampled.collect()} == want_s
+    # explicit override beats the auto gate
+    forced = advanced.closeness_for_scale(spark, sf_dir, mode="exact")
+    assert {(r["node"], r["closeness"]) for r in forced.collect()} == want
+
+
 def test_betweenness_driver_fallback_known_graphs():
     """G3: Brandes fallback against hand-computed values."""
     from reddit_can_bigdata_spark.operators.graph import betweenness_exact
