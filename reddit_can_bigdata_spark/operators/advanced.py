@@ -20,6 +20,7 @@ from reddit_can_bigdata_spark.operators.graph import (
     _join_state,
     _state_mode,
     STATE_BROADCAST_MAX_ROWS,
+    UNTIL_CONVERGED_MAX_ROUNDS,
 )
 from reddit_can_bigdata_spark.registry import register
 
@@ -33,6 +34,7 @@ def _bfs_distances(
     step_col,
     sources: DataFrame | None = None,
     unweighted: bool = False,
+    until_converged: bool = False,
 ) -> DataFrame:
     """All-sources shortest distances by frontier (delta) relaxation.
 
@@ -78,7 +80,8 @@ def _bfs_distances(
         roots_n = roots.count()
         nodes_n = all_nodes.count()
         dist_n = roots_n
-    for depth in range(1, hops + 1):
+    rounds = UNTIL_CONVERGED_MAX_ROUNDS if until_converged else hops
+    for depth in range(1, rounds + 1):
         pull = False
         if unweighted and frontier_n is not None:
             # missing = |roots| x |nodes| - |dist|; pull when smaller
@@ -483,7 +486,9 @@ def _closeness_weighted_oracle() -> str:
     oracle=_closeness_weighted_oracle(),
     tags=("graph", "closeness", "weighted", "iterative"),
 )
-def g4b_closeness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g4b_closeness_weighted(
+    spark: SparkSession, sf_dir: str, until_converged: bool = False
+) -> DataFrame:
     """G4 weighted variant — edge weights as distances, matching the
     reference's `nx.closeness_centrality(G, distance='weight')`
     (`network-analysis/network_analysis.py:154`). Same relaxation loop
@@ -495,7 +500,7 @@ def g4b_closeness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst"), "weight").unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"), "weight")
     ).cache()
-    dist = _bfs_distances(sym, CLOSENESS_HOPS, F.col("weight"))
+    dist = _bfs_distances(sym, CLOSENESS_HOPS, F.col("weight"), until_converged=until_converged)
     return (
         dist.groupBy("src")
         .agg(
@@ -549,7 +554,10 @@ def _closeness_sampled_oracle() -> str:
     tags=("graph", "closeness", "sampled", "iterative"),
 )
 def g4c_closeness_sampled(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    until_converged: bool = False,
 ) -> DataFrame:
     """G4 at scale: pivot-SAMPLED closeness (Eppstein–Wang estimator).
 
@@ -572,7 +580,10 @@ def g4c_closeness_sampled(
     ).cache()
     nodes = sym.select("src").distinct()
     srcs = nodes.where(F.col("src") % CLOSENESS_SAMPLE_MOD == 0)
-    dist = _bfs_distances(sym, CLOSENESS_HOPS, F.lit(1), sources=srcs, unweighted=True)
+    dist = _bfs_distances(
+        sym, CLOSENESS_HOPS, F.lit(1), sources=srcs, unweighted=True,
+        until_converged=until_converged,
+    )
     n = nodes.agg(F.count("*").cast("double").alias("n"))
     k = srcs.agg(F.count("*").cast("double").alias("k"))
     agg = dist.groupBy("node").agg(F.sum("dist").alias("sdist")).where(F.col("sdist") > 0)
@@ -595,7 +606,10 @@ def g4c_closeness_sampled(
     bench=True,
 )
 def g4_closeness_centrality(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    until_converged: bool = False,
 ) -> DataFrame:
     """G4: closeness centrality over hop distances
     (`network-analysis/network_analysis.py:154` uses edge weights as
@@ -612,7 +626,9 @@ def g4_closeness_centrality(
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).cache()
-    dist = _bfs_distances(sym, CLOSENESS_HOPS, F.lit(1), unweighted=True)
+    dist = _bfs_distances(
+        sym, CLOSENESS_HOPS, F.lit(1), unweighted=True, until_converged=until_converged
+    )
     return (
         dist.groupBy("src")
         .agg(

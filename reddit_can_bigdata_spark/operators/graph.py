@@ -36,6 +36,18 @@ CC_ITERS = 8
 # the key-partitioned edge table.
 STATE_BROADCAST_MAX_ROWS = 2_000_000
 
+# The fixed round bounds (CC_ITERS, LP_ITERS, BW_LEVELS,
+# CLOSENESS_HOPS) exist for oracle parity: the DuckDB oracles are
+# unrolled CTE chains, so both engines must run the same number of
+# rounds. They are sized >= the TEST graph's diameter; on a sparser
+# production graph (diameter >> bound) fixed rounds silently
+# truncate distances/labels. Every iterative loop therefore accepts
+# ``until_converged=True``: keep iterating while the frontier /
+# change-set is non-empty (each loop already early-exits on an empty
+# frontier, which is a provable fixed point). The cap below is a
+# runaway backstop only — diameter-many rounds is the real bound.
+UNTIL_CONVERGED_MAX_ROUNDS = 100_000
+
 
 def _state_mode(n_state_rows: float, override: str | None = None) -> str:
     """Pick 'broadcast' or 'shuffle' for the per-iteration state join."""
@@ -571,7 +583,9 @@ def _labelprop_oracle() -> str:
     )
 
 
-def label_prop_partition(sym: DataFrame, state_mode: str | None = None) -> DataFrame:
+def label_prop_partition(
+    sym: DataFrame, state_mode: str | None = None, until_converged: bool = False
+) -> DataFrame:
     """Weighted label-propagation loop over a prepared symmetric edge
     list (src, dst, w) — every node synchronously adopts the label
     carrying the greatest total edge weight in its neighborhood (tie →
@@ -587,7 +601,13 @@ def label_prop_partition(sym: DataFrame, state_mode: str | None = None) -> DataF
     )
     mode = _state_mode(labels.count(), state_mode)
     w = Window.partitionBy("node").orderBy(F.desc("wsum"), F.asc("label"))
-    for _ in range(LP_ITERS):
+    # sync LP can 2-cycle on bipartite-ish structure (no guaranteed
+    # fixed point), so `until_converged` caps at 50 rounds — enough
+    # for any practical community structure — rather than the
+    # diameter-scale backstop the monotone loops use. The early exit
+    # below fires at the first genuine fixed point.
+    rounds = 50 if until_converged else LP_ITERS
+    for _ in range(rounds):
         votes = (
             _join_state(sym, labels, sym.dst == labels.node, mode)
             .groupBy(F.col("src").alias("node"), F.col("label"))
@@ -729,7 +749,10 @@ def g7c_modularity(
 
 
 def min_label_components(
-    sym: DataFrame, iters: int, state_mode: str | None = None
+    sym: DataFrame,
+    iters: int,
+    state_mode: str | None = None,
+    until_converged: bool = False,
 ) -> DataFrame:
     """Min-label propagation over a symmetric edge list (src, dst):
     every node repeatedly adopts the smallest label among itself and
@@ -744,7 +767,8 @@ def min_label_components(
         "node", F.col("node").alias("label")
     )
     mode = _state_mode(labels.count(), state_mode)
-    for _ in range(iters):
+    rounds = UNTIL_CONVERGED_MAX_ROUNDS if until_converged else iters
+    for _ in range(rounds):
         neigh = (
             _join_state(sym, labels, sym.dst == labels.node, mode)
             .groupBy(F.col("src").alias("node"))
@@ -815,7 +839,10 @@ def _components_oracle() -> str:
     bench=True,
 )
 def g7_connected_components(
-    spark: SparkSession, sf_dir: str, state_mode: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    state_mode: str | None = None,
+    until_converged: bool = False,
 ) -> DataFrame:
     """G7 (scalable path): community structure via min-label
     propagation — each node repeatedly adopts the smallest label in
@@ -829,7 +856,7 @@ def g7_connected_components(
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).repartition("dst").cache()
-    labels = min_label_components(sym, CC_ITERS, state_mode)
+    labels = min_label_components(sym, CC_ITERS, state_mode, until_converged=until_converged)
     return labels.groupBy(F.col("label").cast("long").alias("component")).agg(
         F.count("*").alias("n_nodes")
     )
@@ -839,7 +866,12 @@ BW_LEVELS = 6  # >= test-graph diameter, like CLOSENESS_HOPS
 BW_SAMPLE_MOD = 7  # deterministic 1-in-7 source sample (node % 7 == 0)
 
 
-def _brandes_forward(sym: DataFrame, sources: DataFrame, levels: int) -> list[DataFrame]:
+def _brandes_forward(
+    sym: DataFrame,
+    sources: DataFrame,
+    levels: int,
+    until_converged: bool = False,
+) -> list[DataFrame]:
     """Level-synchronous BFS with shortest-path counts from each source.
 
     Returns one frontier DataFrame per BFS level, each holding
@@ -868,7 +900,8 @@ def _brandes_forward(sym: DataFrame, sources: DataFrame, levels: int) -> list[Da
     visited_n = srcs_n
     edges = sym.select(F.col("src").alias("mid"), "dst")
     cur, cur_n = lvl0, srcs_n
-    for _ in range(levels):
+    rounds = UNTIL_CONVERGED_MAX_ROUNDS if until_converged else levels
+    for _ in range(rounds):
         n_missing = srcs_n * nodes_n - visited_n
         if n_missing == 0:
             break
@@ -1057,7 +1090,10 @@ def _betweenness_sampled_oracle() -> str:
     bench=True,
 )
 def g3b_betweenness_sampled(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    until_converged: bool = False,
 ) -> DataFrame:
     """G3 at scale: source-SAMPLED Brandes betweenness, fully
     distributed (the scale path `network-analysis/network_analysis.py:145`
@@ -1080,7 +1116,7 @@ def g3b_betweenness_sampled(
     ).cache()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     srcs = nodes.where(F.col("node") % BW_SAMPLE_MOD == 0)
-    frontiers = _brandes_forward(sym, srcs, BW_LEVELS)
+    frontiers = _brandes_forward(sym, srcs, BW_LEVELS, until_converged=until_converged)
     levels = _brandes_backward(sym, frontiers)
     all_lv = levels[0]
     for lv in levels[1:]:
