@@ -94,14 +94,46 @@ def ivf_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def ivf_assign(emb: DataFrame) -> DataFrame:
+def ivf_centroids_trained(emb: DataFrame, k: int = 8, seed: int = 42) -> DataFrame:
+    """The REAL codebook: seeded ``pyspark.ml.clustering.KMeans`` over
+    the (L2-normalized) corpus — normalizing first makes Euclidean
+    k-means equivalent to spherical/cosine k-means, matching the
+    cosine assignment in `ivf_assign`. Returns (cid, cv) — a drop-in
+    for `ivf_centroids`, persisted through the same `write_ivf_index`
+    layout. The model fit is one Spark ML job (distributed partial
+    aggregation per iteration); the K-row centroid table itself is
+    tiny by construction.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(
+        array_to_vector(
+            F.expr(
+                "transform(embedding, x -> cast(x as double)"
+                " / sqrt(aggregate(embedding, cast(0.0 as double),"
+                " (a, v) -> a + cast(v as double) * v)))"
+            )
+        ).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(train)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(rows, "cid int, cv array<double>")
+
+
+def ivf_assign(emb: DataFrame, cents: DataFrame | None = None) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (tie →
     smallest cid): the IVF inverted-file assignment,
     (vec_id, label, embedding, cid). Centroids broadcast; one window
-    per vector — corpus-linear."""
+    per vector — corpus-linear. ``cents`` defaults to the
+    deterministic stand-in codebook; pass `ivf_centroids_trained`
+    output for the k-means index."""
     from pyspark.sql import Window
 
-    cents = ivf_centroids(emb)
+    if cents is None:
+        cents = ivf_centroids(emb)
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "label", "embedding", "cid", cosine_expr("embedding", "cv").alias("sim")
     )
@@ -287,6 +319,36 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= KNN_K)
         .select("qid", "vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@register(
+    "sim_ivf_trained_search",
+    oracle=None,  # k-means is iterative — not DuckDB-expressible; rows-only check
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def sim_ivf_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against the TRAINED codebook: seeded k-means
+    centroids (`ivf_centroids_trained`) instead of the vec_id<8
+    stand-in, then the same assign + probe-nearest-cluster plan as
+    `sim_ivf_cluster_search`. Recall-vs-stand-in is pinned by
+    tests/test_ivf_trained.py on planted-cluster data; this query
+    exercises the full path on the real table."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    cents = ivf_centroids_trained(emb)
+    clustered = ivf_assign(emb, cents=cents)
+    qc = (
+        clustered.where(F.col("vec_id") == 0)
+        .select("cid", F.col("embedding").alias("qv"))
+    )
+    cos = cosine_expr("embedding", "qv")
+    return (
+        clustered.join(F.broadcast(qc), "cid")
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
     )
 
 
