@@ -599,6 +599,93 @@ def g4c_closeness_sampled(
     )
 
 
+def _closeness_weighted_sampled_oracle() -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED ({_EDGES_SQL})",
+        """sym AS MATERIALIZED (
+          SELECT u AS src, v AS dst, weight FROM e
+          UNION ALL SELECT v, u, weight FROM e
+        )""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)",
+        f"srcs AS MATERIALIZED (SELECT node AS src FROM nodes WHERE node % {CLOSENESS_SAMPLE_MOD} = 0)",
+        "wsd0 AS MATERIALIZED (SELECT src, src AS node, CAST(0 AS BIGINT) AS dist FROM srcs)",
+    ]
+    for i in range(CLOSENESS_HOPS):
+        parts.append(
+            f"""wsd{i + 1} AS MATERIALIZED (
+              SELECT src, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                SELECT src, node, dist FROM wsd{i}
+                UNION ALL
+                SELECT d.src, s.dst AS node, d.dist + s.weight
+                FROM wsd{i} d JOIN sym s ON s.src = d.node
+              ) GROUP BY src, node
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f""",
+    agg AS MATERIALIZED (
+      SELECT node, CAST(SUM(dist) AS BIGINT) AS sdist
+      FROM wsd{CLOSENESS_HOPS} GROUP BY node HAVING SUM(dist) > 0
+    ),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    kk AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM srcs)
+    SELECT a.node, round(kk.k * (nn.n - 1) / (nn.n * a.sdist), 6) AS closeness_w_est
+    FROM agg a CROSS JOIN nn CROSS JOIN kk"""
+    )
+
+
+@register(
+    "g4d_closeness_weighted_sampled",
+    oracle=_closeness_weighted_sampled_oracle(),
+    tags=("graph", "closeness", "weighted", "sampled", "iterative"),
+)
+def g4d_closeness_weighted_sampled(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    until_converged: bool = False,
+) -> DataFrame:
+    """G4b at scale: pivot-SAMPLED weighted closeness — the 100× path
+    for the reference's exact form (`nx.closeness_centrality(G,
+    distance='weight')`, `network-analysis/network_analysis.py:154`),
+    which `g4b` matches but only with O(N²) all-sources state.
+
+    Same Eppstein–Wang estimator as `g4c` (k·(n−1)/(n·Σ d(s,v)) over
+    a deterministic 1-in-K source sample) with the weighted relaxation
+    (dist + w) supplying distances. PUSH-ONLY by necessity: the
+    direction-optimizing pull trick assumes a known distance is final
+    after its BFS level, which holds only for unit steps — under
+    weights, an already-known (src, node) entry can still improve via
+    a longer-hop-but-lighter path, so pulling into "missing" pairs
+    would freeze wrong distances. `_bfs_distances` enforces this
+    (pull requires unweighted=True). State O(K·N); integer distances
+    until one double division → exact oracle parity."""
+    e = edges if edges is not None else _edges(spark, sf_dir)
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst"), "weight").unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"), "weight")
+    ).cache()
+    nodes = sym.select("src").distinct()
+    srcs = nodes.where(F.col("src") % CLOSENESS_SAMPLE_MOD == 0)
+    dist = _bfs_distances(
+        sym, CLOSENESS_HOPS, F.col("weight"), sources=srcs,
+        until_converged=until_converged,
+    )
+    n = nodes.agg(F.count("*").cast("double").alias("n"))
+    k = srcs.agg(F.count("*").cast("double").alias("k"))
+    agg = dist.groupBy("node").agg(F.sum("dist").alias("sdist")).where(F.col("sdist") > 0)
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "node",
+            F.round(
+                F.col("k") * (F.col("n") - 1) / (F.col("n") * F.col("sdist")), 6
+            ).alias("closeness_w_est"),
+        )
+    )
+
+
 @register(
     "g4_closeness_centrality",
     oracle=_closeness_oracle(),

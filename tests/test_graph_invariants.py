@@ -304,3 +304,38 @@ def test_components_match_union_find(spark, sf_dir, edges):
     # same number of components, same size multiset (labels may differ
     # from union-find roots; min-label propagation uses min node id)
     assert sorted(got.values()) == sorted(expected.values())
+
+
+def test_g4d_weighted_sampled_approximates_exact(spark):
+    """g4d (pivot-sampled weighted closeness, the 100x path for g4b)
+    estimates the exact weighted closeness within a few percent at
+    sf0.01 (~100 nodes, 1-in-7 pivots). Uses sf0.01 regardless of the
+    session SF: at sf0.001 the graph has only ~10 nodes so the sample
+    is 2 pivots and the estimator is legitimately noisy."""
+    from reddit_can_bigdata_spark.operators.advanced import (
+        g4b_closeness_weighted,
+        g4d_closeness_weighted_sampled,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["node"]: r["closeness_w"] for r in g4b_closeness_weighted(spark, sf).collect()}
+    est = {
+        r["node"]: r["closeness_w_est"]
+        for r in g4d_closeness_weighted_sampled(spark, sf).collect()
+    }
+    # every node a pivot reaches gets an estimate (connected fixture)
+    assert set(est) == set(exact)
+    rel_errs = [abs(est[n] - exact[n]) / exact[n] for n in exact]
+    mre = sum(rel_errs) / len(rel_errs)
+    assert mre < 0.10, mre
+    # and the estimator is unbiased enough that ordering mostly holds
+    import math
+
+    xs = [exact[n] for n in sorted(exact)]
+    ys = [est[n] for n in sorted(exact)]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    corr = cov / math.sqrt(
+        sum((x - mx) ** 2 for x in xs) * sum((y - my) ** 2 for y in ys)
+    )
+    assert corr > 0.5, corr
