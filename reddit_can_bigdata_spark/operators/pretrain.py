@@ -38,13 +38,27 @@ TFIDF_TOPK = 3
 PACK_BUDGET = 256  # tokens per packed training sequence
 WINNOW_K = 3  # tokens per k-gram (shingle)
 WINNOW_W = 4  # winnowing window: k-grams per selection window
+# argmin-in-window packing: enc = hash32 * WINNOW_POS_MOD + pos.
+# 2^31 is the largest multiplier whose packed value still fits a
+# BIGINT for an unsigned 32-bit hash ((2^32-1)*2^31 + (2^31-1) =
+# 2^63-1 exactly), so positions are safe up to ~2.1e9 k-grams per
+# document — beyond any real corpus row (a 2^20 multiplier would
+# silently corrupt fingerprints past ~1M k-grams).
+WINNOW_POS_MOD = 2_147_483_648  # 2^31
+
+# ONE tokenization policy for every pretrain operator (advice r2):
+# tokens are the NON-EMPTY fields of a single-space split, so
+# n_tokens/chunks/fingerprints agree across operators even for text
+# with repeated or leading spaces. Spark / DuckDB twins:
+TOKENS_EXPR = "filter(split(text, ' '), t -> t <> '')"
+TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
 
 
 @register(
     "pretrain_doc_chunks",
     oracle=f"""
     WITH d AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
     ),
     s AS (
       SELECT doc_id, toks,
@@ -71,8 +85,7 @@ def pretrain_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle at all; at 100 TB this runs at scan speed and the
     output is written straight back out partitioned by shard."""
     docs = tables(spark, sf_dir)["documents"]
-    toks = F.split(F.col("text"), " ")
-    base = docs.select("doc_id", toks.alias("toks"))
+    base = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
     starts = F.sequence(
         F.lit(0), F.size("toks") - F.lit(1), F.lit(CHUNK_STRIDE)
     )
@@ -240,7 +253,7 @@ def pretrain_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
       SELECT source, doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens
       FROM documents
     ),
     packed AS (
@@ -274,7 +287,7 @@ def pretrain_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "source",
         "doc_id",
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.size(F.expr(TOKENS_EXPR)).cast("bigint").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("source")
@@ -354,7 +367,7 @@ def pretrain_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pretrain_winnowing",
     oracle=f"""
     WITH d AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
     ),
     kg AS (
       SELECT doc_id,
@@ -367,7 +380,7 @@ def pretrain_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, pos,
              {PORTABLE_HASH32_SQL.format(
                  x="toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]"
-             )} * 1048576 + pos AS enc,
+             )} * {WINNOW_POS_MOD} + pos AS enc,
              CAST(len(toks) - {WINNOW_K - 1} AS BIGINT) AS nk
       FROM kg
     ),
@@ -379,8 +392,8 @@ def pretrain_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       QUALIFY pos <= nk - {WINNOW_W - 1}
     )
     SELECT DISTINCT doc_id,
-           CAST(pick % 1048576 AS BIGINT) AS pos,
-           CAST(pick // 1048576 AS BIGINT) AS khash
+           CAST(pick % {WINNOW_POS_MOD} AS BIGINT) AS pos,
+           CAST(pick // {WINNOW_POS_MOD} AS BIGINT) AS khash
     FROM sel
     """,
     tags=("pretrain", "fingerprint", "winnowing"),
@@ -397,7 +410,7 @@ def pretrain_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id — linear at any scale, and the selected-fingerprint table
     is what a plagiarism/near-dup index actually stores."""
     docs = tables(spark, sf_dir)["documents"]
-    base = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+    base = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks")).where(
         F.size("toks") >= WINNOW_K
     )
     kgram = F.expr(
@@ -415,7 +428,7 @@ def pretrain_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.col("pos0") + 1).alias("pos"),
-            (portable_hash32(F.col("kgram")) * 1048576 + F.col("pos0") + 1)
+            (portable_hash32(F.col("kgram")) * WINNOW_POS_MOD + F.col("pos0") + 1)
             .cast("bigint")
             .alias("enc"),
             (F.col("n_toks") - (WINNOW_K - 1)).cast("bigint").alias("nk"),
@@ -431,6 +444,6 @@ def pretrain_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sel.select(
         "doc_id",
-        (F.col("pick") % 1048576).cast("bigint").alias("pos"),
-        F.expr("pick div 1048576").cast("bigint").alias("khash"),
+        (F.col("pick") % WINNOW_POS_MOD).cast("bigint").alias("pos"),
+        F.expr(f"pick div {WINNOW_POS_MOD}").cast("bigint").alias("khash"),
     ).distinct()

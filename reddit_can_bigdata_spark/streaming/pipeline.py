@@ -76,13 +76,20 @@ def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = None
     try:
         stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-        if dict(stream.dtypes)["ts"] == "bigint":
+        ts_dtype = dict(stream.dtypes)["ts"]
+        if ts_dtype == "bigint":
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif dict(stream.dtypes)["ts"] != "timestamp":
-            # TIMESTAMP_NTZ parquet: event-time watermarks require
-            # TIMESTAMP; the UTC-session cast preserves the wall clock
-            # (same normalization as tables.py).
+        elif ts_dtype == "timestamp_ntz":
+            # event-time watermarks require TIMESTAMP; the UTC-session
+            # cast preserves the wall clock (same normalization as
+            # tables.py). Only this known case is coerced — any other
+            # dtype is a schema regression and must fail loudly, not
+            # be silently cast.
             stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_dtype != "timestamp":
+            raise TypeError(
+                f"events.ts: expected bigint/timestamp/timestamp_ntz, got {ts_dtype}"
+            )
         agg = windowed_event_counts(stream)
         q = (
             agg.writeStream.format("memory")

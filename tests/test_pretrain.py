@@ -140,3 +140,37 @@ def test_unigram_logprob_ranks_typical_text_higher(spark, sf_dir):
         ).collect()
     }
     assert out[1] > out[2]
+
+
+def test_shared_tokenization_twins_agree_on_messy_text(spark):
+    """TOKENS_EXPR (Spark) and TOKENS_SQL (DuckDB) implement the one
+    pretrain tokenization policy — non-empty fields of a single-space
+    split — identically, including repeated/leading/trailing spaces."""
+    import duckdb
+
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_EXPR, TOKENS_SQL
+
+    cases = ["a b c", "a  b", " a b ", "", "  ", "one"]
+    sdf = spark.createDataFrame([(t,) for t in cases], "text string")
+    got_spark = [r["toks"] for r in sdf.select(F.expr(TOKENS_EXPR).alias("toks")).collect()]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {TOKENS_SQL} FROM (SELECT ? AS text)", [t]).fetchone()[0]
+        for t in cases
+    ]
+    assert got_spark == got_duck
+    assert got_spark[1] == ["a", "b"]  # empties dropped
+    assert got_spark[3] == got_spark[4] == []
+
+
+def test_winnowing_pack_fits_bigint_at_extremes():
+    """enc = hash*WINNOW_POS_MOD + pos must fit int64 at the max
+    unsigned 32-bit hash, and unpack exactly."""
+    from reddit_can_bigdata_spark.operators.pretrain import WINNOW_POS_MOD
+
+    max_hash = 2**32 - 1
+    max_pos = WINNOW_POS_MOD - 1
+    enc = max_hash * WINNOW_POS_MOD + max_pos
+    assert enc == 2**63 - 1  # exactly BIGINT max — no overflow headroom wasted
+    assert enc // WINNOW_POS_MOD == max_hash
+    assert enc % WINNOW_POS_MOD == max_pos
