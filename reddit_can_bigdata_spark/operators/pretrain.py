@@ -76,6 +76,7 @@ TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
     FROM s
     """,
     tags=("pretrain", "chunking"),
+    bench=True,
 )
 def pretrain_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (window 16, stride 8, 50%
@@ -132,6 +133,7 @@ def pretrain_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= {TFIDF_TOPK}
     """,
     tags=("pretrain", "tfidf", "keywords"),
+    bench=True,
 )
 def pretrain_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 keywords by TF-IDF, fully
@@ -203,6 +205,7 @@ _STOP_LIST_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
     FROM feats
     """,
     tags=("pretrain", "quality"),
+    bench=True,
 )
 def pretrain_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
@@ -272,6 +275,7 @@ def pretrain_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM packed
     """,
     tags=("pretrain", "packing"),
+    bench=True,
 )
 def pretrain_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (the GPT-style tokenizer
@@ -332,6 +336,7 @@ def pretrain_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id
     """,
     tags=("pretrain", "lm-score"),
+    bench=True,
 )
 def pretrain_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model score: each document's mean log
@@ -397,6 +402,7 @@ def pretrain_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sel
     """,
     tags=("pretrain", "fingerprint", "winnowing"),
+    bench=True,
 )
 def pretrain_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003): hash
