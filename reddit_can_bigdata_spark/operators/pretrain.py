@@ -453,3 +453,162 @@ def pretrain_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pick") % WINNOW_POS_MOD).cast("bigint").alias("pos"),
         F.expr(f"pick div {WINNOW_POS_MOD}").cast("bigint").alias("khash"),
     ).distinct()
+
+
+DECONTAM_N = 5  # tokens per collision shingle (tuned to the short
+# synthetic docs; production pipelines run 8-13-gram windows, same plan)
+DECONTAM_EVAL_MOD = 97  # doc_id % 97 == 0 is the held-out "benchmark" set
+
+
+def _gram_sql(n: int) -> str:
+    """DuckDB n-gram list over the shared TOKENS_SQL tokenization."""
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"[{gram} for i in generate_series(1, len(toks) - {n - 1})] "
+        "ELSE [] END"
+    )
+
+
+def _gram_expr(n: int) -> str:
+    """Spark twin of `_gram_sql` (over a `toks` array column)."""
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        "ELSE array() END"
+    )
+
+
+@register(
+    "pretrain_decontaminate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {{TOKENS_SQL}} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct({_gram_sql(DECONTAM_N)}) AS grams
+      FROM d
+    ),
+    eg AS (
+      SELECT DISTINCT unnest(grams) AS gr FROM g
+      WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(grams) AS gr FROM g
+      WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0
+    ),
+    coll AS (
+      SELECT corpus.doc_id, CAST(COUNT(*) AS BIGINT) AS n_collisions
+      FROM corpus JOIN eg USING (gr)
+      GROUP BY corpus.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(g.grams) AS BIGINT) AS n_grams,
+           COALESCE(coll.n_collisions, 0) AS n_collisions,
+           COALESCE(coll.n_collisions, 0) >= 1 AS contaminated
+    FROM g LEFT JOIN coll ON coll.doc_id = g.doc_id
+    WHERE g.doc_id % {DECONTAM_EVAL_MOD} <> 0
+    """.replace("{TOKENS_SQL}", TOKENS_SQL),
+    tags=("pretrain", "decontamination"),
+    bench=True,
+)
+def pretrain_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag training documents sharing any
+    {N}-token shingle with a held-out eval set (doc_id % 97 == 0 here;
+    in production, the actual benchmark suites) — the check every
+    serious pretraining pipeline runs so test data can't leak into
+    training shards (cf. GPT-3 App. C / Gopher App. A 13-gram
+    dedup-against-eval).
+
+    Plan: per-doc DISTINCT shingles (narrow map over the shared
+    tokenization), the eval side collapses to one deduped gram table —
+    ≪ corpus by construction (it's the benchmark, not the crawl) — so
+    Spark broadcasts it and the corpus side never shuffles: scan →
+    flatMap → broadcast-hash semi-count → one aggregate on doc_id.
+    Collision counting is exact (distinct grams, integer counts);
+    contaminated = ≥1 collision."""
+    docs = tables(spark, sf_dir)["documents"]
+    g = spread(docs).select(
+        "doc_id", F.expr(TOKENS_EXPR).alias("toks")
+    ).select(
+        "doc_id",
+        F.array_distinct(F.expr(_gram_expr(DECONTAM_N))).alias("grams"),
+    )
+    is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    eg = (
+        g.where(is_eval)
+        .select(F.explode("grams").alias("gr"))
+        .distinct()
+    )
+    corpus = g.where(~is_eval)
+    coll = (
+        corpus.select("doc_id", F.explode("grams").alias("gr"))
+        .join(F.broadcast(eg), "gr")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_collisions"))
+    )
+    return (
+        corpus.join(coll, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_collisions"), F.lit(0)).cast("bigint").alias(
+                "n_collisions"
+            ),
+            (F.coalesce(F.col("n_collisions"), F.lit(0)) >= 1).alias("contaminated"),
+        )
+    )
+
+
+REPEAT_N = 3  # shingle size for the repetition signal
+REPEAT_MAX_DUP_X5 = 1  # keep iff 5 * dup_grams <= 1 * n_grams (<= 20%)
+
+
+@register(
+    "pretrain_repetition",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {{TOKENS_SQL}} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, {_gram_sql(REPEAT_N)} AS g3 FROM d
+    )
+    SELECT doc_id,
+           CAST(len(g3) AS BIGINT) AS n_3grams,
+           CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct_3grams,
+           round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                 / len(g3), 6) AS dup_ratio,
+           5 * (len(g3) - len(list_distinct(g3))) <= len(g3) AS keep
+    FROM g
+    WHERE len(g3) > 0
+    """.replace("{TOKENS_SQL}", TOKENS_SQL),
+    tags=("pretrain", "quality", "repetition"),
+    bench=True,
+)
+def pretrain_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style REPETITION filter: per-document duplicate-3-gram
+    fraction (Rae et al. 2021 §A1.1 use duplicate n-gram fractions,
+    n=2..4, to drop boilerplate/spam before training). dup_ratio =
+    (n − distinct)/n over the shared tokenization; keep iff ≤ 20%,
+    decided by integer cross-multiplication (5·dup ≤ n) so the
+    boundary is bit-exact across engines.
+
+    Plan: pure array expressions — grams, distinct, counts all happen
+    inside one projection, NO explode and NO shuffle: the whole
+    operator runs at scan speed on any corpus size."""
+    docs = tables(spark, sf_dir)["documents"]
+    g = spread(docs).select(
+        "doc_id", F.expr(TOKENS_EXPR).alias("toks")
+    ).select("doc_id", F.expr(_gram_expr(REPEAT_N)).alias("g3"))
+    n = F.size("g3").cast("bigint")
+    d = F.size(F.array_distinct("g3")).cast("bigint")
+    return g.where(F.size("g3") > 0).select(
+        "doc_id",
+        n.alias("n_3grams"),
+        d.alias("n_distinct_3grams"),
+        F.round((n - d).cast("double") / n, 6).alias("dup_ratio"),
+        (F.lit(5) * (n - d) <= n).alias("keep"),
+    )

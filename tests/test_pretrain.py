@@ -174,3 +174,69 @@ def test_winnowing_pack_fits_bigint_at_extremes():
     assert enc == 2**63 - 1  # exactly BIGINT max — no overflow headroom wasted
     assert enc // WINNOW_POS_MOD == max_hash
     assert enc % WINNOW_POS_MOD == max_pos
+
+
+def test_decontaminate_flags_exactly_the_eval_colliders(spark):
+    """Recompute the 5-gram collision set in pure Python at sf0.01
+    (sf0.001 has too few docs for planted near-dups to cross the
+    eval-set boundary) and pin the operator's flags to it."""
+    import duckdb
+
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        DECONTAM_EVAL_MOD,
+        DECONTAM_N,
+        pretrain_decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+
+    def grams(text):
+        toks = [t for t in text.split(" ") if t]
+        return {
+            " ".join(toks[i : i + DECONTAM_N])
+            for i in range(len(toks) - DECONTAM_N + 1)
+        }
+
+    eval_grams = set()
+    for did, text in docs:
+        if did % DECONTAM_EVAL_MOD == 0:
+            eval_grams |= grams(text)
+    want = {
+        did: len(grams(text) & eval_grams)
+        for did, text in docs
+        if did % DECONTAM_EVAL_MOD != 0
+    }
+    got = {
+        r["doc_id"]: r["n_collisions"]
+        for r in pretrain_decontaminate(spark, sf).collect()
+    }
+    assert got == want
+    # the corpus has planted near-dups, so the check is non-vacuous
+    assert any(v >= 1 for v in got.values())
+
+
+def test_repetition_matches_python_and_boundary(spark, sf_dir):
+    import duckdb
+
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        REPEAT_N,
+        pretrain_repetition,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    want = {}
+    for did, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        g = [" ".join(toks[i : i + REPEAT_N]) for i in range(len(toks) - REPEAT_N + 1)]
+        if g:
+            want[did] = (len(g), len(set(g)), 5 * (len(g) - len(set(g))) <= len(g))
+    got = {
+        r["doc_id"]: (r["n_3grams"], r["n_distinct_3grams"], r["keep"])
+        for r in pretrain_repetition(spark, sf_dir).collect()
+    }
+    assert got == want
