@@ -71,3 +71,58 @@ def curate_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= CAP_PER_SOURCE)
         .drop("rn")
     )
+
+
+MIX_ALPHA_X10 = 7  # temperature alpha = 0.7 (exponent applied as pow(x, 0.7))
+
+
+@register(
+    "curate_source_mix",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                      t -> t <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, n_docs, n_tokens,
+             pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA_X10 / 10}) AS raw_w
+      FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           round(raw_w / SUM(raw_w) OVER (), 6) AS mix_weight
+    FROM wts
+    """,
+    tags=("curation", "mixture"),
+)
+def curate_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source MIXTURE: sampling weight per source
+    ∝ n_tokens^0.7, normalized — the multilingual/multi-source
+    temperature sampling rule (e.g. mT5/XLM-R's alpha-smoothed
+    mixtures) that up-weights small sources relative to their raw
+    token share so one giant crawl can't drown the rest.
+
+    Plan: one hash aggregate to source granularity (the mixture table
+    is sources-sized — tiny at any corpus scale), then the normalize
+    is a scalar-window over that tiny table. Token counts use the
+    shared pretrain tokenization; the only float steps are pow and one
+    division, rounded to 6dp."""
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_EXPR
+
+    docs = tables(spark, sf_dir)["documents"]
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.expr(TOKENS_EXPR))).cast("bigint").alias("n_tokens"),
+    )
+    raw_w = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA_X10 / 10))
+    wts = per_src.withColumn("raw_w", raw_w)
+    total = wts.agg(F.sum("raw_w").alias("tw"))
+    return (
+        wts.crossJoin(F.broadcast(total))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("raw_w") / F.col("tw"), 6).alias("mix_weight"),
+        )
+    )

@@ -612,3 +612,82 @@ def pretrain_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n - d).cast("double") / n, 6).alias("dup_ratio"),
         (F.lit(5) * (n - d) <= n).alias("keep"),
     )
+
+
+def _keep_decision_oracle() -> str:
+    """Composes the three filter oracles as CTEs (the same splicing
+    pattern as the influencer composite)."""
+    from reddit_can_bigdata_spark.registry import REGISTRY
+
+    q = REGISTRY["pretrain_quality_rules"].oracle
+    r = REGISTRY["pretrain_repetition"].oracle
+    c = REGISTRY["pretrain_decontaminate"].oracle
+    return f"""
+    WITH qual AS MATERIALIZED ({q}),
+    rep AS MATERIALIZED ({r}),
+    dec AS MATERIALIZED ({c})
+    SELECT d.doc_id,
+           qual.keep AS ok_quality,
+           COALESCE(rep.keep, TRUE) AS ok_repetition,
+           COALESCE(NOT dec.contaminated, TRUE) AS not_contaminated,
+           d.doc_id % {DECONTAM_EVAL_MOD} = 0 AS in_eval,
+           (qual.keep AND COALESCE(rep.keep, TRUE)
+            AND COALESCE(NOT dec.contaminated, TRUE)
+            AND d.doc_id % {DECONTAM_EVAL_MOD} <> 0) AS keep
+    FROM documents d
+    JOIN qual ON qual.doc_id = d.doc_id
+    LEFT JOIN rep ON rep.doc_id = d.doc_id
+    LEFT JOIN dec ON dec.doc_id = d.doc_id
+    """
+
+
+@register(
+    "pretrain_keep_decision",
+    oracle=_keep_decision_oracle(),
+    tags=("pretrain", "quality", "composite"),
+)
+def pretrain_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized FINAL FILTER: one row per document with every
+    signal a pipeline's keep/drop decision consumes — Gopher-style
+    quality rules AND repetition AND benchmark decontamination AND
+    eval-set exclusion (eval docs must never reach training shards).
+    This is the table the tokenizer-sharder joins against; computing
+    it once instead of per-consumer is why pipelines materialize it.
+
+    Missing-row semantics (documented, oracle-identical): a doc too
+    short for 3-grams has no repetition evidence (ok_repetition
+    defaults TRUE — the quality length rule owns short docs); an
+    eval doc has no decontamination row (vacuously not_contaminated)
+    but is excluded by in_eval.
+
+    Plan: three doc_id-keyed aggregates joined on their common key —
+    at scale all three sides are corpus-sized but doc_id-partitioned,
+    so AQE plans co-partitioned joins with no broadcast pressure."""
+    docs = tables(spark, sf_dir)["documents"]
+    qual = pretrain_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ok_quality")
+    )
+    rep = pretrain_repetition(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rep_keep")
+    )
+    dec = pretrain_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    in_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    return (
+        docs.select("doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ok_quality",
+            F.coalesce(F.col("rep_keep"), F.lit(True)).alias("ok_repetition"),
+            F.coalesce(~F.col("contaminated"), F.lit(True)).alias("not_contaminated"),
+            in_eval.alias("in_eval"),
+            (
+                F.col("ok_quality")
+                & F.coalesce(F.col("rep_keep"), F.lit(True))
+                & F.coalesce(~F.col("contaminated"), F.lit(True))
+                & ~in_eval
+            ).alias("keep"),
+        )
+    )
