@@ -471,13 +471,24 @@ def _gram_sql(n: int) -> str:
 
 
 def _gram_expr(n: int) -> str:
-    """Spark twin of `_gram_sql` (over a `toks` array column)."""
+    """Spark twin of `_gram_sql`, straight from the `text` column.
+
+    The tokenization is BOUND ONCE via the single-element-array lambda
+    (`transform(array(tokens), toks -> ...)`): a naive two-step
+    projection (toks column, then grams referencing it) gets merged by
+    Catalyst's CollapseProject, which substitutes the whole
+    filter(split(text)) into EVERY element_at reference — n positions
+    x n tokens-per-position re-evaluations turned this scan-speed map
+    quadratic (measured 6.2s -> 0.9s at sf0.1). Lambda variables are
+    evaluated once by construction, so the binding survives any
+    projection rewrite."""
     parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
     return (
+        f"element_at(transform(array({TOKENS_EXPR}), toks -> "
         f"CASE WHEN size(toks) >= {n} THEN "
         f"transform(sequence(1, size(toks) - {n - 1}), "
         f"i -> concat_ws(' ', {parts})) "
-        "ELSE array() END"
+        "ELSE array() END), 1)"
     )
 
 
@@ -531,12 +542,18 @@ def pretrain_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Collision counting is exact (distinct grams, integer counts);
     contaminated = ≥1 collision."""
     docs = tables(spark, sf_dir)["documents"]
+    # `g` feeds three consumers (eval grams, collision count, final
+    # join) — cache it or the text -> tokens -> distinct-grams
+    # projection executes three times (measured 3.5x on the bench).
+    # MEMORY_AND_DISK: at 100 TB the gram table spills rather than
+    # evicting mid-job; it is corpus-sized but column-pruned to
+    # (doc_id, grams).
+    from pyspark import StorageLevel
+
     g = spread(docs).select(
-        "doc_id", F.expr(TOKENS_EXPR).alias("toks")
-    ).select(
         "doc_id",
         F.array_distinct(F.expr(_gram_expr(DECONTAM_N))).alias("grams"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
     eg = (
         g.where(is_eval)
@@ -600,9 +617,7 @@ def pretrain_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside one projection, NO explode and NO shuffle: the whole
     operator runs at scan speed on any corpus size."""
     docs = tables(spark, sf_dir)["documents"]
-    g = spread(docs).select(
-        "doc_id", F.expr(TOKENS_EXPR).alias("toks")
-    ).select("doc_id", F.expr(_gram_expr(REPEAT_N)).alias("g3"))
+    g = spread(docs).select("doc_id", F.expr(_gram_expr(REPEAT_N)).alias("g3"))
     n = F.size("g3").cast("bigint")
     d = F.size(F.array_distinct("g3")).cast("bigint")
     return g.where(F.size("g3") > 0).select(
