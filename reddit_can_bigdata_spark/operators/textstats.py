@@ -244,3 +244,66 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(portable_hash32(F.col("gram"))).alias("fingerprint"),
         F.countDistinct("gram").alias("n_grams"),
     )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no backreferences, no lookaround.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+      FROM documents
+    )
+    SELECT doc_id, n_emails, n_phones,
+           n_emails + n_phones > 0 AS had_pii,
+           {{HASH}} AS redacted_hash
+    FROM r
+    """.replace(
+        "{HASH}",
+        "(('0x' || substr(md5(redacted), 1, 8))::BIGINT)",
+    ),
+    tags=("text", "pii", "redaction"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION: replace email addresses and phone numbers with
+    placeholder tokens and count what was scrubbed — the compliance
+    pass every production corpus runs before training. Patterns are
+    restricted to the Java-regex ∩ RE2 dialect so Spark and the
+    oracle tokenize identically; the redacted text is compared via
+    the portable 32-bit hash (hauling full redacted bodies through
+    the hash comparison adds nothing).
+
+    Plan: one projection — regexp_count + two regexp_replace chains,
+    all whole-stage-codegen, no shuffle; scan speed at any corpus
+    size. The synthetic corpus contains no PII (all had_pii false —
+    the oracle proves the negative); the positive path is pinned on
+    constructed rows in tests/test_functions.py."""
+    from reddit_can_bigdata_spark.functions.text import portable_hash32
+
+    docs = tables(spark, sf_dir)["documents"]
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    n_emails = F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("bigint")
+    n_phones = F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        (n_emails + n_phones > 0).alias("had_pii"),
+        portable_hash32(redacted).alias("redacted_hash"),
+    )

@@ -70,3 +70,50 @@ def test_o7_random_split_deterministic_with_seed(spark, sf_dir):
     assert ids(b1) == ids(b2)
     assert a1.count() + b1.count() == docs.count()
     assert set(ids(a1)).isdisjoint(ids(b1))
+
+
+def test_pii_redaction_positive_path(spark):
+    """The registered query proves the no-PII negative on the corpus;
+    this pins the positive path — emails/phones actually get replaced
+    and counted, identically in Spark and DuckDB."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.operators.textstats import _PII_EMAIL, _PII_PHONE
+
+    rows = [
+        (1, "contact me at alice.smith+spam@example.co.uk for details"),
+        (2, "call 555-867-5309 or 555.123.4567 now"),
+        (3, "mixed: bob@test.io and 111-222-3333"),
+        (4, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    got = {
+        r["doc_id"]: (r["red"], r["ne"], r["np"])
+        for r in df.select(
+            "doc_id",
+            redacted.alias("red"),
+            F.regexp_count("text", F.lit(_PII_EMAIL)).alias("ne"),
+            F.regexp_count("text", F.lit(_PII_PHONE)).alias("np"),
+        ).collect()
+    }
+    assert got[1] == ("contact me at <EMAIL> for details", 1, 0)
+    assert got[2] == ("call <PHONE> or <PHONE> now", 0, 2)
+    assert got[3] == ("mixed: <EMAIL> and <PHONE>", 1, 1)
+    assert got[4] == ("clean text with no identifiers at all", 0, 0)
+
+    con = duckdb.connect()
+    for did, text in rows:
+        duck_red, duck_ne, duck_np = con.execute(
+            f"""SELECT regexp_replace(regexp_replace(?, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g'),
+                   len(regexp_extract_all(?, '{_PII_EMAIL}')),
+                   len(regexp_extract_all(?, '{_PII_PHONE}'))""",
+            [text, text, text],
+        ).fetchone()
+        assert (duck_red, duck_ne, duck_np) == got[did], (did, duck_red)
