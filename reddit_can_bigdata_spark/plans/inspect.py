@@ -62,14 +62,19 @@ def join_kinds(df: DataFrame) -> list[str]:
     return kinds
 
 
+import re as _re
+
+
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle Exchange nodes (excludes broadcast exchanges)."""
-    n = 0
-    for line in formatted_plan(df).splitlines():
-        s = line.strip()
-        if "Exchange" in s and "BroadcastExchange" not in s and s.lstrip("*+- (0123456789)").strip().startswith("Exchange"):
-            n += 1
-    return n
+    """Number of shuffle Exchange nodes (excludes broadcast
+    exchanges). Counts only the detail-section headers `(N) Exchange`
+    — each node appears exactly once there, whereas the tree section
+    repeats it and would double-count."""
+    return sum(
+        1
+        for line in formatted_plan(df).splitlines()
+        if _re.match(r"\(\d+\) Exchange\b", line.strip())
+    )
 
 
 def codegen_stage_count(df: DataFrame) -> int:

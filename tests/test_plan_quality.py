@@ -135,3 +135,38 @@ def test_iterative_state_join_has_broadcast_ceiling(spark, sf_dir):
     pr_bc = {r["node"]: r["pagerank"] for r in g6_pagerank(spark, sf_dir, "broadcast").collect()}
     pr_sh = {r["node"]: r["pagerank"] for r in g6_pagerank(spark, sf_dir, "shuffle").collect()}
     assert pr_bc == pr_sh
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-gram table is benchmark-sized (<< corpus): the
+    collision join must be a BroadcastHashJoin so the corpus side
+    never shuffles."""
+    from reddit_can_bigdata_spark.operators.pretrain import pretrain_decontaminate
+
+    plan = formatted_plan(pretrain_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repetition_is_shuffle_free(spark, sf_dir):
+    """Duplicate-n-gram fraction is pure array expressions in one
+    projection: the only exchange allowed is the `spread` round-robin
+    rebalance of the single-file test input (a no-op on real
+    multi-split inputs) — no aggregate, no join."""
+    from reddit_can_bigdata_spark.operators.pretrain import pretrain_repetition
+    from reddit_can_bigdata_spark.plans.inspect import count_exchanges
+
+    df = pretrain_repetition(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) <= 1, plan
+    assert "HashAggregate" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_pii_redact_is_single_stage(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.textstats import text_pii_redact
+    from reddit_can_bigdata_spark.plans.inspect import count_exchanges
+
+    df = text_pii_redact(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 0, plan
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
