@@ -204,3 +204,119 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream/batch equivalence is the Structured Streaming correctness
     contract."""
     return run_stream_to_table(spark, sf_dir)
+
+
+ATTRIB_WINDOW = "30 minutes"  # views within this interval before a click
+
+
+def click_view_attribution(clicks: DataFrame, views: DataFrame) -> DataFrame:
+    """Interval join: every click paired with the SAME user's views in
+    the preceding 30 minutes — the attribution shape (conversion ←
+    impressions) every event pipeline computes.
+
+    Batch/streaming-agnostic: on streaming inputs both sides get
+    event-time watermarks, making this a genuine STREAM-STREAM inner
+    join — Spark bounds the join state by watermark + the time-range
+    condition (views older than click_ts − 30min − watermark are
+    evicted), so state is O(rate × window), not O(stream). The batch
+    run of the same function is the oracle."""
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("ts", "1 hour")
+        views = views.withWatermark("ts", "1 hour")
+    c = clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = c.join(
+        v,
+        (c.user_id == v.v_user_id)
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW}")
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "view_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+
+
+def _events_file_stream(spark: SparkSession, sf_dir: str, stream_dir: str) -> DataFrame:
+    """File-stream over the events parquet with the same ts
+    normalization as `run_stream_to_table` (shared helper)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    os.makedirs(stream_dir, exist_ok=True)
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    ts_dtype = dict(stream.dtypes)["ts"]
+    if ts_dtype == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif ts_dtype != "timestamp":
+        raise TypeError(
+            f"events.ts: expected bigint/timestamp/timestamp_ntz, got {ts_dtype}"
+        )
+    return stream
+
+
+@register(
+    "streaming_click_view_attribution",
+    oracle=f"""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           v.event_id AS view_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def streaming_click_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM watermarked interval join run as a real
+    Structured Streaming query (availableNow over a bounded
+    file-stream, append-mode memory sink), verified against the plain
+    SQL interval join — the last Structured Streaming capability tier
+    (ST5/ST6 covered windows + dedup + arbitrary state; this is
+    two-sided join state)."""
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"attrstream_{uuid.uuid4().hex[:8]}"
+    )
+    name = f"attrib_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = None
+    try:
+        stream = _events_file_stream(spark, sf_dir, stream_dir)
+        clicks = stream.where(F.col("event_type") == "click")
+        views = stream.where(F.col("event_type") == "view")
+        out = click_view_attribution(clicks, views)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stream_dir, ignore_errors=True)

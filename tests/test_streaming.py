@@ -300,3 +300,23 @@ def test_console_sink_runs_bounded(spark, tmp_path):
     q = run_stream_to_console(spark, str(src), str(tmp_path / "ckpt"))
     assert not q.isActive
     assert q.lastProgress["sink"]["description"].startswith("org.apache.spark.sql.execution.streaming.ConsoleTable")
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join produces exactly
+    the rows of the same function run on batch frames (stream/batch
+    equivalence, the Structured Streaming correctness contract)."""
+    from reddit_can_bigdata_spark.streaming.pipeline import (
+        click_view_attribution,
+        streaming_click_view_attribution,
+    )
+    from reddit_can_bigdata_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    batch = click_view_attribution(
+        ev.where("event_type = 'click'"), ev.where("event_type = 'view'")
+    )
+    want = sorted(map(tuple, batch.collect()))
+    got = sorted(map(tuple, streaming_click_view_attribution(spark, sf_dir).collect()))
+    assert got == want
+    assert len(got) > 0
