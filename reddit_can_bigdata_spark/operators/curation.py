@@ -118,11 +118,12 @@ def curate_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw_w = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA_X10 / 10))
     wts = per_src.withColumn("raw_w", raw_w)
-    total = wts.agg(F.sum("raw_w").alias("tw"))
-    return (
-        wts.crossJoin(F.broadcast(total))
-        .select(
-            "source", "n_docs", "n_tokens",
-            F.round(F.col("raw_w") / F.col("tw"), 6).alias("mix_weight"),
-        )
+    # normalize via an unpartitioned window over the SOURCES-sized
+    # table (the oracle's form): one pass — a scalar-agg + crossJoin
+    # would re-run the corpus aggregate for the total
+    return wts.select(
+        "source", "n_docs", "n_tokens",
+        F.round(
+            F.col("raw_w") / F.sum("raw_w").over(Window.partitionBy()), 6
+        ).alias("mix_weight"),
     )

@@ -234,12 +234,6 @@ def influencer_composite_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ed = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    n_nodes = (
-        ed.select(F.col("u").alias("n"))
-        .unionAll(ed.select(F.col("v").alias("n")))
-        .distinct()
-        .count()
-    )
     deg = g2_degree_centrality(spark, sf_dir, edges=ed).select(
         "node", "degree_centrality"
     )
@@ -260,10 +254,13 @@ def influencer_composite_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
                 eager=True
             )
         )
+        # closeness_for_scale counts nodes for its gate INSIDE the
+        # pooled thread — a serial pre-count would add one edge-list
+        # pass of latency that all three pooled jobs wait behind
         fcl = pool.submit(
-            lambda: closeness_for_scale(
-                spark, sf_dir, edges=ed, n_nodes=n_nodes
-            ).localCheckpoint(eager=True)
+            lambda: closeness_for_scale(spark, sf_dir, edges=ed).localCheckpoint(
+                eager=True
+            )
         )
         pr, ev, cl = fpr.result(), fev.result(), fcl.result()
     m = deg.join(pr, "node").join(ev, "node").join(cl, "node")

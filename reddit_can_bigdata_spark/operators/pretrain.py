@@ -85,8 +85,19 @@ def pretrain_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk. Pure flatMap — ``sequence`` + ``explode`` + ``slice`` —
     no shuffle at all; at 100 TB this runs at scan speed and the
     output is written straight back out partitioned by shard."""
-    docs = tables(spark, sf_dir)["documents"]
-    base = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    return chunk_documents(tables(spark, sf_dir)["documents"])
+
+
+def chunk_documents(docs: DataFrame) -> DataFrame:
+    """The chunker over any (doc_id, text) frame — the registered
+    query binds it to the documents table; tests feed it edge cases
+    the synthetic corpus doesn't contain."""
+    # empty/whitespace-only text tokenizes to [] under TOKENS_EXPR;
+    # sequence(0, -1) raises in Spark (the oracle's generate_series
+    # returns empty), so zero-token docs must be filtered, not fed in
+    base = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks")).where(
+        F.size("toks") > 0
+    )
     starts = F.sequence(
         F.lit(0), F.size("toks") - F.lit(1), F.lit(CHUNK_STRIDE)
     )

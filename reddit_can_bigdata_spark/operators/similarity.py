@@ -107,12 +107,17 @@ def ivf_centroids_trained(emb: DataFrame, k: int = 8, seed: int = 42) -> DataFra
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # bind the L2 norm ONCE via the single-element-array lambda —
+    # referencing the aggregate inside transform(embedding, ...) would
+    # re-evaluate the O(dim) reduction per element (the CollapseProject
+    # re-evaluation pitfall, see pretrain._gram_expr)
     train = emb.select(
         array_to_vector(
             F.expr(
-                "transform(embedding, x -> cast(x as double)"
-                " / sqrt(aggregate(embedding, cast(0.0 as double),"
-                " (a, v) -> a + cast(v as double) * v)))"
+                "element_at(transform(array("
+                " sqrt(aggregate(embedding, cast(0.0 as double),"
+                " (a, v) -> a + cast(v as double) * v))"
+                "), nrm -> transform(embedding, x -> cast(x as double) / nrm)), 1)"
             )
         ).alias("features")
     )

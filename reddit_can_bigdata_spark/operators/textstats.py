@@ -11,6 +11,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from reddit_can_bigdata_spark.functions.text import (
+    PORTABLE_HASH32_SQL,
+    portable_hash32,
+)
 from reddit_can_bigdata_spark.operators.common import spread, tables
 from reddit_can_bigdata_spark.registry import register
 
@@ -270,10 +274,7 @@ _PII_PHONE = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
            n_emails + n_phones > 0 AS had_pii,
            {{HASH}} AS redacted_hash
     FROM r
-    """.replace(
-        "{HASH}",
-        "(('0x' || substr(md5(redacted), 1, 8))::BIGINT)",
-    ),
+    """.replace("{HASH}", PORTABLE_HASH32_SQL.format(x="redacted")),
     tags=("text", "pii", "redaction"),
 )
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,8 +291,6 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. The synthetic corpus contains no PII (all had_pii false —
     the oracle proves the negative); the positive path is pinned on
     constructed rows in tests/test_functions.py."""
-    from reddit_can_bigdata_spark.functions.text import portable_hash32
-
     docs = tables(spark, sf_dir)["documents"]
     redacted = F.regexp_replace(
         F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),

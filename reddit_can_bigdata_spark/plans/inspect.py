@@ -10,6 +10,8 @@ broadcast join into a 100 TB shuffle fails CI instead of a cluster.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 
 
@@ -60,9 +62,6 @@ def join_kinds(df: DataFrame) -> list[str]:
             if s.startswith(k):
                 kinds.append(k)
     return kinds
-
-
-import re as _re
 
 
 def count_exchanges(df: DataFrame) -> int:

@@ -63,33 +63,12 @@ def run_stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink with a processing-time trigger (ST1: 30s in the reference)
     and checkpointing (ST3).
     """
-    path = os.path.join(sf_dir, "events.parquet")
-    # raw on-disk schema (ts is epoch-nanos long, see tables.py)
-    raw_schema = spark.read.parquet(path).schema
-    # the file source requires a directory; expose the single parquet
-    # file through a temp dir (symlink — no copy)
     stream_dir = os.path.join(tempfile.gettempdir(), f"evstream_{uuid.uuid4().hex[:8]}")
-    os.makedirs(stream_dir, exist_ok=True)
-    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
     name = f"wincounts_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     q = None
     try:
-        stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-        ts_dtype = dict(stream.dtypes)["ts"]
-        if ts_dtype == "bigint":
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_dtype == "timestamp_ntz":
-            # event-time watermarks require TIMESTAMP; the UTC-session
-            # cast preserves the wall clock (same normalization as
-            # tables.py). Only this known case is coerced — any other
-            # dtype is a schema regression and must fail loudly, not
-            # be silently cast.
-            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        elif ts_dtype != "timestamp":
-            raise TypeError(
-                f"events.ts: expected bigint/timestamp/timestamp_ntz, got {ts_dtype}"
-            )
+        stream = _events_file_stream(spark, sf_dir, stream_dir)
         agg = windowed_event_counts(stream)
         q = (
             agg.writeStream.format("memory")
@@ -252,8 +231,14 @@ def click_view_attribution(clicks: DataFrame, views: DataFrame) -> DataFrame:
 
 
 def _events_file_stream(spark: SparkSession, sf_dir: str, stream_dir: str) -> DataFrame:
-    """File-stream over the events parquet with the same ts
-    normalization as `run_stream_to_table` (shared helper)."""
+    """File-stream over the events parquet — the ONE place the
+    stream-side ts normalization and file-source setup live (used by
+    every streaming query here). The file source requires a
+    directory, so the single parquet file is exposed through a temp
+    dir via symlink (no copy). Event-time watermarks require
+    TIMESTAMP: epoch-nanos bigint and TIMESTAMP_NTZ (the known
+    on-disk forms, see tables.py) are coerced; any other dtype is a
+    schema regression and fails loudly."""
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
     os.makedirs(stream_dir, exist_ok=True)
@@ -282,7 +267,7 @@ def _events_file_stream(spark: SparkSession, sf_dir: str, stream_dir: str) -> Da
     FROM events c JOIN events v
       ON c.user_id = v.user_id
      AND c.event_type = 'click' AND v.event_type = 'view'
-     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL '{ATTRIB_WINDOW}'
     """,
     tags=("streaming", "join", "interval"),
 )

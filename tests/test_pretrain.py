@@ -240,3 +240,20 @@ def test_repetition_matches_python_and_boundary(spark, sf_dir):
         for r in pretrain_repetition(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_chunker_survives_empty_and_whitespace_docs(spark):
+    """Regression (round-3 review): empty/whitespace-only text
+    tokenizes to [] under the shared policy; sequence(0, -1) raises in
+    Spark unless zero-token docs are filtered. The oracle's
+    generate_series returns empty for them, so 'no rows' is the
+    agreed semantics."""
+    from reddit_can_bigdata_spark.operators.pretrain import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+    assert rows[0]["chunk_text"].startswith("one two")
