@@ -19,6 +19,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from reddit_can_bigdata_spark import registry  # noqa: E402
 
 
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: influencer ranking
     (groupBy rollup → decimal-exact totals → window rank top-20),
@@ -30,11 +33,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (plus the
     training-data-pipeline extras: dedup, similarity, text analysis,
-    graph, streaming)."""
-    return registry.all_queries()
+    graph, streaming).
+
+    Ordered least-externally-checked-first (driver samples the first 50
+    per round); rotation state comes from this repo's CORRECTNESS_r*.json
+    artifacts so every query earns an external row within ceil(N/50)
+    rounds.  The library API (``registry.all_queries``) stays in stable
+    registration order — the rotation is a driver-contract concern only.
+    """
+    return registry.rotated_queries(_REPO_ROOT)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every query that is SQL-expressible.
-    Keys missing here (none currently) get the rows-only check."""
-    return registry.all_oracles()
+    Keys missing here get the rows-only check."""
+    return registry.rotated_oracles(_REPO_ROOT)

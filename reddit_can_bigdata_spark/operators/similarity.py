@@ -19,10 +19,20 @@ Three tiers, mirroring how a real 100 TB pipeline would layer them:
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from reddit_can_bigdata_spark.operators.common import tables
 from reddit_can_bigdata_spark.registry import register
+
+# Persisted trained codebook (seeded spherical k-means, k=8, seed=42,
+# trained on the sf0.01 embeddings by tools/make_ivf_fixture.py). The
+# train-once/search-many split: the fit is an offline job; the search
+# path — and its DuckDB oracle — read this same parquet file.
+CODEBOOK_FIXTURE = str(
+    Path(__file__).resolve().parents[2] / "fixtures" / "ivf_codebook_k8.parquet"
+)
 
 # Sequential double dot product — Spark side.
 _DOT = (
@@ -110,16 +120,23 @@ def ivf_centroids_trained(emb: DataFrame, k: int = 8, seed: int = 42) -> DataFra
     # bind the L2 norm ONCE via the single-element-array lambda —
     # referencing the aggregate inside transform(embedding, ...) would
     # re-evaluate the O(dim) reduction per element (the CollapseProject
-    # re-evaluation pitfall, see pretrain._gram_expr)
-    train = emb.select(
-        array_to_vector(
-            F.expr(
-                "element_at(transform(array("
-                " sqrt(aggregate(embedding, cast(0.0 as double),"
-                " (a, v) -> a + cast(v as double) * v))"
-                "), nrm -> transform(embedding, x -> cast(x as double) / nrm)), 1)"
-            )
-        ).alias("features")
+    # re-evaluation pitfall, see pretrain._gram_expr). Zero-norm vectors
+    # are dropped before the fit: dividing by a 0 norm yields NaN
+    # features that poison or crash KMeans.
+    sqnorm = (
+        "aggregate(embedding, cast(0.0 as double),"
+        " (a, v) -> a + cast(v as double) * v)"
+    )
+    train = (
+        emb.where(F.expr(sqnorm) > 0)
+        .select(
+            array_to_vector(
+                F.expr(
+                    "element_at(transform(array(sqrt(" + sqnorm + ")),"
+                    " nrm -> transform(embedding, x -> cast(x as double) / nrm)), 1)"
+                )
+            ).alias("features")
+        )
     )
     model = KMeans(k=k, seed=seed, maxIter=20).fit(train)
     rows = [
@@ -329,18 +346,43 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_trained_search",
-    oracle=None,  # k-means is iterative — not DuckDB-expressible; rows-only check
+    oracle=f"""
+    WITH centroids AS (
+      SELECT cid, cv FROM read_parquet('{CODEBOOK_FIXTURE}')
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    clustered AS (SELECT vec_id, label, embedding, cid FROM assigned WHERE rn = 1),
+    qc AS (SELECT cid, clustered.embedding AS qv
+           FROM clustered WHERE vec_id = 0)
+    SELECT x.vec_id, x.label,
+           round({_cos_sql('x.embedding', 'qc.qv')}, 6) AS cosine
+    FROM clustered x JOIN qc ON x.cid = qc.cid
+    WHERE x.vec_id <> 0
+    ORDER BY {_cos_sql('x.embedding', 'qc.qv')} DESC, x.vec_id
+    LIMIT 5
+    """,
     tags=("similarity", "ann", "ivf", "kmeans"),
 )
 def sim_ivf_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search against the TRAINED codebook: seeded k-means
-    centroids (`ivf_centroids_trained`) instead of the vec_id<8
-    stand-in, then the same assign + probe-nearest-cluster plan as
-    `sim_ivf_cluster_search`. Recall-vs-stand-in is pinned by
-    tests/test_ivf_trained.py on planted-cluster data; this query
-    exercises the full path on the real table."""
+    """IVF search against the TRAINED codebook — the train-once /
+    search-many split of a production IVF index. The codebook is the
+    seeded spherical k-means fit (`ivf_centroids_trained`, k=8,
+    seed=42), trained offline and persisted as a parquet fixture
+    (tools/make_ivf_fixture.py -> fixtures/ivf_codebook_k8.parquet);
+    the search path (assignment + probe-nearest-cluster + top-k, same
+    plan as `sim_ivf_cluster_search`) reads the persisted codebook, so
+    it carries an EXACT DuckDB oracle over the same fixture. The fit
+    itself is pinned separately: recall on planted clusters and
+    committed-fixture reproducibility in tests/test_ivf_trained.py."""
     emb = tables(spark, sf_dir)["embeddings"]
-    cents = ivf_centroids_trained(emb)
+    cents = spark.read.parquet(CODEBOOK_FIXTURE)
     clustered = ivf_assign(emb, cents=cents)
     qc = (
         clustered.where(F.col("vec_id") == 0)

@@ -28,6 +28,17 @@ def sf_dir() -> str:
 
 
 @pytest.fixture(scope="session")
+def sf001_dir() -> str:
+    """The sf0.01 tables, located as a sibling of SF_DIR so the suite
+    works wherever the fixture root lives. A few tests need this scale
+    regardless of the session SF (sf0.001 is too small for them)."""
+    path = Path(SF_DIR).parent / "sf0.01"
+    if not path.is_dir():
+        pytest.skip("sf0.01 fixture dir not available next to TEST_SF_DIR")
+    return str(path)
+
+
+@pytest.fixture(scope="session")
 def duck():
     import duckdb
 

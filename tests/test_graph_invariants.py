@@ -306,7 +306,7 @@ def test_components_match_union_find(spark, sf_dir, edges):
     assert sorted(got.values()) == sorted(expected.values())
 
 
-def test_g4d_weighted_sampled_approximates_exact(spark):
+def test_g4d_weighted_sampled_approximates_exact(spark, sf001_dir):
     """g4d (pivot-sampled weighted closeness, the 100x path for g4b)
     estimates the exact weighted closeness within a few percent at
     sf0.01 (~100 nodes, 1-in-7 pivots). Uses sf0.01 regardless of the
@@ -317,7 +317,7 @@ def test_g4d_weighted_sampled_approximates_exact(spark):
         g4d_closeness_weighted_sampled,
     )
 
-    sf = "/root/testdata/sf0.01"
+    sf = sf001_dir
     exact = {r["node"]: r["closeness_w"] for r in g4b_closeness_weighted(spark, sf).collect()}
     est = {
         r["node"]: r["closeness_w_est"]

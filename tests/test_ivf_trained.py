@@ -99,6 +99,43 @@ def test_trained_codebook_is_seed_deterministic(spark, planted):
     assert va == vb
 
 
+def test_committed_codebook_reproducible(spark, sf001_dir):
+    """The committed fixtures/ivf_codebook_k8.parquet IS the seeded
+    k-means fit on the sf0.01 embeddings: refit and compare. Pins the
+    provenance of the fixture that sim_ivf_trained_search (and its
+    DuckDB oracle) read, so the 'trained' claim stays checkable."""
+    from reddit_can_bigdata_spark.operators.common import tables
+    from reddit_can_bigdata_spark.operators.similarity import (
+        CODEBOOK_FIXTURE,
+        ivf_centroids_trained,
+    )
+
+    emb = tables(spark, sf001_dir)["embeddings"]
+    refit = {r["cid"]: r["cv"] for r in ivf_centroids_trained(emb).collect()}
+    fixture = {
+        r["cid"]: r["cv"] for r in spark.read.parquet(CODEBOOK_FIXTURE).collect()
+    }
+    assert sorted(fixture) == list(range(K))
+    assert sorted(refit) == list(range(K))
+    for cid in fixture:
+        assert np.allclose(fixture[cid], refit[cid], rtol=0, atol=1e-12), cid
+
+
+def test_trained_codebook_drops_zero_norm_vectors(spark):
+    """An all-zero embedding must not poison the fit with NaN features
+    (ADVICE r3): the fit succeeds and yields finite centroids."""
+    from reddit_can_bigdata_spark.operators.similarity import ivf_centroids_trained
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=DIM)], 0) for i in range(40)]
+    rows.append((40, [0.0] * DIM, 0))  # zero-norm row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = ivf_centroids_trained(df, k=4).collect()
+    assert len(cents) == 4
+    for r in cents:
+        assert all(np.isfinite(r["cv"])), r["cid"]
+
+
 def test_trained_index_layout_prunes_and_probes(spark, sf_dir, tmp_path):
     """write_ivf_index(trained=True) on the real embeddings table:
     same partitioned layout, static pruning in the probe plan, probe

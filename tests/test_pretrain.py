@@ -176,7 +176,7 @@ def test_winnowing_pack_fits_bigint_at_extremes():
     assert enc % WINNOW_POS_MOD == max_pos
 
 
-def test_decontaminate_flags_exactly_the_eval_colliders(spark):
+def test_decontaminate_flags_exactly_the_eval_colliders(spark, sf001_dir):
     """Recompute the 5-gram collision set in pure Python at sf0.01
     (sf0.001 has too few docs for planted near-dups to cross the
     eval-set boundary) and pin the operator's flags to it."""
@@ -188,7 +188,7 @@ def test_decontaminate_flags_exactly_the_eval_colliders(spark):
         pretrain_decontaminate,
     )
 
-    sf = "/root/testdata/sf0.01"
+    sf = sf001_dir
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
     ).fetchall()
