@@ -3,15 +3,24 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each timing covers plan construction + full execution (count-style
-consumption of every result row) — cold caches except the shared
-SparkSession and the OS page cache.
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3);
+``queries`` holds per-query MEDIANS (``value`` = sum of medians) and
+``spread`` holds per-query [min, max] so a regression is
+distinguishable from single-run variance (the round-3 lesson: n=1
+made a 27% delta unattributable). Reps of one query run
+back-to-back, so rep 2+ benefit from page cache / codegen caches —
+the median reflects warm steady-state, which is the comparable
+number across rounds.
+
+Each timing covers plan construction + full execution (noop-sink
+consumption of every result column/row).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -36,15 +45,25 @@ def main() -> None:
     warm["documents"].count()
     warm["lineitem"].groupBy("l_returnflag").count().collect()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, spec in sorted(bench_queries().items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        # noop sink materializes every column of every row (a bare
-        # count() would let Catalyst prune the computed columns away)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            # noop sink materializes every column of every row (a bare
+            # count() would let Catalyst prune the computed columns away)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        print(
+            f"# {name}: median {timings[name]:.3f}s"
+            f" (min {spread[name][0]:.3f} / max {spread[name][1]:.3f}, n={reps})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -55,6 +74,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "spread": spread,
             }
         )
     )

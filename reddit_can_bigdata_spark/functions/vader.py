@@ -1,0 +1,427 @@
+"""VADER-style compound sentiment, Spark-first (SURVEY §2.8 F13).
+
+The reference labels posts with the VADER library behind a row-at-a-time
+Python UDF (`spark-ml-sentiment/spark_ml_sentiment.py:108-138`). This
+module re-implements the published VADER *algorithm* (Hutto & Gilbert,
+ICWSM 2014 — MIT licensed; all rule constants below are from the public
+paper/source) as set-oriented Spark:
+
+- ``vader_compound_expr`` — ONE Catalyst expression chain (split →
+  per-token valence with booster/negation context → but-clause
+  reweight → punctuation emphasis → alpha-normalization). Stays
+  JVM-side; no Python in the hot path.
+- ``vader_compound_join`` — the 100 TB shape: tokens exploded and
+  broadcast-joined against a LEXICON TABLE (any size — the full 7.5k
+  entry vader_lexicon.txt drops in via ``load_vader_lexicon``),
+  context via lag windows, deterministic sequential re-summation.
+  Bit-identical to the expression path on the same lexicon (asserted
+  in tests/test_vader.py).
+- ``vader_compound_py`` — pure-Python golden reference for tests.
+- ``vader_sql`` — the DuckDB twin of the expression path, generated
+  from the same constants so engine and oracle are structurally
+  identical (same literals, same left-to-right summation).
+
+Implemented VADER rules: lexicon valence on the [-4, 4] scale,
+booster/dampener scaling (+-0.293 with 0.95/0.9 distance decay over a
+3-token window), negation flip (x -0.74, 3-token window), "but"-clause
+reweighting (0.5 before / 1.5 after), exclamation (+0.292 each, max 4)
+and question-mark (2-3: 0.18 each, >3: 0.96) emphasis added along the
+sign of the sum, and compound = x / sqrt(x^2 + 15) in [-1, 1], with
+the standard +-0.05 label thresholds.
+
+Not implemented (documented simplifications): ALL-CAPS emphasis
+(+0.733), multi-word idioms ("kind of", "the bomb"), the "least"
+special case, and "never so/this" intensification. The vendored
+lexicon is a ~150-word subset on VADER's rating scale — swap in the
+full MIT-licensed file (vaderSentiment/vader_lexicon.txt) via
+``load_vader_lexicon`` + ``vader_compound_join`` for production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------- constants
+# All from the published VADER source (MIT).
+B_INCR = 0.293
+B_DECR = -0.293
+N_SCALAR = -0.74
+ALPHA = 15.0
+EP_AMP = 0.292  # per '!', capped at 4
+QM_SOME = 0.18  # per '?' when 2-3 of them
+QM_MANY = 0.96  # 4+ '?'
+DECAY = (1.0, 0.95, 0.9)  # booster distance decay, 1..3 tokens back
+POS_THRESHOLD = 0.05
+NEG_THRESHOLD = -0.05
+
+# Vendored unigram lexicon SUBSET on VADER's [-4, 4] mean-rating scale.
+# Representative coverage for the test corpora; production swaps in the
+# full file (load_vader_lexicon) through the join path.
+LEXICON: dict[str, float] = {
+    # positive
+    "good": 1.9, "great": 3.1, "excellent": 2.7, "amazing": 2.8,
+    "awesome": 3.1, "fantastic": 2.6, "wonderful": 2.7, "love": 3.2,
+    "loved": 2.9, "loves": 2.7, "like": 1.5, "liked": 1.8, "best": 3.2,
+    "better": 1.9, "win": 2.8, "winner": 2.8, "winning": 2.4, "won": 2.7,
+    "happy": 2.7, "joy": 2.8, "glad": 2.0, "beautiful": 2.9,
+    "brilliant": 2.8, "perfect": 2.7, "nice": 1.8, "superb": 3.0,
+    "outstanding": 3.1, "impressive": 2.3, "positive": 2.3,
+    "success": 2.7, "successful": 2.6, "strong": 2.3, "smooth": 1.5,
+    "easy": 1.9, "helpful": 1.9, "friendly": 2.2, "fun": 2.3,
+    "enjoy": 2.2, "enjoyed": 2.3, "excited": 2.2, "exciting": 2.4,
+    "incredible": 2.8, "favorite": 2.0, "reliable": 1.9,
+    "efficient": 1.8, "improved": 1.8, "improvement": 1.6, "gain": 1.6,
+    "value": 1.4, "valuable": 2.1, "useful": 1.9, "clean": 1.7,
+    "clear": 1.2, "correct": 1.8, "stable": 1.2, "secure": 1.6,
+    "elegant": 2.1, "simple": 1.1, "powerful": 1.9, "champion": 2.4,
+    "victory": 2.4, "celebrate": 2.7, "proud": 2.1, "thanks": 1.9,
+    "thank": 2.0, "delight": 2.9, "delightful": 2.8, "pleasant": 2.3,
+    "bravo": 2.7, "smart": 1.7, "handsome": 2.2, "funny": 1.9,
+    "hope": 1.9, "hopeful": 2.0, "super": 2.9, "top": 2.0, "magic": 2.1,
+    "free": 2.3, "safe": 1.9, "support": 1.7, "trust": 2.3,
+    # negative
+    "bad": -2.5, "terrible": -2.1, "awful": -2.0, "horrible": -2.5,
+    "worst": -3.1, "worse": -2.1, "hate": -2.7, "hated": -3.2,
+    "hates": -1.9, "sad": -2.1, "angry": -2.3, "mad": -2.2,
+    "fail": -2.5, "failed": -2.3, "failure": -2.4, "failing": -2.2,
+    "broken": -1.5, "bug": -1.3, "error": -1.7, "errors": -1.8,
+    "crash": -1.5, "crashed": -1.6, "slow": -1.2, "lag": -1.0,
+    "problem": -1.7, "problems": -1.7, "issue": -1.1, "issues": -1.3,
+    "wrong": -2.1, "poor": -2.1, "weak": -1.9, "ugly": -2.6,
+    "annoying": -1.8, "frustrating": -2.1, "frustrated": -2.0,
+    "useless": -1.8, "waste": -1.8, "wasted": -2.0, "difficult": -1.5,
+    "confusing": -1.3, "confused": -1.4, "unstable": -1.6,
+    "unreliable": -1.6, "messy": -1.5, "dirty": -1.8, "defeat": -2.0,
+    "loss": -1.9, "lose": -1.9, "losing": -1.9, "lost": -1.6,
+    "pain": -2.0, "painful": -2.3, "disappointing": -2.2,
+    "disappointed": -2.0, "complain": -1.6, "complaint": -1.6,
+    "negative": -2.1, "disaster": -3.1, "mess": -1.6, "mediocre": -1.2,
+    "boring": -1.3, "noisy": -1.1, "garbage": -2.2, "trash": -2.0,
+    "scam": -2.4, "fraud": -2.9, "worthless": -2.6, "fear": -2.2,
+    "afraid": -2.0, "scared": -1.9, "crisis": -2.4, "threat": -2.2,
+    "danger": -2.4, "dangerous": -2.1, "hurt": -2.0, "cry": -2.0,
+    "kill": -3.1, "dead": -3.3, "death": -2.9, "war": -2.9,
+}
+
+BOOSTERS: dict[str, float] = {
+    **{w: B_INCR for w in (
+        "absolutely", "amazingly", "completely", "considerably",
+        "decidedly", "deeply", "enormously", "entirely", "especially",
+        "exceptionally", "extremely", "fabulously", "greatly", "highly",
+        "hugely", "incredibly", "intensely", "majorly", "more", "most",
+        "particularly", "purely", "quite", "really", "remarkably", "so",
+        "substantially", "thoroughly", "totally", "tremendously",
+        "unbelievably", "unusually", "utterly", "very",
+    )},
+    **{w: B_DECR for w in (
+        "almost", "barely", "hardly", "kinda", "less", "little",
+        "marginally", "occasionally", "partly", "scarcely", "slightly",
+        "somewhat", "sorta",
+    )},
+}
+
+NEGATIONS: tuple[str, ...] = (
+    "not", "no", "never", "none", "nobody", "nothing", "neither",
+    "nor", "nowhere", "cannot", "rarely", "seldom", "despite",
+    "without", "isnt", "isn't", "arent", "aren't", "aint", "ain't",
+    "cant", "can't", "couldnt", "couldn't", "didnt", "didn't",
+    "doesnt", "doesn't", "dont", "don't", "hasnt", "hasn't", "havent",
+    "haven't", "wasnt", "wasn't", "werent", "weren't", "wont",
+    "won't", "wouldnt", "wouldn't", "shouldnt", "shouldn't",
+)
+
+_STRIP_RE = "^[^a-z0-9']+|[^a-z0-9']+$"  # strip edge punctuation, keep '
+
+
+def _lit(v: float) -> str:
+    """Float literal that parses as DOUBLE in both Spark SQL and DuckDB
+    (bare decimals parse as DECIMAL in both; exponent form does not)."""
+    return f"{v!r}e0"
+
+
+def _sq(w: str) -> str:
+    return "'" + w.replace("'", "''") + "'"
+
+
+def _case_valence(var: str, mapping: dict[str, float]) -> str:
+    branches = " ".join(f"WHEN {_sq(w)} THEN {_lit(v)}" for w, v in mapping.items())
+    return f"(CASE {var} {branches} ELSE {_lit(0.0)} END)"
+
+
+def _in_list(var: str, words: tuple[str, ...]) -> str:
+    return f"({var} IN ({', '.join(_sq(w) for w in words)}))"
+
+
+def _val_body(elem, lexicon: dict[str, float]) -> str:
+    """Per-position valence: shared arithmetic, engine-specific element
+    accessor ``elem(idx_expr)``. Position var is ``i`` (1-based),
+    but-index var is ``bidx``. Identical literals + operation order in
+    both engines => bit-identical doubles."""
+    prev = lambda j: f"(CASE WHEN i > {j} THEN {elem(f'i-{j}')} ELSE '' END)"
+    base = _case_valence(elem("i"), lexicon)
+    boost = " + ".join(
+        f"{_case_valence(prev(j), BOOSTERS)} * {_lit(DECAY[j - 1])}" for j in (1, 2, 3)
+    )
+    negated = " OR ".join(_in_list(prev(j), NEGATIONS) for j in (1, 2, 3))
+    z = _lit(0.0)
+    return (
+        f"(CASE WHEN base_v = {z} THEN {z} ELSE "
+        f"(CASE WHEN base_v > {z} THEN base_v + ({boost}) "
+        f"ELSE base_v - ({boost}) END) "
+        f"* (CASE WHEN {negated} THEN {_lit(N_SCALAR)} ELSE {_lit(1.0)} END) "
+        f"* (CASE WHEN bidx > 0 AND i < bidx THEN {_lit(0.5)} "
+        f"WHEN bidx > 0 AND i > bidx THEN {_lit(1.5)} ELSE {_lit(1.0)} END) "
+        f"END)"
+    ).replace("base_v", base)
+
+
+def _punct_norm(raw: str, ep: str, qm: str) -> str:
+    """Sign-following punctuation emphasis + alpha normalization,
+    engine-neutral SQL over bound vars raw/ep/qm."""
+    z = _lit(0.0)
+    tot = (
+        f"(CASE WHEN {raw} > {z} THEN {raw} + ({ep} + {qm}) "
+        f"WHEN {raw} < {z} THEN {raw} - ({ep} + {qm}) ELSE {z} END)"
+    )
+    return f"(tot_v / sqrt(tot_v * tot_v + {_lit(ALPHA)}))".replace("tot_v", tot)
+
+
+def _punct_parts(text: str) -> tuple[str, str]:
+    ep = f"(least(length({text}) - length(replace({text}, '!', '')), 4) * {_lit(EP_AMP)})"
+    q = f"(length({text}) - length(replace({text}, '?', '')))"
+    qm = (
+        f"(CASE WHEN {q} > 3 THEN {_lit(QM_MANY)} "
+        f"WHEN {q} > 1 THEN {q} * {_lit(QM_SOME)} ELSE {_lit(0.0)} END)"
+    )
+    return ep, qm
+
+
+def vader_compound_expr(
+    text_col: str, lexicon: dict[str, float] | None = None
+) -> Column:
+    """Compound score as ONE whole-stage-codegen expression. The token
+    array, but-index, and raw sum are each bound ONCE via the
+    single-element-array lambda (the CollapseProject re-evaluation
+    pitfall — see pretrain._gram_expr)."""
+    lexicon = lexicon or LEXICON
+    text = f"coalesce({text_col}, '')"
+    toks = (
+        f"filter(transform(split(lower({text}), '\\\\s+'),"
+        f" t -> regexp_replace(t, {_sq(_STRIP_RE)}, '')), t -> t <> '')"
+    )
+    val = _val_body(lambda idx: f"element_at(toks, cast({idx} as int))", lexicon)
+    raw = (
+        f"CASE WHEN size(toks) = 0 THEN {_lit(0.0)} ELSE "
+        f"aggregate(transform(sequence(1, size(toks)), i -> {val}),"
+        f" cast(0.0 as double), (a, v) -> a + v) END"
+    )
+    ep, qm = _punct_parts(text)
+    body = _punct_norm("raw", ep, qm)
+    expr = (
+        f"element_at(transform(array({toks}), toks -> "
+        f"element_at(transform(array(coalesce(array_position(toks, 'but'), 0)), bidx -> "
+        f"element_at(transform(array({raw}), raw -> {body}), 1)"
+        f"), 1)), 1)"
+    )
+    return F.expr(expr)
+
+
+def vader_label_expr(compound: Column) -> Column:
+    return (
+        F.when(compound >= POS_THRESHOLD, "positive")
+        .when(compound <= NEG_THRESHOLD, "negative")
+        .otherwise("neutral")
+    )
+
+
+def vader_sql(text_col: str, lexicon: dict[str, float] | None = None) -> str:
+    """DuckDB twin of ``vader_compound_expr``: same constants, same
+    left-to-right summation => bit-identical compound. Returns a
+    scalar SQL expression over ``text_col``."""
+    lexicon = lexicon or LEXICON
+    text = f"coalesce({text_col}, '')"
+    toks = (
+        f"list_filter(list_transform(regexp_split_to_array(lower({text}), '\\s+'),"
+        f" t -> regexp_replace(t, {_sq(_STRIP_RE)}, '', 'g')), t -> t <> '')"
+    )
+    val = _val_body(lambda idx: f"toks[CAST({idx} AS BIGINT)]", lexicon)
+    # list_reduce errors on empty input — prepend the 0.0 accumulator;
+    # ((0+v1)+v2)... matches Spark's aggregate fold exactly.
+    raw = (
+        f"CASE WHEN len(toks) = 0 THEN {_lit(0.0)} ELSE "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, len(toks) + 1), i -> {val})),"
+        f" (a, v) -> a + v) END"
+    )
+    ep, qm = _punct_parts(text)
+    body = _punct_norm("raw_v", ep, qm)
+    # bind via lambda over a single-element list, mirroring the Spark
+    # binding trick (DuckDB inlines CTE columns referenced many times)
+    return (
+        f"list_transform([{toks}], toks -> "
+        f"list_transform([coalesce(list_position(toks, 'but'), 0)], bidx -> "
+        f"list_transform([{raw}], raw_v -> {body})[1]"
+        f")[1])[1]"
+    )
+
+
+# -------------------------------------------------------------- golden ref
+def vader_compound_py(text: str | None, lexicon: dict[str, float] | None = None) -> float:
+    """Pure-Python reference of the same simplified-VADER spec (same
+    rules, same constants, same summation order) for golden tests."""
+    import math
+    import re
+
+    lexicon = lexicon or LEXICON
+    text = text or ""
+    toks = [
+        re.sub(r"^[^a-z0-9']+|[^a-z0-9']+$", "", t) for t in re.split(r"\s+", text.lower())
+    ]
+    toks = [t for t in toks if t]
+    bidx = toks.index("but") + 1 if "but" in toks else 0
+    raw = 0.0
+    for i in range(1, len(toks) + 1):
+        base = lexicon.get(toks[i - 1], 0.0)
+        if base == 0.0:
+            continue
+        boost = sum(
+            BOOSTERS.get(toks[i - 1 - j], 0.0) * DECAY[j - 1]
+            for j in (1, 2, 3)
+            if i > j
+        )
+        v = base + boost if base > 0 else base - boost
+        if any(i > j and toks[i - 1 - j] in NEGATIONS for j in (1, 2, 3)):
+            v *= N_SCALAR
+        if bidx > 0 and i < bidx:
+            v *= 0.5
+        elif bidx > 0 and i > bidx:
+            v *= 1.5
+        raw += v
+    ep = min(text.count("!"), 4) * EP_AMP
+    q = text.count("?")
+    qm = QM_MANY if q > 3 else (q * QM_SOME if q > 1 else 0.0)
+    if raw > 0:
+        raw += ep + qm
+    elif raw < 0:
+        raw -= ep + qm
+    else:
+        return 0.0
+    return raw / math.sqrt(raw * raw + ALPHA)
+
+
+# ------------------------------------------------------------- join path
+def load_vader_lexicon(path: str) -> dict[str, float]:
+    """Parse the real MIT-licensed vader_lexicon.txt (token\\tmean\\t
+    stddev\\traw_ratings) for the join path. Multi-word and non-ascii
+    entries are kept as-is; the join tokenizer only matches unigrams."""
+    out: dict[str, float] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                out[parts[0]] = float(parts[1])
+    return out
+
+
+def vader_compound_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lexicon: dict[str, float] | None = None,
+) -> DataFrame:
+    """The 100 TB shape: lexicon as a BROADCAST DIMENSION TABLE instead
+    of an inlined CASE — required once the lexicon outgrows a codegen
+    expression (the full VADER file, domain lexicons, multilingual).
+
+    Plan: posexplode tokens -> broadcast-join (token -> valence,
+    booster) -> lag windows over (doc, pos) for the 3-token
+    booster/negation context and the but-index -> per-doc sequential
+    re-sum via sort_array(collect_list(struct(pos, val))): the fold
+    order is exactly the expression path's left-to-right order, so the
+    result is BIT-IDENTICAL to ``vader_compound_expr`` on the same
+    lexicon (asserted in tests). One shuffle (the groupBy); the
+    explode is corpus-linear.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    lexicon = lexicon or LEXICON
+    lex_df = F.broadcast(
+        spark.createDataFrame(list(lexicon.items()), "tok string, valence double")
+    )
+    boost_df = F.broadcast(
+        spark.createDataFrame(list(BOOSTERS.items()), "tok string, bval double")
+    )
+    text = f"coalesce({text_col}, '')"
+    toks = (
+        f"filter(transform(split(lower({text}), '\\\\s+'),"
+        f" t -> regexp_replace(t, {_sq(_STRIP_RE)}, '')), t -> t <> '')"
+    )
+    ep, qm = _punct_parts(text)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(toks).alias("_toks"),
+        F.expr(ep).alias("_ep"),
+        F.expr(qm).alias("_qm"),
+    )
+    tok = base.select(
+        "_id", "_ep", "_qm", F.posexplode_outer("_toks").alias("_pos", "_tok")
+    ).withColumn("_pos", F.col("_pos") + 1)  # 1-based like the expr path
+    tok = (
+        tok.join(lex_df, tok["_tok"] == lex_df["tok"], "left")
+        .drop("tok")
+        .join(boost_df, tok["_tok"] == boost_df["tok"], "left")
+        .drop("tok")
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    wd = Window.partitionBy("_id")
+    prev_tok = [F.lag("_tok", j).over(w) for j in (1, 2, 3)]
+    prev_b = [F.lag("bval", j).over(w) for j in (1, 2, 3)]
+    boost = sum(
+        F.coalesce(pb, F.lit(0.0)) * F.lit(d) for pb, d in zip(prev_b, DECAY)
+    )
+    negated = None
+    for pt in prev_tok:
+        cond = pt.isin(*NEGATIONS)
+        negated = cond if negated is None else (negated | cond)
+    bidx = F.max(
+        F.when(F.col("_tok") == "but", F.col("_pos")).otherwise(F.lit(None))
+    ).over(wd)
+    scaled = F.when(
+        F.col("valence") > 0, F.col("valence") + boost
+    ).otherwise(F.col("valence") - boost)
+    val = (
+        F.when(F.col("valence").isNull() | (F.col("valence") == 0.0), F.lit(0.0))
+        .otherwise(
+            scaled
+            * F.when(F.coalesce(negated, F.lit(False)), F.lit(N_SCALAR)).otherwise(
+                F.lit(1.0)
+            )
+            * F.when(
+                bidx.isNotNull() & (F.col("_pos") < bidx), F.lit(0.5)
+            )
+            .when(bidx.isNotNull() & (F.col("_pos") > bidx), F.lit(1.5))
+            .otherwise(F.lit(1.0))
+        )
+    )
+    per_doc = (
+        tok.withColumn("_val", val)
+        .groupBy("_id")
+        .agg(
+            F.first("_ep").alias("_ep"),
+            F.first("_qm").alias("_qm"),
+            # deterministic sequential fold: sort by pos, then
+            # left-to-right sum — same association order as aggregate()
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(_pos, _val))),"
+                " cast(0.0 as double), (a, s) -> a + s._val)"
+            ).alias("_raw"),
+        )
+    )
+    tot = (
+        F.when(F.col("_raw") > 0, F.col("_raw") + (F.col("_ep") + F.col("_qm")))
+        .when(F.col("_raw") < 0, F.col("_raw") - (F.col("_ep") + F.col("_qm")))
+        .otherwise(F.lit(0.0))
+    )
+    compound = tot / F.sqrt(tot * tot + F.lit(ALPHA))
+    return per_doc.select(F.col("_id").alias(id_col), compound.alias("compound"))

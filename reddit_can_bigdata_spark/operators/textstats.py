@@ -205,6 +205,73 @@ def f13_lexicon_sentiment_distribution(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def _vader_oracle() -> str:
+    from reddit_can_bigdata_spark.functions.vader import vader_sql
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, round({vader_sql('text')}, 6) AS compound
+      FROM documents
+    )
+    SELECT doc_id, compound,
+           CASE WHEN compound >= 0.05 THEN 'positive'
+                WHEN compound <= -0.05 THEN 'negative'
+                ELSE 'neutral' END AS vader_label
+    FROM scored
+    """
+
+
+@register(
+    "f13b_vader_compound",
+    oracle=_vader_oracle(),
+    tags=("text", "sentiment", "vader"),
+    bench=True,
+)
+def f13b_vader_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13, real-VADER parity path: per-document compound sentiment via
+    the published VADER algorithm (booster/negation/but-clause/
+    punctuation rules + x/sqrt(x^2+15) normalization — see
+    functions/vader.py) as ONE codegen expression, labeled at the
+    standard +-0.05 thresholds the reference applies
+    (`spark-ml-sentiment/spark_ml_sentiment.py:119-138`). The DuckDB
+    oracle runs a structurally identical expression generated from the
+    same constants, so the doubles match bit-for-bit."""
+    from reddit_can_bigdata_spark.functions.vader import (
+        vader_compound_expr,
+        vader_label_expr,
+    )
+
+    docs = tables(spark, sf_dir)["documents"]
+    compound = F.round(vader_compound_expr("text"), 6)
+    return docs.select(
+        "doc_id", compound.alias("compound")
+    ).withColumn("vader_label", vader_label_expr(F.col("compound")))
+
+
+@register(
+    "f13c_vader_join_path",
+    oracle=_vader_oracle(),
+    tags=("text", "sentiment", "vader", "scale"),
+)
+def f13c_vader_join_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME VADER computation through the broadcast-lexicon JOIN
+    path (`vader_compound_join`) — the shape that scales past a
+    codegen CASE to the full 7.5k-entry vader_lexicon.txt or any
+    domain lexicon. Shares f13b's oracle: the per-doc sequential
+    re-sum makes the two plans bit-identical, and this green row
+    proves it on real data (not just the unit fixture)."""
+    from reddit_can_bigdata_spark.functions.vader import (
+        vader_compound_join,
+        vader_label_expr,
+    )
+
+    docs = tables(spark, sf_dir)["documents"]
+    scored = vader_compound_join(docs)
+    return scored.select(
+        "doc_id", F.round("compound", 6).alias("compound")
+    ).withColumn("vader_label", vader_label_expr(F.col("compound")))
+
+
 @register(
     "text_fingerprint",
     oracle="""

@@ -1,0 +1,158 @@
+"""VADER compound sentiment: expression path vs golden Python reference
+vs broadcast-join path, plus directional parity with published VADER
+behavior (Hutto & Gilbert 2014).
+
+Exact-value parity with the vaderSentiment library needs the full
+MIT-licensed lexicon file (not in this container) — that path is
+`load_vader_lexicon` + `vader_compound_join`. What IS pinned here:
+every implemented rule fires with the exact published constants, the
+three implementations agree bit-for-bit / to float tolerance, and the
+canonical README examples order correctly (more emphasis => higher
+compound, negation flips sign, etc.)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_can_bigdata_spark.functions.vader import (
+    ALPHA,
+    B_INCR,
+    EP_AMP,
+    LEXICON,
+    N_SCALAR,
+    vader_compound_expr,
+    vader_compound_join,
+    vader_compound_py,
+)
+
+SENTENCES = [
+    "the match was good",
+    "the match was very good",
+    "the match was VERY good!!!",
+    "the match was not good",
+    "the food here is great, but the service is horrible",
+    "the food here is horrible, but the service is great",
+    "this is terrible",
+    "this is absolutely terrible",
+    "this is slightly terrible",
+    "no sentiment words here at all",
+    "",
+    "great great great awful",
+    "is it good? is it bad?? who knows???",
+    "don't love it",
+    "never a failure, always a lesson",
+    "utterly and completely broken garbage!!!!",
+]
+
+
+def _spark_scores(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    rows = df.select("i", vader_compound_expr("text").alias("c")).collect()
+    return {r["i"]: r["c"] for r in rows}
+
+
+def test_expr_matches_python_reference(spark):
+    got = _spark_scores(spark, SENTENCES)
+    for i, s in enumerate(SENTENCES):
+        want = vader_compound_py(s)
+        assert got[i] == pytest.approx(want, abs=1e-12), (s, got[i], want)
+
+
+def test_join_path_bit_identical_to_expr(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(SENTENCES)], "doc_id long, text string"
+    )
+    expr = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", vader_compound_expr("text").alias("c")).collect()
+    }
+    join = {
+        r["doc_id"]: r["compound"] for r in vader_compound_join(df).collect()
+    }
+    assert set(expr) == set(join)
+    for k in expr:
+        # same fold order => bit-identical doubles, not just approx
+        assert expr[k] == join[k], (SENTENCES[k], expr[k], join[k])
+
+
+def test_published_rule_constants_fire_exactly():
+    """Each rule in isolation reproduces the closed-form number from
+    the published constants."""
+
+    def norm(x):
+        return x / math.sqrt(x * x + ALPHA)
+
+    g = LEXICON["good"]
+    assert vader_compound_py("good") == pytest.approx(norm(g))
+    # booster: +0.293 at distance 1
+    assert vader_compound_py("very good") == pytest.approx(norm(g + B_INCR))
+    # booster decay at distance 2 (0.95x)
+    assert vader_compound_py("very very good") == pytest.approx(
+        norm(g + B_INCR + B_INCR * 0.95)
+    )
+    # negation: x -0.74
+    assert vader_compound_py("not good") == pytest.approx(norm(g * N_SCALAR))
+    # negated-and-boosted: 'very' boosts at distance 1, 'not' negates
+    # from distance 2 => (g + B) * -0.74
+    assert vader_compound_py("not very good") == pytest.approx(
+        norm((g + B_INCR) * N_SCALAR)
+    )
+    # exclamation emphasis: +0.292 each, along the sign
+    assert vader_compound_py("good!") == pytest.approx(norm(g + EP_AMP))
+    assert vader_compound_py("good!!!!!") == pytest.approx(norm(g + 4 * EP_AMP))
+    b = LEXICON["bad"]
+    assert vader_compound_py("bad!") == pytest.approx(norm(b - EP_AMP))
+    # but-clause: before x0.5, after x1.5
+    assert vader_compound_py("good but bad") == pytest.approx(
+        norm(0.5 * g + 1.5 * b)
+    )
+
+
+def test_directional_parity_with_published_vader_behavior():
+    """The canonical README progression: added emphasis strictly
+    increases the compound magnitude; negation flips; but-clause
+    shifts weight to the second clause."""
+    c = vader_compound_py
+    # emphasis ladder (README: smart/handsome/funny ladder shape)
+    ladder = [
+        c("the match was good"),
+        c("the match was good!"),
+        c("the match was very good!"),
+        c("the match was very good!!!"),
+    ]
+    assert ladder == sorted(ladder) and len(set(ladder)) == 4, ladder
+    assert c("the match was good") > 0 > c("the match was bad")
+    assert c("the match was not good") < 0 < c("the match was not bad")
+    # but-clause: sentiment follows the post-'but' clause
+    assert c("the food is great, but the service is horrible") < 0
+    assert c("the food is horrible, but the service is great") > 0
+    # dampener weakens
+    assert abs(c("slightly terrible")) < abs(c("terrible"))
+    # amplifier strengthens
+    assert abs(c("absolutely terrible")) > abs(c("terrible"))
+    # neutral text scores exactly 0
+    assert c("no sentiment words appear in this sentence") == 0.0
+    assert c("") == 0.0 and c(None) == 0.0
+    # bounded
+    assert -1 <= c("utterly amazing awesome best great!!!!") <= 1
+
+
+def test_custom_lexicon_roundtrip(tmp_path):
+    """load_vader_lexicon parses the published tab-separated format and
+    the join path accepts the loaded dict."""
+    from reddit_can_bigdata_spark.functions.vader import load_vader_lexicon
+
+    p = tmp_path / "vader_lexicon.txt"
+    p.write_text(
+        "good\t1.9\t0.9947\t[2, 2, 1, 2, 2, 2, 2, 2, 2, 2]\n"
+        "bad\t-2.5\t0.67082\t[-3, -3, -2, -2, -2, -2, -3, -3, -2, -3]\n",
+        encoding="utf-8",
+    )
+    lex = load_vader_lexicon(str(p))
+    assert lex == {"good": 1.9, "bad": -2.5}
+    assert vader_compound_py("good", lex) == vader_compound_py("good", {"good": 1.9})
+    # words outside the custom lexicon score 0
+    assert vader_compound_py("great", lex) == 0.0
