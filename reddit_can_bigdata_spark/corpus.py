@@ -50,18 +50,20 @@ def build_training_shards(
     chunks = chunk_documents(kept).join(
         kept.select("doc_id", "source"), "doc_id"
     )
-    (
-        chunks.write.mode("overwrite")
-        .partitionBy("source")
-        .parquet(out_dir)
-    )
-    written = spark.read.parquet(out_dir)
+    # observe() counts the chunk rows AS the write streams them out —
+    # no second scan of the freshly written directory (round-3 advice:
+    # the old read-back re-scanned the whole output for one count)
+    from pyspark.sql import Observation
+
+    obs = Observation("shard_write")
+    chunks.observe(obs, F.count(F.lit(1)).alias("n_chunks")).write.mode(
+        "overwrite"
+    ).partitionBy("source").parquet(out_dir)
+    n_chunks = int(obs.get["n_chunks"])
     return (
         docs.agg(F.count("*").cast("bigint").alias("n_docs_in"))
         .crossJoin(
             kept.agg(F.count("*").cast("bigint").alias("n_docs_kept"))
         )
-        .crossJoin(
-            written.agg(F.count("*").cast("bigint").alias("n_chunks_written"))
-        )
+        .withColumn("n_chunks_written", F.lit(n_chunks).cast("bigint"))
     )

@@ -753,7 +753,16 @@ def closeness_for_scale(
     This is what composites (`influencer_composite_top20`,
     `user_network_table`) call so the one O(N²) component never runs
     on a graph where it would be the first thing to die at 100×.
+
+    The chosen mode is LOGGED (round-3 advice: the auto-switch must
+    not be silent — sampled closeness diverges from an exact oracle).
+    Registered oracle queries pass ``mode='exact'`` explicitly so
+    their parity can't drift with data size; production callers use
+    the default auto gate (the sampled estimator has its own green
+    oracle rows, `g4c`/`g4d`).
     """
+    import logging
+
     if mode is None:
         if n_nodes is None:
             e = edges if edges is not None else _edges(spark, sf_dir)
@@ -764,6 +773,12 @@ def closeness_for_scale(
                 .count()
             )
         mode = "exact" if n_nodes <= CLOSENESS_EXACT_MAX_NODES else "sampled"
+        logging.getLogger(__name__).info(
+            "closeness_for_scale: auto mode=%s (n_nodes=%d, ceiling=%d)",
+            mode,
+            n_nodes,
+            CLOSENESS_EXACT_MAX_NODES,
+        )
     if mode == "exact":
         return g4_closeness_centrality(spark, sf_dir, edges=edges)
     return g4c_closeness_sampled(spark, sf_dir, edges=edges).select(

@@ -211,7 +211,9 @@ def influencer_composite_ref_weights(spark: SparkSession, sf_dir: str) -> DataFr
     tags=("graph", "window", "composite"),
     bench=True,
 )
-def influencer_composite_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+def influencer_composite_top20(
+    spark: SparkSession, sf_dir: str, closeness_mode: str = "exact"
+) -> DataFrame:
     """W2+W5+W6 end-to-end: four centralities → min-max normalize →
     weighted composite → top-20 ranks. The four centrality jobs each
     reduce to |nodes|-sized outputs, so the normalize/rank tail is
@@ -219,10 +221,13 @@ def influencer_composite_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared input — the co-occurrence edge list — is materialized ONCE
     (localCheckpoint) and fed to all four, not rebuilt per metric.
 
-    Closeness is SIZE-GATED via `closeness_for_scale`: exact g4 below
-    `CLOSENESS_EXACT_MAX_NODES` (the oracle's form, used at test
-    scale), Eppstein–Wang sampled g4c above — exact closeness is
-    O(N²) state and would be the first component to die at 100×."""
+    ``closeness_mode`` (round-3 advice): the REGISTERED query pins
+    ``'exact'`` so its oracle (which encodes exact g4 closeness) can
+    never silently diverge when the graph outgrows the auto gate.
+    Production callers pass ``None`` (auto) or ``'sampled'`` to get
+    the Eppstein–Wang estimator via `closeness_for_scale` — exact
+    closeness is O(N²) state and would be the first component to die
+    at 100×; the estimator path has its own oracle rows (g4c/g4d)."""
     from reddit_can_bigdata_spark.operators.advanced import (
         closeness_for_scale,
         g5_eigenvector_centrality,
@@ -254,13 +259,14 @@ def influencer_composite_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
                 eager=True
             )
         )
-        # closeness_for_scale counts nodes for its gate INSIDE the
-        # pooled thread — a serial pre-count would add one edge-list
-        # pass of latency that all three pooled jobs wait behind
+        # closeness_for_scale counts nodes for its gate (auto mode)
+        # INSIDE the pooled thread — a serial pre-count would add one
+        # edge-list pass of latency that all three pooled jobs wait
+        # behind
         fcl = pool.submit(
-            lambda: closeness_for_scale(spark, sf_dir, edges=ed).localCheckpoint(
-                eager=True
-            )
+            lambda: closeness_for_scale(
+                spark, sf_dir, edges=ed, mode=closeness_mode
+            ).localCheckpoint(eager=True)
         )
         pr, ev, cl = fpr.result(), fev.result(), fcl.result()
     m = deg.join(pr, "node").join(ev, "node").join(cl, "node")
@@ -296,11 +302,17 @@ def influencer_composite_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def user_network_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_network_table(
+    spark: SparkSession, sf_dir: str, closeness_mode: str | None = None
+) -> DataFrame:
     """The §1.2 ``user_network`` deliverable: one row per node with
     nested ``centralities`` and ``activity`` structs, community id,
     influencer flag/rank — the reference's per-user document
     (`network-analysis/network_analysis.py:302-320`) as a typed table.
+
+    ``closeness_mode`` defaults to the auto size gate (logged by
+    `closeness_for_scale`); not an oracle query, so the estimator
+    switch can't break parity here — pass ``'exact'`` to force.
     """
     from reddit_can_bigdata_spark.operators.advanced import (
         closeness_for_scale,
@@ -319,7 +331,7 @@ def user_network_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = g6_pagerank(spark, sf_dir, edges=ed)
     ev = g5_eigenvector_centrality(spark, sf_dir, edges=ed)
     # size-gated: exact g4 at test scale, sampled g4c at 100x
-    cl = closeness_for_scale(spark, sf_dir, edges=ed)
+    cl = closeness_for_scale(spark, sf_dir, edges=ed, mode=closeness_mode)
     top = influencer_composite_top20(spark, sf_dir).select(
         "node", "influencer_rank"
     )

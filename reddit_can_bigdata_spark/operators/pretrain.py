@@ -469,6 +469,10 @@ def pretrain_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECONTAM_N = 5  # tokens per collision shingle (tuned to the short
 # synthetic docs; production pipelines run 8-13-gram windows, same plan)
 DECONTAM_EVAL_MOD = 97  # doc_id % 97 == 0 is the held-out "benchmark" set
+# Broadcast the deduped eval grams only below this row count (~60 MB
+# at ~30 B/gram, inside the session's 64 MB autoBroadcast budget);
+# above it the semi-join becomes a shuffle-hash join instead.
+DECONTAM_BROADCAST_MAX_GRAMS = 2_000_000
 
 
 def _gram_sql(n: int) -> str:
@@ -546,12 +550,16 @@ def pretrain_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-against-eval).
 
     Plan: per-doc DISTINCT shingles (narrow map over the shared
-    tokenization), the eval side collapses to one deduped gram table —
-    ≪ corpus by construction (it's the benchmark, not the crawl) — so
-    Spark broadcasts it and the corpus side never shuffles: scan →
-    flatMap → broadcast-hash semi-count → one aggregate on doc_id.
-    Collision counting is exact (distinct grams, integer counts);
-    contaminated = ≥1 collision."""
+    tokenization); when the deduped eval-gram table fits under
+    ``DECONTAM_BROADCAST_MAX_GRAMS`` it broadcasts and the corpus side
+    never shuffles: scan → flatMap → broadcast-hash semi-count → one
+    aggregate on doc_id. Above the ceiling it falls back to a
+    shuffle-hash join (round-3 advice: the ``doc_id % 97`` eval set
+    here is a TEST STAND-IN that grows ~1% of the corpus — a real
+    benchmark suite is small and constant-size, but the gate keeps the
+    plan safe either way instead of force-broadcasting an unbounded
+    side). Collision counting is exact (distinct grams, integer
+    counts); contaminated = ≥1 collision."""
     docs = tables(spark, sf_dir)["documents"]
     # `g` feeds three consumers (eval grams, collision count, final
     # join) — cache it or the text -> tokens -> distinct-grams
@@ -571,10 +579,25 @@ def pretrain_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("grams").alias("gr"))
         .distinct()
     )
+    # broadcast only under the ceiling (the count is one cheap slice
+    # of the cached gram table); otherwise shuffle-hash — the corpus
+    # side is the big one, so Spark shuffles grams, not documents
+    n_eval_grams = eg.count()
+    if n_eval_grams <= DECONTAM_BROADCAST_MAX_GRAMS:
+        eval_side = F.broadcast(eg)
+    else:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "pretrain_decontaminate: %d eval grams > ceiling %d; shuffle join",
+            n_eval_grams,
+            DECONTAM_BROADCAST_MAX_GRAMS,
+        )
+        eval_side = eg.hint("shuffle_hash")
     corpus = g.where(~is_eval)
     coll = (
         corpus.select("doc_id", F.explode("grams").alias("gr"))
-        .join(F.broadcast(eg), "gr")
+        .join(eval_side, "gr")
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_collisions"))
     )

@@ -1,0 +1,183 @@
+"""Pipeline orchestration parity: the reference DAG's gate + report
+logic as engine functions (SURVEY §0 orchestration row).
+
+The reference Airflow DAG (`airflow/dags/reddit_can_complete_pipeline
+.py`) runs: stats (`:58-88`) → ML branch gate ``processed_posts >= 50``
+(`:37,90-118`) → network branch gate ``unique_users >= 30``
+(`:38,120-148`) → final report with coverage, sentiment distribution,
+top-5 influencers, and volume recommendations (`:150-240`).
+
+Here the same lifecycle is Spark-first: the stats are ONE multi-table
+aggregate row (not five sequential collection counts), the gates are
+decided from that single row, the stages are the engine's own
+oracle-verified queries (`ml.sentiment.train_sentiment`,
+`operators.influencer.influencer_composite_top20`), and the report is
+a typed one-row DataFrame instead of log lines. Table mapping follows
+the engine-wide convention: ``documents`` plays posts, ``events``
+plays comments, the ETL keep-filter is the reference's
+``text_length > 20`` (`spark-streaming-pyspark/spark_streaming.py:86`).
+
+The gate/report computation is registered as the oracle query
+``pipeline_gate_report`` so the branch logic itself is hash-checked
+against DuckDB; ``run_pipeline`` executes the gated stages end-to-end
+(tests/test_orchestration.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from reddit_can_bigdata_spark.operators.common import tables
+from reddit_can_bigdata_spark.registry import register
+
+# Thresholds from the DAG (`reddit_can_complete_pipeline.py:37-38`).
+MIN_POSTS_FOR_ML = 50
+MIN_USERS_FOR_NETWORK = 30
+# ETL keep-filter (`spark-streaming-pyspark/spark_streaming.py:86`).
+MIN_TEXT_LENGTH = 20
+
+
+def pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAG's ``get_pipeline_stats`` as one row of table-level
+    aggregates (`:58-88`): posts, comments, processed posts (ETL
+    filter), unique users. Each aggregate is a single-pass count; the
+    crossJoins glue 1-row results (no data shuffle)."""
+    t = tables(spark, sf_dir)
+    docs, events = t["documents"], t["events"]
+    return (
+        docs.agg(F.count("*").alias("posts"))
+        .crossJoin(events.agg(F.count("*").alias("comments")))
+        .crossJoin(
+            docs.where(F.length("text") > MIN_TEXT_LENGTH).agg(
+                F.count("*").alias("processed_posts")
+            )
+        )
+        .crossJoin(
+            events.agg(F.countDistinct("user_id").alias("unique_users"))
+        )
+    )
+
+
+@register(
+    "pipeline_gate_report",
+    oracle=f"""
+    WITH s AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS posts,
+             (SELECT COUNT(*) FROM events) AS comments,
+             (SELECT COUNT(*) FROM documents
+               WHERE length(text) > {MIN_TEXT_LENGTH}) AS processed_posts,
+             (SELECT COUNT(DISTINCT user_id) FROM events) AS unique_users
+    )
+    SELECT CAST(posts AS BIGINT) AS posts,
+           CAST(comments AS BIGINT) AS comments,
+           CAST(processed_posts AS BIGINT) AS processed_posts,
+           CAST(unique_users AS BIGINT) AS unique_users,
+           CASE WHEN processed_posts >= {MIN_POSTS_FOR_ML}
+                THEN 'run_ml_analysis' ELSE 'skip_ml' END AS ml_branch,
+           CASE WHEN unique_users >= {MIN_USERS_FOR_NETWORK}
+                THEN 'run_network_analysis' ELSE 'skip_network' END AS network_branch,
+           (posts < 100) AS low_post_volume,
+           (processed_posts < 50) AS low_sentiment_volume,
+           (unique_users < 50) AS low_user_diversity,
+           (posts >= 300 AND unique_users >= 100) AS data_volume_excellent
+    FROM s
+    """,
+    tags=("orchestration",),
+)
+def pipeline_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAG's branch decisions + recommendation flags as one typed
+    row: ml/network branch task ids exactly as `check_ml_threshold` /
+    `check_network_threshold` return them (`:90-148`), and the final
+    report's recommendation conditions (`:225-232`; the pre-ML stand-in
+    for its ``sentiment_results < 50`` check is ``processed_posts <
+    50`` — every processed post gets a sentiment once ML runs)."""
+    s = pipeline_stats(spark, sf_dir)
+    return s.select(
+        "posts",
+        "comments",
+        "processed_posts",
+        "unique_users",
+        F.when(
+            F.col("processed_posts") >= MIN_POSTS_FOR_ML, "run_ml_analysis"
+        ).otherwise("skip_ml").alias("ml_branch"),
+        F.when(
+            F.col("unique_users") >= MIN_USERS_FOR_NETWORK, "run_network_analysis"
+        ).otherwise("skip_network").alias("network_branch"),
+        (F.col("posts") < 100).alias("low_post_volume"),
+        (F.col("processed_posts") < 50).alias("low_sentiment_volume"),
+        (F.col("unique_users") < 50).alias("low_user_diversity"),
+        ((F.col("posts") >= 300) & (F.col("unique_users") >= 100)).alias(
+            "data_volume_excellent"
+        ),
+    )
+
+
+@dataclass
+class PipelineRun:
+    """Typed result of one orchestrated run (the DAG's xcom payloads)."""
+
+    gates: dict  # the pipeline_gate_report row as a dict
+    ml: object | None  # ml.sentiment.SentimentResult if the ML gate passed
+    influencers: DataFrame | None  # top-20 table if the network gate passed
+    report: DataFrame  # final one-row report (stats + stage outcomes)
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str) -> PipelineRun:
+    """Execute the DAG end-to-end: stats → gates → (ML | skip) →
+    (network | skip) → final report (`:269-520` wiring).
+
+    The ONLY driver-side materialization is the one-row gate table
+    (the DAG's xcom pull — O(1), the branch decision must reach the
+    driver by definition). Stage outputs stay distributed; the report
+    row mirrors `generate_final_report` (`:150-240`): volumes, ML
+    coverage rate, sentiment distribution, analyzed-network size."""
+    gates = pipeline_gate_report(spark, sf_dir).collect()[0].asDict()
+
+    ml = None
+    sentiment_count = 0
+    if gates["ml_branch"] == "run_ml_analysis":
+        from reddit_can_bigdata_spark.ml.sentiment import train_sentiment
+
+        docs = tables(spark, sf_dir)["documents"].where(
+            F.length("text") > MIN_TEXT_LENGTH
+        )
+        ml = train_sentiment(docs)
+        sentiment_count = ml.predictions.count()
+
+    influencers = None
+    network_users = 0
+    if gates["network_branch"] == "run_network_analysis":
+        from reddit_can_bigdata_spark.operators.influencer import (
+            influencer_composite_top20,
+        )
+
+        influencers = influencer_composite_top20(spark, sf_dir)
+        network_users = influencers.count()
+
+    coverage = (
+        100.0 * sentiment_count / gates["processed_posts"]
+        if gates["processed_posts"]
+        else 0.0
+    )
+    report = spark.createDataFrame(
+        [
+            (
+                gates["posts"],
+                gates["comments"],
+                gates["processed_posts"],
+                gates["unique_users"],
+                gates["ml_branch"],
+                gates["network_branch"],
+                sentiment_count,
+                round(coverage, 1),
+                network_users,
+            )
+        ],
+        "posts bigint, comments bigint, processed_posts bigint,"
+        " unique_users bigint, ml_branch string, network_branch string,"
+        " sentiment_results bigint, ml_coverage_pct double,"
+        " network_users bigint",
+    )
+    return PipelineRun(gates=gates, ml=ml, influencers=influencers, report=report)

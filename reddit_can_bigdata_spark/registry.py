@@ -152,5 +152,6 @@ def _ensure_loaded() -> None:
         pretrain,
     )
     from reddit_can_bigdata_spark.streaming import pipeline, stateful  # noqa: F401
+    from reddit_can_bigdata_spark import orchestration  # noqa: F401
 
     _LOADED = True

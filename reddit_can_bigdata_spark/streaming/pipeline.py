@@ -33,6 +33,36 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from reddit_can_bigdata_spark.registry import register
 
 
+KAFKA_TOPIC = "reddit-can-posts"  # scraper/kafka_producer.py:18
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str = "kafka:29092",
+    topic: str = KAFKA_TOPIC,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1/S2: the REAL Kafka stream source, with the reference's exact
+    options (`spark-streaming-pyspark/spark_streaming.py:53-59`:
+    bootstrap servers, subscribe topic, startingOffsets,
+    failOnDataLoss=false). Returns the raw Kafka frame (key, value,
+    topic, partition, offset, timestamp, timestampType); feed
+    ``value`` to `sources.reddit.parse_kafka_events` for S3.
+
+    Requires the spark-sql-kafka connector on the classpath (present
+    on any real deployment; absent in this sandbox, where
+    tests/test_streaming.py asserts the plan construction path and
+    skips execution)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+
+
 def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling 1-day event-time windows per event_type.
 

@@ -138,13 +138,31 @@ def test_iterative_state_join_has_broadcast_ceiling(spark, sf_dir):
 
 
 def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
-    """The eval-gram table is benchmark-sized (<< corpus): the
-    collision join must be a BroadcastHashJoin so the corpus side
-    never shuffles."""
+    """Below the gram ceiling the collision join must be a
+    BroadcastHashJoin so the corpus side never shuffles."""
     from reddit_can_bigdata_spark.operators.pretrain import pretrain_decontaminate
 
     plan = formatted_plan(pretrain_decontaminate(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontaminate_shuffle_fallback_above_ceiling(spark, sf_dir, monkeypatch):
+    """Above DECONTAM_BROADCAST_MAX_GRAMS the force-broadcast must NOT
+    happen (round-3 advice: the modulo eval set grows with the corpus;
+    an unbounded broadcast would kill the driver at 100 TB). Rows are
+    identical either way."""
+    from reddit_can_bigdata_spark.operators import pretrain
+
+    baseline = {
+        tuple(r) for r in pretrain.pretrain_decontaminate(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(pretrain, "DECONTAM_BROADCAST_MAX_GRAMS", 0)
+    df = pretrain.pretrain_decontaminate(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the gram semi-join runs as a shuffle-hash join (the final tiny
+    # doc_id left-join may still legitimately broadcast)
+    assert "ShuffledHashJoin" in plan, plan
+    assert {tuple(r) for r in df.collect()} == baseline
 
 
 def test_repetition_is_shuffle_free(spark, sf_dir):
