@@ -1094,6 +1094,7 @@ def g3b_betweenness_sampled(
     sf_dir: str,
     edges: DataFrame | None = None,
     until_converged: bool = False,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """G3 at scale: source-SAMPLED Brandes betweenness, fully
     distributed (the scale path `network-analysis/network_analysis.py:145`
@@ -1108,14 +1109,21 @@ def g3b_betweenness_sampled(
     betweenness — `tests/test_graph_invariants.py` pins that against
     the driver-side `betweenness_exact` on the fixture graph.
 
+    ``sample_mod`` is the COST KNOB (default ``BW_SAMPLE_MOD`` = 7,
+    the registered oracle's K): runtime and state scale ~1/K, the
+    estimator error ~sqrt(K/n). The K=7 vs K=16 accuracy/time
+    tradeoff is pinned in tests/test_graph_invariants.py and tabled
+    in PERF.md so a 100x user can pick K deliberately.
+
     Scale: state is O(K·N) per phase, every round is join+agg on
     (src, node) keys — no collected adjacency, no O(N²) blowup."""
+    sample_mod = BW_SAMPLE_MOD if sample_mod is None else sample_mod
     e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).cache()
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    srcs = nodes.where(F.col("node") % BW_SAMPLE_MOD == 0)
+    srcs = nodes.where(F.col("node") % sample_mod == 0)
     frontiers = _brandes_forward(sym, srcs, BW_LEVELS, until_converged=until_converged)
     levels = _brandes_backward(sym, frontiers)
     all_lv = levels[0]
