@@ -127,3 +127,89 @@ def curate_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("raw_w") / F.sum("raw_w").over(Window.partitionBy()), 6
         ).alias("mix_weight"),
     )
+
+
+TOKEN_BUDGET = 10_000  # total training-token budget to realize
+
+
+@register(
+    "curate_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens,
+             {PORTABLE_HASH32_SQL.format(x="CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    wts AS (
+      SELECT source, pow(CAST(SUM(n_tokens) AS DOUBLE), {MIX_ALPHA_X10 / 10}) AS raw_w
+      FROM toks GROUP BY source
+    ),
+    budgets AS (
+      SELECT source,
+             CAST(floor(raw_w / SUM(raw_w) OVER () * {TOKEN_BUDGET}) AS BIGINT)
+               AS src_budget
+      FROM wts
+    ),
+    cum AS (
+      SELECT t.doc_id, t.source, t.n_tokens, b.src_budget,
+             SUM(t.n_tokens) OVER (
+               PARTITION BY t.source ORDER BY t.h, t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM toks t JOIN budgets b USING (source)
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= src_budget
+    """,
+    tags=("curation", "mixture", "budget"),
+)
+def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE REALIZATION: turn the temperature weights into an
+    actual dataset that fills a global token budget — the step between
+    "source s gets 17% of tokens" (curate_source_mix) and a concrete
+    list of documents. Per-source budget = floor(weight_s x BUDGET);
+    docs are taken in deterministic portable-hash order (an unbiased,
+    rerun-stable shuffle — `rand()` would differ per engine/retry)
+    until the running token count would exceed the budget.
+
+    Plan: one source-level aggregate for weights (tiny), broadcast
+    back, one window cumsum per source — two shuffles total, both on
+    `source`; corpus-linear and skew-safe (a giant source is one
+    AQE-split partition). Every step is integer or floor()'d double,
+    so the kept set is bit-stable across engines and reruns — the
+    property a reproducible training run needs."""
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_EXPR
+
+    docs = tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(TOKENS_EXPR)).cast("bigint").alias("n_tokens"),
+        portable_hash32(F.col("doc_id").cast("string")).alias("h"),
+    )
+    wts = toks.groupBy("source").agg(
+        F.pow(F.sum("n_tokens").cast("double"), F.lit(MIX_ALPHA_X10 / 10)).alias(
+            "raw_w"
+        )
+    )
+    budgets = wts.select(
+        "source",
+        F.floor(
+            F.col("raw_w") / F.sum("raw_w").over(Window.partitionBy()) * TOKEN_BUDGET
+        )
+        .cast("bigint")
+        .alias("src_budget"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.join(F.broadcast(budgets), "source").withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    return cum.where(F.col("cum_tokens") <= F.col("src_budget")).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
