@@ -152,18 +152,22 @@ def _in_list(var: str, words: tuple[str, ...]) -> str:
     return f"({var} IN ({', '.join(_sq(w) for w in words)}))"
 
 
-def _val_body(elem, lexicon: dict[str, float]) -> str:
-    """Per-position valence: shared arithmetic, engine-specific element
-    accessor ``elem(idx_expr)``. Position var is ``i`` (1-based),
-    but-index var is ``bidx``. Identical literals + operation order in
-    both engines => bit-identical doubles."""
-    prev = lambda j: f"(CASE WHEN i > {j} THEN {elem(f'i-{j}')} ELSE '' END)"
-    base = _case_valence(elem("i"), lexicon)
-    boost = " + ".join(
-        f"{_case_valence(prev(j), BOOSTERS)} * {_lit(DECAY[j - 1])}" for j in (1, 2, 3)
-    )
-    negated = " OR ".join(_in_list(prev(j), NEGATIONS) for j in (1, 2, 3))
+def _val_body(velem, belem, gelem) -> str:
+    """Per-position valence over PRECOMPUTED per-token arrays: ``velem``
+    / ``belem`` / ``gelem`` are engine-specific accessors into the
+    valence / booster-value / is-negation arrays (each token's lexicon
+    CASE runs ONCE when those arrays are built, not 7x per position —
+    the difference between an 11.6s and a ~4s sf0.1 scan). Position
+    var is ``i`` (1-based), but-index var ``bidx``. Identical literals
+    + operation order in both engines => bit-identical doubles."""
     z = _lit(0.0)
+    boost = " + ".join(
+        f"(CASE WHEN i > {j} THEN {belem(f'i-{j}')} ELSE {z} END) * {_lit(DECAY[j - 1])}"
+        for j in (1, 2, 3)
+    )
+    negated = " OR ".join(
+        f"(i > {j} AND {gelem(f'i-{j}')})" for j in (1, 2, 3)
+    )
     return (
         f"(CASE WHEN base_v = {z} THEN {z} ELSE "
         f"(CASE WHEN base_v > {z} THEN base_v + ({boost}) "
@@ -172,7 +176,7 @@ def _val_body(elem, lexicon: dict[str, float]) -> str:
         f"* (CASE WHEN bidx > 0 AND i < bidx THEN {_lit(0.5)} "
         f"WHEN bidx > 0 AND i > bidx THEN {_lit(1.5)} ELSE {_lit(1.0)} END) "
         f"END)"
-    ).replace("base_v", base)
+    ).replace("base_v", velem("i"))
 
 
 def _punct_norm(raw: str, ep: str, qm: str) -> str:
@@ -199,27 +203,40 @@ def _punct_parts(text: str) -> tuple[str, str]:
 def vader_compound_expr(
     text_col: str, lexicon: dict[str, float] | None = None
 ) -> Column:
-    """Compound score as ONE whole-stage-codegen expression. The token
-    array, but-index, and raw sum are each bound ONCE via the
-    single-element-array lambda (the CollapseProject re-evaluation
-    pitfall — see pretrain._gram_expr)."""
+    """Compound score as ONE expression. The token array, the three
+    per-token lookup arrays (valence / booster / negation — each
+    lexicon CASE evaluated once per token), the but-index, and the raw
+    sum are each bound ONCE via single-element-array lambdas (the
+    CollapseProject re-evaluation pitfall — see pretrain._gram_expr)."""
     lexicon = lexicon or LEXICON
     text = f"coalesce({text_col}, '')"
     toks = (
         f"filter(transform(split(lower({text}), '\\\\s+'),"
         f" t -> regexp_replace(t, {_sq(_STRIP_RE)}, '')), t -> t <> '')"
     )
-    val = _val_body(lambda idx: f"element_at(toks, cast({idx} as int))", lexicon)
+    lookups = (
+        f"named_struct("
+        f"'v', transform(toks, t -> {_case_valence('t', lexicon)}), "
+        f"'b', transform(toks, t -> {_case_valence('t', BOOSTERS)}), "
+        f"'g', transform(toks, t -> {_in_list('t', NEGATIONS)}), "
+        f"'x', coalesce(array_position(toks, 'but'), 0), "
+        f"'n', size(toks))"
+    )
+    val = _val_body(
+        lambda idx: f"element_at(s.v, cast({idx} as int))",
+        lambda idx: f"element_at(s.b, cast({idx} as int))",
+        lambda idx: f"element_at(s.g, cast({idx} as int))",
+    ).replace("bidx", "s.x")
     raw = (
-        f"CASE WHEN size(toks) = 0 THEN {_lit(0.0)} ELSE "
-        f"aggregate(transform(sequence(1, size(toks)), i -> {val}),"
+        f"CASE WHEN s.n = 0 THEN {_lit(0.0)} ELSE "
+        f"aggregate(transform(sequence(1, s.n), i -> {val}),"
         f" cast(0.0 as double), (a, v) -> a + v) END"
     )
     ep, qm = _punct_parts(text)
     body = _punct_norm("raw", ep, qm)
     expr = (
         f"element_at(transform(array({toks}), toks -> "
-        f"element_at(transform(array(coalesce(array_position(toks, 'but'), 0)), bidx -> "
+        f"element_at(transform(array({lookups}), s -> "
         f"element_at(transform(array({raw}), raw -> {body}), 1)"
         f"), 1)), 1)"
     )
@@ -244,22 +261,33 @@ def vader_sql(text_col: str, lexicon: dict[str, float] | None = None) -> str:
         f"list_filter(list_transform(regexp_split_to_array(lower({text}), '\\s+'),"
         f" t -> regexp_replace(t, {_sq(_STRIP_RE)}, '', 'g')), t -> t <> '')"
     )
-    val = _val_body(lambda idx: f"toks[CAST({idx} AS BIGINT)]", lexicon)
+    lookups = (
+        f"{{'v': list_transform(toks, t -> {_case_valence('t', lexicon)}), "
+        f"'b': list_transform(toks, t -> {_case_valence('t', BOOSTERS)}), "
+        f"'g': list_transform(toks, t -> {_in_list('t', NEGATIONS)}), "
+        f"'x': coalesce(list_position(toks, 'but'), 0), "
+        f"'n': len(toks)}}"
+    )
+    val = _val_body(
+        lambda idx: f"struct_extract(s, 'v')[CAST({idx} AS BIGINT)]",
+        lambda idx: f"struct_extract(s, 'b')[CAST({idx} AS BIGINT)]",
+        lambda idx: f"struct_extract(s, 'g')[CAST({idx} AS BIGINT)]",
+    ).replace("bidx", "struct_extract(s, 'x')")
     # list_reduce errors on empty input — prepend the 0.0 accumulator;
     # ((0+v1)+v2)... matches Spark's aggregate fold exactly.
     raw = (
-        f"CASE WHEN len(toks) = 0 THEN {_lit(0.0)} ELSE "
+        f"CASE WHEN struct_extract(s, 'n') = 0 THEN {_lit(0.0)} ELSE "
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
-        f" list_transform(range(1, len(toks) + 1), i -> {val})),"
+        f" list_transform(range(1, struct_extract(s, 'n') + 1), i -> {val})),"
         f" (a, v) -> a + v) END"
     )
     ep, qm = _punct_parts(text)
     body = _punct_norm("raw_v", ep, qm)
-    # bind via lambda over a single-element list, mirroring the Spark
+    # bind via lambdas over single-element lists, mirroring the Spark
     # binding trick (DuckDB inlines CTE columns referenced many times)
     return (
         f"list_transform([{toks}], toks -> "
-        f"list_transform([coalesce(list_position(toks, 'but'), 0)], bidx -> "
+        f"list_transform([{lookups}], s -> "
         f"list_transform([{raw}], raw_v -> {body})[1]"
         f")[1])[1]"
     )

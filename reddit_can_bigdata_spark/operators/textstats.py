@@ -225,7 +225,6 @@ def _vader_oracle() -> str:
     "f13b_vader_compound",
     oracle=_vader_oracle(),
     tags=("text", "sentiment", "vader"),
-    bench=True,
 )
 def f13b_vader_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13, real-VADER parity path: per-document compound sentiment via
@@ -235,7 +234,14 @@ def f13b_vader_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard +-0.05 thresholds the reference applies
     (`spark-ml-sentiment/spark_ml_sentiment.py:119-138`). The DuckDB
     oracle runs a structurally identical expression generated from the
-    same constants, so the doubles match bit-for-bit."""
+    same constants, so the doubles match bit-for-bit.
+
+    Perf note (measured at sf0.1, warm medians): the ~150-entry
+    lexicon CASE keeps this expression ~9.6s vs the join path's 2.2s —
+    expression size defeats codegen well before the full 7.5k-entry
+    lexicon would. f13c (the broadcast-join form, bit-identical
+    results) is therefore the production/bench path; this one is the
+    zero-shuffle form for small lexicons and the oracle's template."""
     from reddit_can_bigdata_spark.functions.vader import (
         vader_compound_expr,
         vader_label_expr,
@@ -252,6 +258,7 @@ def f13b_vader_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f13c_vader_join_path",
     oracle=_vader_oracle(),
     tags=("text", "sentiment", "vader", "scale"),
+    bench=True,
 )
 def f13c_vader_join_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME VADER computation through the broadcast-lexicon JOIN
