@@ -188,3 +188,29 @@ def test_pii_redact_is_single_stage(spark, sf_dir):
     plan = formatted_plan(df)
     assert count_exchanges(df) == 0, plan
     assert "Join" not in plan and "HashAggregate" not in plan, plan
+
+
+def test_sq_quantized_scales_broadcast(spark, sf_dir):
+    """The per-dimension scale table (1 row) and the query vector must
+    broadcast; the corpus scan is the only big input (no corpus-side
+    shuffle for the scoring itself — the scales aggregate is the one
+    reduction)."""
+    from reddit_can_bigdata_spark.operators.similarity import sim_sq_quantized_topk
+
+    df = sim_sq_quantized_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # top-k finishes with per-partition heaps, not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_token_budget_two_shuffles(spark, sf_dir):
+    """curate_token_budget: one aggregate to source granularity + one
+    window cumsum per source — the physical plan carries at most 3
+    exchanges (weights agg, broadcast-return, window partitioning; the
+    `spread` rebalance of the single-file test input adds one)."""
+    from reddit_can_bigdata_spark.operators.curation import curate_token_budget
+    from reddit_can_bigdata_spark.plans.inspect import count_exchanges
+
+    df = curate_token_budget(spark, sf_dir)
+    assert count_exchanges(df) <= 3, formatted_plan(df)
