@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from reddit_can_bigdata_spark.functions.vader import (
     ALPHA,
     B_INCR,
+    BOOSTERS,
     EP_AMP,
     LEXICON,
     N_SCALAR,
@@ -156,3 +157,32 @@ def test_custom_lexicon_roundtrip(tmp_path):
     assert vader_compound_py("good", lex) == vader_compound_py("good", {"good": 1.9})
     # words outside the custom lexicon score 0
     assert vader_compound_py("great", lex) == 0.0
+
+
+def test_randomized_sentences_expr_matches_python(spark):
+    """200 seeded random sentences mixing lexicon words, boosters,
+    negations, 'but', unknown words and punctuation — the rule
+    interactions a hand-picked list misses. One Spark pass, exact
+    float equality against the Python reference."""
+    import random
+
+    rng = random.Random(42)
+    lex_words = list(LEXICON)
+    vocab = (
+        lex_words
+        + list(BOOSTERS)
+        + ["not", "never", "don't", "but", "the", "a", "zzz", "match", "team"]
+    )
+    sentences = []
+    for _ in range(200):
+        n = rng.randint(0, 12)
+        words = [rng.choice(vocab) for _ in range(n)]
+        tail = rng.choice(["", "!", "!!", "???", ".", "?!"])
+        sentences.append(" ".join(words) + tail)
+    got = _spark_scores(spark, sentences)
+    bad = []
+    for i, s in enumerate(sentences):
+        want = vader_compound_py(s)
+        if abs(got[i] - want) > 1e-12:
+            bad.append((s, got[i], want))
+    assert not bad, bad[:5]
