@@ -213,3 +213,68 @@ def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.where(F.col("cum_tokens") <= F.col("src_budget")).select(
         "doc_id", "source", "n_tokens", "cum_tokens"
     )
+
+
+# train/val/test fractions in hash-bucket points out of 100
+SPLIT_TRAIN_LT = 80  # bucket <  80 -> train  (80%)
+SPLIT_VAL_LT = 90  # bucket < 90 -> val    (10%), else test (10%)
+
+
+@register(
+    "curate_stratified_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN h < {SPLIT_TRAIN_LT} THEN 'train'
+                  WHEN h < {SPLIT_VAL_LT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT source,
+               {PORTABLE_HASH32_SQL.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS h
+        FROM documents
+      )
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(COUNT(*) * 1.0 /
+                 SUM(COUNT(*)) OVER (PARTITION BY source), 6) AS frac
+    FROM assigned
+    GROUP BY source, split
+    """,
+    tags=("curation", "split"),
+)
+def curate_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10), stratified per
+    source: the split of a document is a pure function of its stable
+    key (portable hash bucket of `split:<doc_id>`), so (a) reruns,
+    late-arriving shards, and independent engines assign identically —
+    `randomSplit` is partitioning-dependent and irreproducible across
+    engines — and (b) each source stratum lands ~80/10/10 because the
+    hash is independent of source. Returns the per-(source, split)
+    audit table a pipeline checks before writing shards.
+
+    Plan: narrow map (hash bucket -> label) + one partial-aggregated
+    groupBy; the per-source fraction is a window over the tiny
+    aggregate, not the corpus. Assignment itself never shuffles, so
+    at 100 TB the split step costs one scan."""
+    docs = tables(spark, sf_dir)["documents"]
+    h = portable_hash32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    assigned = docs.select(
+        "source",
+        F.when(h < SPLIT_TRAIN_LT, "train")
+        .when(h < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    counts = assigned.groupBy("source", "split").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    per_source = Window.partitionBy("source")
+    return counts.select(
+        "source",
+        "split",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(per_source), 6
+        ).alias("frac"),
+    )

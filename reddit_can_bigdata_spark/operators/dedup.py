@@ -412,3 +412,109 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("label"), F.col("doc_id")).cast("long").alias("canonical_id"),
     )
+
+
+# Passage-level exact dedup: non-overlapping PASSAGE_W-token windows.
+PASSAGE_W = 16
+
+
+@register(
+    "dedup_passages",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(ceil(len(toks) / {PASSAGE_W}.0) AS INT) AS n_passages,
+             toks
+      FROM d
+    ),
+    p AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(
+               list_slice(toks, i*{PASSAGE_W}+1, i*{PASSAGE_W}+{PASSAGE_W}),
+               ' ') AS passage
+      FROM base, UNNEST(range(CAST(n_passages AS BIGINT))) AS t(i)
+    ),
+    kept AS (
+      SELECT doc_id, pos, passage
+      FROM p
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(passage) ORDER BY doc_id, pos) = 1
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(passage, ' ' ORDER BY pos) AS text_deduped
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_passages,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.text_deduped, '') AS text_deduped
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("dedup", "passages", "scale"),
+)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-level exact dedup (cf. Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better": substring/passage
+    dedup removes boilerplate that document-level hashing misses).
+    Documents are cut into consecutive non-overlapping {PASSAGE_W}-token
+    passages; the globally FIRST occurrence of each distinct passage
+    (min (doc_id, pos) — deterministic, engine-portable) survives,
+    every later repetition is dropped, and each doc's text is
+    reassembled from its surviving passages in order.
+
+    Plan: narrow map (tokenize -> slice -> posexplode) -> ONE shuffle
+    on md5(passage) for the first-occurrence window -> one shuffle
+    back on doc_id to reassemble. No joins between corpus-sized
+    sides; both shuffles are linear in passage count. At 100 TB the
+    passage table is the big intermediate — it is 2 narrow columns
+    (hash, position) wider than the text itself, the same footprint
+    every suffix-array-free industrial dedup pays."""
+    from pyspark.sql import Window
+
+    docs = tables(spark, sf_dir)["documents"]
+    toks = "filter(split(text, ' '), t -> t <> '')"
+    base = spread(docs).select(
+        "doc_id",
+        F.expr(
+            f"cast(ceil(size({toks}) / {PASSAGE_W}.0) as int)"
+        ).alias("n_passages"),
+        F.expr(toks).alias("toks"),
+    )
+    p = base.where(F.col("n_passages") > 0).select(
+        "doc_id",
+        "n_passages",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, n_passages - 1), "
+                f"i -> concat_ws(' ', slice(toks, i*{PASSAGE_W}+1, {PASSAGE_W})))"
+            )
+        ).alias("pos", "passage"),
+    )
+    first = Window.partitionBy(F.md5("passage"))
+    kept = (
+        p.withColumn("w", F.min(F.struct("doc_id", "pos")).over(first))
+        .where((F.col("doc_id") == F.col("w.doc_id")) & (F.col("pos") == F.col("w.pos")))
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, passage))),"
+            " s -> s.passage))"
+        ).alias("text_deduped"),
+    )
+    return (
+        base.select("doc_id", "n_passages")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_passages",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )

@@ -740,3 +740,145 @@ def pretrain_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# Bloom-filter decontamination: m bits as BLOOM_WORDS 64-bit words,
+# BLOOM_K independent portable hashes per gram. 8 KiB of filter for
+# the sf-scale eval set keeps the false-positive rate ~(1-e^{-kn/m})^k;
+# production sizes m to the real benchmark-suite gram count.
+BLOOM_BITS = 65_536
+BLOOM_WORDS = BLOOM_BITS // 64  # 1024 x int64
+BLOOM_K = 4
+
+
+def _bloom_pos_spark(i: int, gram: str) -> str:
+    """Spark SQL: i-th portable bloom bit position of a gram expr."""
+    return (
+        f"cast(conv(substring(md5(concat('b{i}:', {gram})), 1, 8), 16, 10) "
+        f"as bigint) % {BLOOM_BITS}"
+    )
+
+
+def _bloom_pos_sql(i: str, gram: str) -> str:
+    """DuckDB twin of `_bloom_pos_spark` (i may be a column ref)."""
+    return (
+        f"(('0x' || substr(md5('b' || CAST({i} AS VARCHAR) || ':' || {gram}), "
+        f"1, 8))::BIGINT) % {BLOOM_BITS}"
+    )
+
+
+@register(
+    "pretrain_bloom_decontaminate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct({_gram_sql(DECONTAM_N)}) AS grams
+      FROM d
+    ),
+    eg AS (
+      SELECT DISTINCT unnest(grams) AS gr FROM g
+      WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+    ),
+    bloom AS (
+      SELECT DISTINCT {_bloom_pos_sql('i', 'gr')} AS p
+      FROM eg, range({BLOOM_K}) t(i)
+    ),
+    cg AS (
+      SELECT doc_id, unnest(grams) AS gr FROM g
+      WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0
+    ),
+    cpos AS (
+      SELECT doc_id, gr, i, {_bloom_pos_sql('i', 'gr')} AS p
+      FROM cg, range({BLOOM_K}) t(i)
+    ),
+    hit AS (
+      SELECT doc_id, gr, COUNT(*) AS nh
+      FROM cpos JOIN bloom USING (p)
+      GROUP BY doc_id, gr
+    ),
+    fl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+      FROM hit WHERE nh = {BLOOM_K}
+      GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(g.grams) AS BIGINT) AS n_grams,
+           COALESCE(fl.n_flagged, 0) AS n_flagged,
+           COALESCE(fl.n_flagged, 0) >= 1 AS maybe_contaminated
+    FROM g LEFT JOIN fl ON fl.doc_id = g.doc_id
+    WHERE g.doc_id % {DECONTAM_EVAL_MOD} <> 0
+    """,
+    tags=("pretrain", "decontamination", "sketch", "scale"),
+)
+def pretrain_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a BLOOM FILTER of the eval grams — the
+    100 TB answer to `pretrain_decontaminate`'s broadcast dilemma: the
+    exact path must ship the full distinct eval-gram table (unbounded;
+    gated to a shuffle join past 2M grams), while the bloom bitmap is
+    a CONSTANT {BLOOM_WORDS}x64-bit = 8 KiB broadcast no matter how
+    many grams feed it, and the corpus side never shuffles at all.
+
+    Plan: eval grams -> {BLOOM_K} portable md5 bit positions each ->
+    bit_or per 64-bit word -> ONE map-typed row, broadcast; corpus
+    membership is then a pure narrow map (filter over each doc's gram
+    array testing all {BLOOM_K} bits). No joins or shuffles touch the
+    corpus: scan -> project -> done.
+
+    Bloom semantics are exactly reproducible (same md5 positions in
+    the DuckDB oracle), and one-sided: NO false negatives — every
+    truly contaminated doc is flagged (pinned against the exact
+    operator in tests/test_pretrain.py); false positives at rate
+    ~(1-e^(-kn/m))^k get a second-pass exact check on the (tiny)
+    flagged subset in a real pipeline."""
+    docs = tables(spark, sf_dir)["documents"]
+    g = spread(docs).select(
+        "doc_id",
+        F.array_distinct(F.expr(_gram_expr(DECONTAM_N))).alias("grams"),
+    )
+    is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    # eval grams -> bit positions -> 64-bit words -> one map row
+    pos = (
+        g.where(is_eval)
+        .select(F.explode("grams").alias("gr"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[F.expr(_bloom_pos_spark(i, "gr")) for i in range(BLOOM_K)]
+                )
+            ).alias("p")
+        )
+    )
+    bloom_row = (
+        pos.select(
+            F.expr("p div 64").alias("w"),
+            F.expr("shiftleft(1L, int(p % 64))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("bm")
+        )
+    )
+    member = " AND ".join(
+        f"(coalesce(element_at(bm, ({_bloom_pos_spark(i, 'gr')}) div 64), 0L)"
+        f" & shiftleft(1L, int(({_bloom_pos_spark(i, 'gr')}) % 64))) != 0"
+        for i in range(BLOOM_K)
+    )
+    return (
+        g.where(~is_eval)
+        .crossJoin(F.broadcast(bloom_row))
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_grams"),
+            F.expr(f"cast(size(filter(grams, gr -> {member})) as bigint)").alias(
+                "n_flagged"
+            ),
+        )
+        .withColumn("maybe_contaminated", F.col("n_flagged") >= 1)
+    )

@@ -208,9 +208,12 @@ def f13_lexicon_sentiment_distribution(spark: SparkSession, sf_dir: str) -> Data
 def _vader_oracle() -> str:
     from reddit_can_bigdata_spark.functions.vader import vader_sql
 
+    # ``+ 0`` normalizes IEEE negative zero: DuckDB's round() returns
+    # -0.0 for tiny negative compounds where Spark returns +0.0, and a
+    # bit-level/repr compare distinguishes them (-0.0 + 0.0 == +0.0).
     return f"""
     WITH scored AS (
-      SELECT doc_id, round({vader_sql('text')}, 6) AS compound
+      SELECT doc_id, round({vader_sql('text')}, 6) + 0 AS compound
       FROM documents
     )
     SELECT doc_id, compound,
@@ -248,7 +251,8 @@ def f13b_vader_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = tables(spark, sf_dir)["documents"]
-    compound = F.round(vader_compound_expr("text"), 6)
+    # + 0.0 normalizes -0.0 to +0.0 (matches the oracle's `+ 0`)
+    compound = F.round(vader_compound_expr("text"), 6) + F.lit(0.0)
     return docs.select(
         "doc_id", compound.alias("compound")
     ).withColumn("vader_label", vader_label_expr(F.col("compound")))
@@ -275,7 +279,8 @@ def f13c_vader_join_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
     scored = vader_compound_join(docs)
     return scored.select(
-        "doc_id", F.round("compound", 6).alias("compound")
+        "doc_id",
+        (F.round("compound", 6) + F.lit(0.0)).alias("compound"),
     ).withColumn("vader_label", vader_label_expr(F.col("compound")))
 
 

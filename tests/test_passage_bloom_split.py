@@ -1,0 +1,105 @@
+"""Invariants for the round-4 curation/dedup additions:
+
+- `pretrain_bloom_decontaminate`: Bloom filters have NO false
+  negatives — every doc the exact operator marks contaminated must be
+  flagged, and per-doc the bloom gram count dominates the exact one;
+- `dedup_passages`: global exactly-once retention of every distinct
+  passage, first-occurrence wins, per-doc counts consistent;
+- `curate_stratified_split`: per-source fractions sum to 1 and the
+  global split tracks 80/10/10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        pretrain_bloom_decontaminate,
+        pretrain_decontaminate,
+    )
+
+    exact = {
+        r["doc_id"]: r
+        for r in pretrain_decontaminate(spark, sf_dir).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in pretrain_bloom_decontaminate(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(bloom)  # same corpus side (eval excluded)
+    contaminated = [d for d, r in exact.items() if r["contaminated"]]
+    assert contaminated, "fixture should contain eval-gram colliders"
+    for d in exact:
+        assert exact[d]["n_grams"] == bloom[d]["n_grams"]
+        # no false negatives, at doc AND gram granularity
+        assert bloom[d]["n_flagged"] >= exact[d]["n_collisions"], d
+        if exact[d]["contaminated"]:
+            assert bloom[d]["maybe_contaminated"], d
+    # the 8 KiB filter should stay useful: false-positive docs bounded
+    fp = sum(
+        1
+        for d in exact
+        if bloom[d]["maybe_contaminated"] and not exact[d]["contaminated"]
+    )
+    assert fp <= 0.2 * len(exact), f"bloom FP rate degenerate: {fp}/{len(exact)}"
+
+
+def _py_passages(text: str, w: int) -> list[str]:
+    toks = [t for t in text.split(" ") if t]
+    return [" ".join(toks[i : i + w]) for i in range(0, len(toks), w)]
+
+
+def test_dedup_passages_exactly_once_and_first_wins(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.dedup import PASSAGE_W, dedup_passages
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    out = {r["doc_id"]: r for r in dedup_passages(spark, sf_dir).collect()}
+    assert set(out) == set(docs)
+
+    # python golden: first (doc_id, pos) occurrence of each passage
+    kept_golden: dict[int, list[str]] = {d: [] for d in docs}
+    seen: set[str] = set()
+    for d in sorted(docs):
+        for passage in _py_passages(docs[d], PASSAGE_W):
+            if passage not in seen:
+                seen.add(passage)
+                kept_golden[d].append(passage)
+
+    total_kept = sum(r["n_kept"] for r in out.values())
+    assert total_kept == len(seen)  # every distinct passage exactly once
+    for d in docs:
+        golden = kept_golden[d]
+        assert out[d]["n_passages"] == len(_py_passages(docs[d], PASSAGE_W))
+        assert out[d]["n_kept"] == len(golden), d
+        assert out[d]["text_deduped"] == " ".join(golden), d
+
+
+def test_stratified_split_fractions(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.curation import (
+        curate_stratified_split,
+    )
+
+    rows = curate_stratified_split(spark, sf_dir).collect()
+    by_source: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], {})[r["split"]] = r["n_docs"]
+        assert 0.0 <= r["frac"] <= 1.0
+    for source, splits in by_source.items():
+        total = sum(splits.values())
+        fracs = [
+            r["frac"] for r in rows if r["source"] == source
+        ]
+        assert abs(sum(fracs) - 1.0) < 1e-4, source
+        assert total > 0
+    # global proportions track 80/10/10 (loose: small-sample binomial)
+    n = sum(sum(s.values()) for s in by_source.values())
+    n_train = sum(s.get("train", 0) for s in by_source.values())
+    assert abs(n_train / n - 0.8) < 0.08, n_train / n
+    # determinism: a second run assigns identically
+    again = curate_stratified_split(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
