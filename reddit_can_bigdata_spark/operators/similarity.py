@@ -540,3 +540,92 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# Semantic near-dup threshold. The synthetic embeddings contain no
+# true near-identical pairs (max pairwise cosine ~0.51), so the
+# registered query runs at 0.40 to exercise the drop path end-to-end;
+# production SemDeDup on real embeddings uses ~0.95+.
+SEMDEDUP_TAU = 0.40
+
+
+@register(
+    "sim_semantic_dedup",
+    oracle=f"""
+    WITH cents AS (
+      SELECT cid, cv FROM read_parquet('{CODEBOOK_FIXTURE}')
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cl AS (SELECT vec_id, embedding, cid FROM assigned WHERE rn = 1),
+    pairs AS (
+      SELECT b.vec_id AS b_id, {_cos_sql('a.embedding', 'b.embedding')} AS sim
+      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
+    ),
+    dups AS (
+      SELECT b_id, CAST(COUNT(*) AS BIGINT) AS n_earlier_dups,
+             round(MAX(sim), 6) AS max_sim_earlier
+      FROM pairs GROUP BY b_id
+    )
+    SELECT cl.vec_id, cl.cid,
+           dups.b_id IS NULL AS kept,
+           COALESCE(dups.n_earlier_dups, 0) AS n_earlier_dups,
+           dups.max_sim_earlier
+    FROM cl LEFT JOIN dups ON dups.b_id = cl.vec_id
+    """,
+    tags=("similarity", "dedup", "semdedup", "scale"),
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-cosine
+    near-dup removal WITHIN k-means clusters, so the quadratic
+    pairwise step never touches the full corpus. A vector is dropped
+    when an earlier vector (smaller vec_id — deterministic scan
+    order, the paper keeps one arbitrary representative) in the SAME
+    cluster has cosine >= {SEMDEDUP_TAU}; the rule is a pure pair
+    predicate (no iteration), so an independent SQL engine verifies
+    it exactly.
+
+    Plan: centroid assignment is a broadcast scan (codebook fixture,
+    train-once/search-many); the pair join shuffles both sides on cid
+    only — O(sum of cluster_size^2) comparisons, the SemDeDup
+    contract. At 100 TB you scale K with N (the paper uses 50k
+    clusters for 100M+ docs) to bound cluster sizes, and AQE skew
+    handling splits any runaway cluster."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    cents = spark.read.parquet(CODEBOOK_FIXTURE)
+    assigned = ivf_assign(emb, cents).select("vec_id", "cid", "embedding")
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), "cid", F.col("embedding").alias("av")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), "cid", F.col("embedding").alias("bv")
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("b_id", cosine_expr("av", "bv").alias("sim"))
+        .where(F.col("sim") >= SEMDEDUP_TAU)
+    )
+    dups = pairs.groupBy("b_id").agg(
+        F.count("*").cast("bigint").alias("n_earlier_dups"),
+        F.round(F.max("sim"), 6).alias("max_sim_earlier"),
+    )
+    return (
+        assigned.select("vec_id", "cid")
+        .join(dups, assigned["vec_id"] == dups["b_id"], "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("b_id").isNull().alias("kept"),
+            F.coalesce("n_earlier_dups", F.lit(0)).alias("n_earlier_dups"),
+            "max_sim_earlier",
+        )
+    )

@@ -103,3 +103,43 @@ def test_stratified_split_fractions(spark, sf_dir):
     # determinism: a second run assigns identically
     again = curate_stratified_split(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_semantic_dedup_matches_numpy_golden(spark, sf_dir):
+    """Independent NumPy reimplementation: centroid assignment by
+    cosine (tie -> smaller cid), drop j iff an earlier same-cluster i
+    has cos >= tau. The registered threshold must actually drop rows
+    on the fixture corpus (the drop path is exercised, not vacuous).
+    """
+    import numpy as np
+
+    from reddit_can_bigdata_spark.operators.similarity import (
+        CODEBOOK_FIXTURE,
+        SEMDEDUP_TAU,
+        sim_semantic_dedup,
+    )
+
+    cents = sorted(
+        (r["cid"], np.array(r["cv"], dtype=float))
+        for r in spark.read.parquet(CODEBOOK_FIXTURE).collect()
+    )
+    cn = np.array([c / np.linalg.norm(c) for _, c in cents])
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=float))
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    )
+    ids = [v for v, _ in rows]
+    E = np.array([e for _, e in rows])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cid = (En @ cn.T).argmax(axis=1)  # argmax returns FIRST max (tie -> min cid)
+    S = En @ En.T
+    golden_kept = {}
+    for j in range(len(ids)):
+        earlier = [i for i in range(j) if cid[i] == cid[j] and S[i, j] >= SEMDEDUP_TAU]
+        golden_kept[ids[j]] = not earlier
+    out = {r["vec_id"]: r for r in sim_semantic_dedup(spark, sf_dir).collect()}
+    assert set(out) == set(ids)
+    assert {v for v, r in out.items() if not r["kept"]}, "no drops: tau vacuous"
+    for v in ids:
+        assert out[v]["kept"] == golden_kept[v], v
+        assert out[v]["cid"] == cid[ids.index(v)], v

@@ -214,3 +214,50 @@ def test_token_budget_two_shuffles(spark, sf_dir):
 
     df = curate_token_budget(spark, sf_dir)
     assert count_exchanges(df) <= 3, formatted_plan(df)
+
+
+def test_bloom_decontaminate_corpus_never_shuffles(spark, sf_dir):
+    """The whole point of the bloom path: the eval side reduces to one
+    broadcast map row, so the corpus side is scan -> project with NO
+    join on the corpus grams and no corpus-sized exchange. The only
+    exchanges allowed are on the eval/bitmap side (distinct + word
+    bit_or + single-row agg) plus the `spread` rebalance."""
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        pretrain_bloom_decontaminate,
+    )
+
+    df = pretrain_bloom_decontaminate(spark, sf_dir)
+    plan = formatted_plan(df)
+    # corpus side joins ONLY via the broadcast nested-loop cross join
+    # of the single bitmap row — never a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_passages_two_linear_shuffles(spark, sf_dir):
+    """Passage dedup = one shuffle on md5(passage) (first-occurrence
+    window) + one back on doc_id (reassembly agg + rejoin); with the
+    `spread` rebalance and AQE coalescing that bounds the physical
+    plan at 5 exchanges and forbids any cartesian product."""
+    from reddit_can_bigdata_spark.operators.dedup import dedup_passages
+    from reddit_can_bigdata_spark.plans.inspect import count_exchanges
+
+    df = dedup_passages(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) <= 5, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_stratified_split_single_aggregate(spark, sf_dir):
+    """Assignment is a narrow map; the only reduction is the tiny
+    (source, split) aggregate, and the frac window runs over that
+    aggregate, not the corpus."""
+    from reddit_can_bigdata_spark.operators.curation import (
+        curate_stratified_split,
+    )
+    from reddit_can_bigdata_spark.plans.inspect import count_exchanges
+
+    df = curate_stratified_split(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) <= 2, plan
+    assert "Join" not in plan, plan
