@@ -882,3 +882,141 @@ def pretrain_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("maybe_contaminated", F.col("n_flagged") >= 1)
     )
+
+
+# Gopher repetition-suite thresholds (Rae et al. 2021, Table A1):
+# top n-gram char fraction <= 0.20 / 0.18 / 0.16 for n = 2/3/4;
+# duplicate n-gram char fraction <= 0.15 / 0.12 for n = 5/8.
+# Keep decisions use integer cross-multiplication of these ratios so
+# the boundary is bit-exact across engines.
+GOPHER_NS = (2, 3, 4, 5, 8)
+
+
+def _gopher_keep_sql(top2, top3, top4, dup5, dup8, total) -> str:
+    return (
+        f"(5 * {top2} <= {total}) AND (50 * {top3} <= 9 * {total}) "
+        f"AND (25 * {top4} <= 4 * {total}) AND (20 * {dup5} <= 3 * {total}) "
+        f"AND (25 * {dup8} <= 3 * {total})"
+    )
+
+
+@register(
+    "pretrain_gopher_repetition",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, toks,
+             CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS total_chars
+      FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
+      WHERE len(toks) >= 2
+    ),
+    grams AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, total_chars, {n} AS n, "
+        f"unnest({_gram_sql(n)}) AS gram FROM d"
+        for n in GOPHER_NS)}
+    ),
+    counts AS (
+      SELECT doc_id, total_chars, n, gram, COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, total_chars, n, gram
+    ),
+    per_n AS (
+      SELECT doc_id, total_chars, n,
+             MAX(cnt * length(gram)) AS topc,
+             COALESCE(SUM(CASE WHEN cnt > 1
+                           THEN (cnt - 1) * length(gram) END), 0) AS dupc
+      FROM counts GROUP BY doc_id, total_chars, n
+    ),
+    wide AS (
+      SELECT doc_id, total_chars,
+             COALESCE(MAX(CASE WHEN n = 2 THEN topc END), 0) AS top2c,
+             COALESCE(MAX(CASE WHEN n = 3 THEN topc END), 0) AS top3c,
+             COALESCE(MAX(CASE WHEN n = 4 THEN topc END), 0) AS top4c,
+             COALESCE(MAX(CASE WHEN n = 5 THEN dupc END), 0) AS dup5c,
+             COALESCE(MAX(CASE WHEN n = 8 THEN dupc END), 0) AS dup8c
+      FROM per_n GROUP BY doc_id, total_chars
+    )
+    SELECT doc_id, total_chars,
+           round(top2c * 1.0 / total_chars, 6) AS top2_frac,
+           round(top3c * 1.0 / total_chars, 6) AS top3_frac,
+           round(top4c * 1.0 / total_chars, 6) AS top4_frac,
+           round(dup5c * 1.0 / total_chars, 6) AS dup5_frac,
+           round(dup8c * 1.0 / total_chars, 6) AS dup8_frac,
+           {_gopher_keep_sql('top2c', 'top3c', 'top4c', 'dup5c', 'dup8c',
+                             'total_chars')} AS keep
+    FROM wide
+    """,
+    tags=("pretrain", "quality", "repetition", "scale"),
+)
+def pretrain_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher repetition suite (Rae et al. 2021 §A1.1) —
+    extends `pretrain_repetition`'s single dup-3-gram ratio to the
+    published family: fraction of characters covered by the heaviest
+    n-gram (n=2,3,4; "top" = max over grams of count x char-length, a
+    deterministic tie rule) and fraction of characters in repeated
+    occurrences of duplicated n-grams (n=5,8: sum of (count-1) x
+    char-length). Documents failing any threshold (0.20/0.18/0.16 top,
+    0.15/0.12 dup — integer cross-multiplied, bit-exact) are dropped;
+    docs under 2 tokens are out of scope.
+
+    Plan: ONE projection builds all five gram arrays (each bound once
+    via the `_gram_expr` lambda trick), ONE explode of the tagged
+    (n, gram) stream, then two hash aggregates: (doc, n, gram) counts
+    -> per-doc conditional rollup. Two linear shuffles total for the
+    whole five-metric suite; no joins, no windows, corpus never
+    materializes more than its own n-gram stream (same footprint as a
+    tokenizer pass)."""
+    docs = tables(spark, sf_dir)["documents"]
+    tagged = ", ".join(
+        f"transform({_gram_expr(n)}, x -> struct({n} as n, x as gram))"
+        for n in GOPHER_NS
+    )
+    base = spread(docs).where(
+        F.expr(f"size({TOKENS_EXPR}) >= 2")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"cast(length(concat_ws(' ', {TOKENS_EXPR})) as bigint)"
+        ).alias("total_chars"),
+        F.explode(F.expr(f"flatten(array({tagged}))")).alias("t"),
+    ).select("doc_id", "total_chars", "t.n", "t.gram")
+    counts = base.groupBy("doc_id", "total_chars", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    per_n = counts.groupBy("doc_id", "total_chars", "n").agg(
+        F.max(F.col("cnt") * F.length("gram")).alias("topc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("cnt") > 1, (F.col("cnt") - 1) * F.length("gram")
+                )
+            ),
+            F.lit(0),
+        ).alias("dupc"),
+    )
+
+    def pick(n: int, col: str):
+        return F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col(col))), F.lit(0)
+        ).cast("bigint")
+
+    wide = per_n.groupBy("doc_id", "total_chars").agg(
+        pick(2, "topc").alias("top2c"),
+        pick(3, "topc").alias("top3c"),
+        pick(4, "topc").alias("top4c"),
+        pick(5, "dupc").alias("dup5c"),
+        pick(8, "dupc").alias("dup8c"),
+    )
+    t = F.col("total_chars")
+    return wide.select(
+        "doc_id",
+        "total_chars",
+        F.round(F.col("top2c") / t, 6).alias("top2_frac"),
+        F.round(F.col("top3c") / t, 6).alias("top3_frac"),
+        F.round(F.col("top4c") / t, 6).alias("top4_frac"),
+        F.round(F.col("dup5c") / t, 6).alias("dup5_frac"),
+        F.round(F.col("dup8c") / t, 6).alias("dup8_frac"),
+        F.expr(
+            _gopher_keep_sql("top2c", "top3c", "top4c", "dup5c", "dup8c",
+                             "total_chars")
+        ).alias("keep"),
+    )

@@ -143,3 +143,62 @@ def test_semantic_dedup_matches_numpy_golden(spark, sf_dir):
     for v in ids:
         assert out[v]["kept"] == golden_kept[v], v
         assert out[v]["cid"] == cid[ids.index(v)], v
+
+
+def test_gopher_repetition_matches_python_golden(spark, sf_dir):
+    """Pure-Python reimplementation of all five Gopher repetition
+    metrics (top-{2,3,4}-gram char coverage, dup-{5,8}-gram repeated
+    chars) on the fixture corpus, compared doc-by-doc."""
+    from collections import Counter
+
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        pretrain_gopher_repetition,
+    )
+
+    def metrics(text: str):
+        toks = [t for t in text.split(" ") if t]
+        if len(toks) < 2:
+            return None
+        total = len(" ".join(toks))
+        out = {"total_chars": total}
+        for n in (2, 3, 4, 5, 8):
+            grams = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            topc = max((c * len(g) for g, c in grams.items()), default=0)
+            dupc = sum((c - 1) * len(g) for g, c in grams.items() if c > 1)
+            out[n] = (topc, dupc)
+        out["keep"] = (
+            5 * out[2][0] <= total
+            and 50 * out[3][0] <= 9 * total
+            and 25 * out[4][0] <= 4 * total
+            and 20 * out[5][1] <= 3 * total
+            and 25 * out[8][1] <= 3 * total
+        )
+        return out
+
+    import math
+
+    def r6(x: float) -> float:
+        # Spark/DuckDB round() is half-UP; Python's is half-even
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    golden = {d: m for d, t in docs.items() if (m := metrics(t)) is not None}
+    out = {r["doc_id"]: r for r in pretrain_gopher_repetition(spark, sf_dir).collect()}
+    assert set(out) == set(golden)
+    for d, g in golden.items():
+        r = out[d]
+        assert r["total_chars"] == g["total_chars"], d
+        assert r["top2_frac"] == r6(g[2][0] / g["total_chars"]), d
+        assert r["top3_frac"] == r6(g[3][0] / g["total_chars"]), d
+        assert r["top4_frac"] == r6(g[4][0] / g["total_chars"]), d
+        assert r["dup5_frac"] == r6(g[5][1] / g["total_chars"]), d
+        assert r["dup8_frac"] == r6(g[8][1] / g["total_chars"]), d
+        assert r["keep"] == g["keep"], d
+    assert any(not r["keep"] for r in out.values()) or all(
+        r["keep"] for r in out.values()
+    )  # smoke: decision column populated either way
