@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from reddit_can_bigdata_spark.functions.text import PORTABLE_HASH32_SQL, portable_hash32
-from reddit_can_bigdata_spark.operators.common import tables
+from reddit_can_bigdata_spark.operators.common import spread, tables
 from reddit_can_bigdata_spark.registry import register
 
 SAMPLE_PCT = 10  # keep 1 in 10 of every language stratum
@@ -277,4 +277,118 @@ def curate_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_docs") / F.sum("n_docs").over(per_source), 6
         ).alias("frac"),
+    )
+
+
+# DSIR (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling"): hashed-bigram bucket count ratios between a
+# target domain and the raw corpus give each raw doc an importance
+# log-weight. Bucket count fixed; histograms are BUCKET-sized however
+# big the corpus is.
+DSIR_BUCKETS = 1024
+DSIR_EVAL_MOD = 97  # doc_id % 97 == 0 is the "target domain" stand-in
+
+
+def _dsir_oracle() -> str:
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_SQL, _gram_sql
+
+    h = PORTABLE_HASH32_SQL.format(x="'ds:' || gr")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+    ),
+    gb AS (
+      SELECT doc_id, {h} % {DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, unnest({_gram_sql(2)}) AS gr FROM d)
+    ),
+    t AS (SELECT b, COUNT(*) AS c FROM gb
+          WHERE doc_id % {DSIR_EVAL_MOD} = 0 GROUP BY b),
+    r AS (SELECT b, COUNT(*) AS c FROM gb
+          WHERE doc_id % {DSIR_EVAL_MOD} <> 0 GROUP BY b),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(c), 0) FROM t) AS tt,
+             (SELECT COALESCE(SUM(c), 0) FROM r) AS rt
+    ),
+    lr AS (
+      SELECT bb.b,
+             ln((COALESCE(t.c, 0) + 1.0) / (tot.tt + {DSIR_BUCKETS}))
+             - ln((COALESCE(r.c, 0) + 1.0) / (tot.rt + {DSIR_BUCKETS})) AS lrat
+      FROM (SELECT DISTINCT b FROM gb) bb
+      LEFT JOIN t ON t.b = bb.b
+      LEFT JOIN r ON r.b = bb.b, tot
+    )
+    SELECT gb.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           round(SUM(lr.lrat), 6) AS log_weight
+    FROM gb JOIN lr ON lr.b = gb.b
+    WHERE gb.doc_id % {DSIR_EVAL_MOD} <> 0
+    GROUP BY gb.doc_id
+    """
+
+
+@register(
+    "curate_dsir_logweight",
+    oracle=_dsir_oracle(),
+    tags=("curation", "dsir", "scale"),
+)
+def curate_dsir_logweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights: score every raw-corpus document by
+    how target-like its hashed-bigram distribution is —
+    log w(doc) = sum over bigrams of ln(p_target(bucket)/p_raw(bucket))
+    with Laplace-smoothed bucket unigram models (Xie et al. 2023 §3;
+    the resampling step then keeps docs with probability proportional
+    to exp(log w)). The target domain here is the doc_id % 97 eval
+    slice (production: a real high-quality corpus).
+
+    Plan: the gram->bucket stream aggregates into two
+    {DSIR_BUCKETS}-row histograms — CONSTANT-size however big the
+    corpus — whose log-ratio table broadcasts back onto the stream;
+    one corpus-linear groupBy(doc_id) finishes. Like the bloom
+    decontaminator, the model side is bounded by construction, so
+    the plan has no scale cliff. ln() is portable here for the same
+    reason as `pretrain_unigram_logprob` (hash-green precedent);
+    the sum rounds to 6 decimals per the registry's float rule."""
+    from pyspark import StorageLevel
+
+    from reddit_can_bigdata_spark.operators.pretrain import _gram_expr
+
+    docs = tables(spark, sf_dir)["documents"]
+    gb = (
+        spread(docs)
+        .select("doc_id", F.explode(F.expr(_gram_expr(2))).alias("gr"))
+        .select(
+            "doc_id",
+            (
+                portable_hash32(F.concat(F.lit("ds:"), F.col("gr")))
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    is_eval = F.col("doc_id") % DSIR_EVAL_MOD == 0
+    t = gb.where(is_eval).groupBy("b").agg(F.count("*").alias("tc"))
+    r = gb.where(~is_eval).groupBy("b").agg(F.count("*").alias("rc"))
+    hist = t.join(r, "b", "full_outer").select(
+        "b",
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+    )
+    totals = hist.agg(
+        F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
+    )
+    lr = hist.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("tc") + 1.0) / (F.col("tt") + DSIR_BUCKETS))
+            - F.log((F.col("rc") + 1.0) / (F.col("rt") + DSIR_BUCKETS))
+        ).alias("lrat"),
+    )
+    return (
+        gb.where(~is_eval)
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.round(F.sum("lrat"), 6).alias("log_weight"),
+        )
     )

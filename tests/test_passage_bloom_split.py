@@ -202,3 +202,60 @@ def test_gopher_repetition_matches_python_golden(spark, sf_dir):
     assert any(not r["keep"] for r in out.values()) or all(
         r["keep"] for r in out.values()
     )  # smoke: decision column populated either way
+
+
+def test_dsir_logweight_matches_python_golden(spark, sf_dir):
+    """Independent Python DSIR: md5 bucket hashing, Laplace-smoothed
+    bucket models, sum of log ratios. Also checks the discriminative
+    property: the weights are not all equal (the target slice differs
+    from the corpus)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from reddit_can_bigdata_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_EVAL_MOD,
+        curate_dsir_logweight,
+    )
+
+    def bucket(gr: str) -> int:
+        return int(hashlib.md5(f"ds:{gr}".encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    def bigrams(text: str) -> list[str]:
+        toks = [t for t in text.split(" ") if t]
+        return [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    t_hist: Counter = Counter()
+    r_hist: Counter = Counter()
+    doc_buckets = {}
+    for d, text in docs.items():
+        bs = [bucket(g) for g in bigrams(text)]
+        doc_buckets[d] = bs
+        (t_hist if d % DSIR_EVAL_MOD == 0 else r_hist).update(bs)
+    tt, rt = sum(t_hist.values()), sum(r_hist.values())
+
+    def lrat(b: int) -> float:
+        return math.log((t_hist[b] + 1.0) / (tt + DSIR_BUCKETS)) - math.log(
+            (r_hist[b] + 1.0) / (rt + DSIR_BUCKETS)
+        )
+
+    out = {r["doc_id"]: r for r in curate_dsir_logweight(spark, sf_dir).collect()}
+    expect = {
+        d for d, bs in doc_buckets.items() if d % DSIR_EVAL_MOD != 0 and bs
+    }
+    assert set(out) == expect
+    import pytest
+
+    for d in expect:
+        got = out[d]
+        assert got["n_grams"] == len(doc_buckets[d]), d
+        golden = sum(lrat(b) for b in doc_buckets[d])
+        # float-sum order differs (distributed vs sequential): approx
+        assert got["log_weight"] == pytest.approx(golden, abs=1e-4), d
+    weights = {r["log_weight"] for r in out.values()}
+    assert len(weights) > 1, "degenerate: all docs scored identically"

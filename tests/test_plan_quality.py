@@ -261,3 +261,21 @@ def test_stratified_split_single_aggregate(spark, sf_dir):
     plan = formatted_plan(df)
     assert count_exchanges(df) <= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_dsir_model_side_broadcasts(spark, sf_dir):
+    """DSIR's log-ratio table is bucket-sized (constant): it must
+    broadcast back onto the gram stream — the corpus-sized side never
+    joins via shuffle."""
+    from reddit_can_bigdata_spark.operators.curation import curate_dsir_logweight
+
+    df = curate_dsir_logweight(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the corpus gram stream joins the log-ratio table via broadcast;
+    # the t<->r histogram full-outer may sort-merge — both sides are
+    # bucket-sized (1024 rows), so that join is constant work
+    assert "BroadcastHashJoin" in plan, plan
+    # tree lines name the join type; only the histogram full-outers
+    # may sort-merge
+    assert plan.count("SortMergeJoin FullOuter") <= 2, plan
+    assert "SortMergeJoin Inner" not in plan, plan
