@@ -385,3 +385,106 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_emails + n_phones > 0).alias("had_pii"),
         portable_hash32(redacted).alias("redacted_hash"),
     )
+
+
+# BM25 retrieval parameters (Robertson/Sparck Jones defaults) and the
+# fixed demo query (terms present in the synthetic vocabulary).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("table", "scan", "fast")
+BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_SQL
+
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    terms = " + ".join(
+        f"(ln((stats.n - dfs.df{i} + 0.5) / (dfs.df{i} + 0.5) + 1)"
+        f" * (tfs.tf{i} * ({BM25_K1} + 1))"
+        f" / (tfs.tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tfs.dl / stats.avgdl)))"
+        for i in range(len(BM25_QUERY))
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+      FROM d WHERE len(toks) > 0
+    ),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+    tfs AS (SELECT doc_id, dl, {tf_cols} FROM base),
+    dfs AS (SELECT {df_cols} FROM tfs),
+    scored AS (
+      SELECT tfs.doc_id, {terms} AS score
+      FROM tfs, dfs, stats
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_bm25_oracle(),
+    tags=("text", "retrieval", "bm25", "scale"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOPK} retrieval for a fixed keyword query — the
+    classic probabilistic relevance scorer (Robertson et al., Okapi
+    BM25; k1={BM25_K1}, b={BM25_B}): idf(t) * tf*(k1+1) /
+    (tf + k1*(1-b+b*dl/avgdl)) summed over query terms, idf the
+    standard ln((N-df+0.5)/(df+0.5)+1).
+
+    Plan: per-term tfs are narrow array expressions (no explode);
+    corpus statistics (N, avgdl) and per-term document frequencies
+    are TWO single-row aggregates broadcast back via nested-loop
+    cross joins; scoring is then scan-speed and the top-k finishes in
+    per-partition heaps (TakeOrderedAndProject). Query-term count
+    scales the expression, not the pass count — the same shape an
+    inverted-index-free distributed grep-rank uses at any corpus
+    size. ln() portability precedent: `pretrain_unigram_logprob`."""
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_EXPR
+
+    docs = tables(spark, sf_dir)["documents"]
+    base = spread(docs).select(
+        "doc_id", F.expr(TOKENS_EXPR).alias("toks")
+    ).where(F.expr("size(toks) > 0")).select(
+        "doc_id",
+        F.expr("cast(size(toks) as bigint)").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{t}'))").alias(f"tf{i}")
+            for i, t in enumerate(BM25_QUERY)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    dfs = base.agg(
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ]
+    )
+    terms = " + ".join(
+        f"(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1)"
+        f" * (tf{i} * ({BM25_K1} + 1))"
+        f" / (tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)))"
+        for i in range(len(BM25_QUERY))
+    )
+    return (
+        base.crossJoin(F.broadcast(dfs))
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(terms).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )

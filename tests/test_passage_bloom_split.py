@@ -259,3 +259,49 @@ def test_dsir_logweight_matches_python_golden(spark, sf_dir):
         assert got["log_weight"] == pytest.approx(golden, abs=1e-4), d
     weights = {r["log_weight"] for r in out.values()}
     assert len(weights) > 1, "degenerate: all docs scored identically"
+
+
+def test_bm25_matches_python_golden(spark, sf_dir):
+    """Pure-Python BM25 over the fixture corpus; the Spark top-k must
+    equal the Python ranking (score to 6dp, ties by doc_id)."""
+    import math
+
+    from reddit_can_bigdata_spark.operators.textstats import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOPK,
+        text_bm25_topk,
+    )
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    docs = {d: t for d, t in docs.items() if t}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfs = {
+        q: sum(1 for t in docs.values() if q in t) for q in BM25_QUERY
+    }
+
+    def score(toks):
+        s = 0.0
+        for q in BM25_QUERY:
+            tf = toks.count(q)
+            idf = math.log((n - dfs[q] + 0.5) / (dfs[q] + 0.5) + 1)
+            s += idf * (tf * (BM25_K1 + 1)) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * len(toks) / avgdl)
+            )
+        return s
+
+    ranked = sorted(
+        ((score(t), d) for d, t in docs.items()), key=lambda x: (-x[0], x[1])
+    )[:BM25_TOPK]
+    out = [(r["doc_id"], r["bm25"]) for r in text_bm25_topk(spark, sf_dir).collect()]
+    assert [d for _, d in ranked] == [d for d, _ in out]
+    import pytest
+
+    for (gs, _), (_, ob) in zip(ranked, out):
+        assert ob == pytest.approx(gs, abs=1e-6)
+    assert out[0][1] > 0  # the query terms actually occur

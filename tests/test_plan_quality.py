@@ -279,3 +279,15 @@ def test_dsir_model_side_broadcasts(spark, sf_dir):
     # may sort-merge
     assert plan.count("SortMergeJoin FullOuter") <= 2, plan
     assert "SortMergeJoin Inner" not in plan, plan
+
+
+def test_bm25_scan_speed_topk(spark, sf_dir):
+    """BM25: two 1-row stat aggregates broadcast back; scoring is a
+    narrow map finishing in per-partition top-k heaps."""
+    from reddit_can_bigdata_spark.operators.textstats import text_bm25_topk
+
+    df = text_bm25_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
