@@ -1020,3 +1020,58 @@ def pretrain_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "total_chars")
         ).alias("keep"),
     )
+
+
+def _ccnet_oracle() -> str:
+    from reddit_can_bigdata_spark.registry import REGISTRY
+
+    lp = REGISTRY["pretrain_unigram_logprob"].oracle
+    return f"""
+    WITH lp AS ({lp})
+    SELECT lp.doc_id, d.source, lp.avg_logprob,
+           CASE ntile(3) OVER (
+                  PARTITION BY d.source
+                  ORDER BY lp.avg_logprob DESC, lp.doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket
+    FROM lp JOIN documents d ON d.doc_id = lp.doc_id
+    """
+
+
+@register(
+    "pretrain_ccnet_buckets",
+    oracle=_ccnet_oracle(),
+    tags=("pretrain", "quality", "ccnet"),
+)
+def pretrain_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3:
+    sort each language shard by LM perplexity, split into head/
+    middle/tail thirds, train preferentially on the head). Here the
+    LM score is the engine's unigram log-prob proxy and the shard key
+    is ``source``; buckets come from ntile(3) over the ROUNDED score
+    (ordering on rounded values + doc_id tie-break keeps the split
+    bit-identical across engines — raw last-ulp float drift can't
+    reorder).
+
+    Plan: composes the (two-shuffle) unigram score, one broadcast of
+    doc->source, and ONE ntile window per source partition — CCNet's
+    global per-shard sort, which is exactly what a rank split needs;
+    each source sorts independently, so shards parallelize."""
+    docs = tables(spark, sf_dir)["documents"]
+    lp = pretrain_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    j = lp.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    n = F.ntile(3).over(w)
+    return j.select(
+        "doc_id",
+        "source",
+        "avg_logprob",
+        F.when(n == 1, "head")
+        .when(n == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

@@ -305,3 +305,25 @@ def test_bm25_matches_python_golden(spark, sf_dir):
     for (gs, _), (_, ob) in zip(ranked, out):
         assert ob == pytest.approx(gs, abs=1e-6)
     assert out[0][1] > 0  # the query terms actually occur
+
+
+def test_ccnet_buckets_balanced_and_ordered(spark, sf_dir):
+    """Per source: tercile sizes differ by at most 1 (ntile contract)
+    and every head doc scores >= every middle doc >= every tail doc
+    (ordering by the rounded logprob)."""
+    from collections import defaultdict
+
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        pretrain_ccnet_buckets,
+    )
+
+    rows = pretrain_ccnet_buckets(spark, sf_dir).collect()
+    by_source = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_source[r["source"]][r["ppl_bucket"]].append(r["avg_logprob"])
+    assert by_source
+    for source, buckets in by_source.items():
+        sizes = [len(buckets[b]) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (source, sizes)
+        assert min(buckets["head"]) >= max(buckets["middle"]), source
+        assert min(buckets["middle"]) >= max(buckets["tail"]), source
