@@ -330,6 +330,7 @@ def _dsir_oracle() -> str:
     "curate_dsir_logweight",
     oracle=_dsir_oracle(),
     tags=("curation", "dsir", "scale"),
+    bench=True,
 )
 def curate_dsir_logweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights: score every raw-corpus document by

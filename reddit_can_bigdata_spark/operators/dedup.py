@@ -457,6 +457,7 @@ PASSAGE_W = 16
     FROM base b LEFT JOIN agg a USING (doc_id)
     """,
     tags=("dedup", "passages", "scale"),
+    bench=True,
 )
 def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PASSAGE-level exact dedup (cf. Lee et al. 2022 "Deduplicating

@@ -812,6 +812,7 @@ def _bloom_pos_sql(i: str, gram: str) -> str:
     WHERE g.doc_id % {DECONTAM_EVAL_MOD} <> 0
     """,
     tags=("pretrain", "decontamination", "sketch", "scale"),
+    bench=True,
 )
 def pretrain_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination through a BLOOM FILTER of the eval grams — the

@@ -436,6 +436,7 @@ def _bm25_oracle() -> str:
     "text_bm25_topk",
     oracle=_bm25_oracle(),
     tags=("text", "retrieval", "bm25", "scale"),
+    bench=True,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-{BM25_TOPK} retrieval for a fixed keyword query — the
