@@ -885,3 +885,56 @@ def f9_f11_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# Salted-join fan-out: one copy of each build-side row per salt value.
+SALT_N = 8
+
+
+@register(
+    "j5_salted_skew_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dsum} AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """.format(dsum=DSUM_SQL.format(x="l.l_quantity")),
+    tags=("join", "skew", "scale"),
+)
+def j5_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT key salting — the manual skew cure for when AQE's
+    runtime skew split isn't available (e.g. a skewed key feeding a
+    subsequent aggregate, or engines/configs without AQE): the probe
+    side tags each row with salt = hash(row) % {SALT_N}, the build
+    side replicates each row {SALT_N}x via an explode, and the join
+    runs on (key, salt) — a hot orderkey's rows now spread over
+    {SALT_N} partitions instead of one straggler task.
+
+    The salt is engine-internal and provably cancels out: this query's
+    oracle is the PLAIN join's SQL, and the driver hash-checks the
+    salted plan against it — salting changed the partitioning, not
+    the result. Cost model: build side grows {SALT_N}x (choose salt
+    width ~ skew factor / target task size); probe side unchanged."""
+    t = tables(spark, sf_dir)
+    salted_l = t["lineitem"].select(
+        "l_orderkey",
+        "l_quantity",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_N)).alias(
+            "salt"
+        ),
+    )
+    salted_o = t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_N - 1))).alias("salt"),
+    )
+    return (
+        salted_o.join(
+            salted_l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (salted_o["salt"] == salted_l["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )

@@ -291,3 +291,29 @@ def test_bm25_scan_speed_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_salted_join_spreads_partitioning(spark, sf_dir):
+    """j5: the physical join key must include the salt column (the
+    whole point — a hot orderkey spreads over SALT_N partitions), and
+    the result must equal the plain join's."""
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.operators.common import dsum, tables
+    from reddit_can_bigdata_spark.operators.relational import (
+        j5_salted_skew_join,
+    )
+
+    df = j5_salted_skew_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "salt" in plan, plan  # join/partition keys carry the salt
+    t = tables(spark, sf_dir)
+    plain = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )
+    assert {tuple(r) for r in df.collect()} == {
+        tuple(r) for r in plain.collect()
+    }
