@@ -335,3 +335,50 @@ def streaming_click_view_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+TREND_TOPK = 3
+
+
+@register(
+    "streaming_trending_topk",
+    oracle=f"""
+    WITH counts AS (
+      SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+               AS event_day,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_day, event_type
+    )
+    SELECT event_day, event_type, cnt
+    FROM counts
+    QUALIFY row_number() OVER (
+      PARTITION BY event_day ORDER BY cnt DESC, event_type) <= {TREND_TOPK}
+    """,
+    tags=("streaming", "window", "topk"),
+)
+def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRENDING top-{TREND_TOPK}: the daily most-frequent event types,
+    where the daily counts come from the REAL Structured Streaming
+    windowed aggregation (availableNow file-stream, the same gold
+    table `streaming_windowed_counts` verifies) and the rank runs as a
+    batch window over that streamed result — the standard lakehouse
+    split, because rank/row_number isn't supported inside a streaming
+    aggregation. Oracle: the batch SQL equivalent end-to-end, so the
+    row proves stream/batch equivalence THROUGH the serving query,
+    not just at the gold table.
+
+    Scale: the streamed gold table is (days x event_types)-sized —
+    trivial at any corpus scale; the ranking window shuffles only
+    that."""
+    from pyspark.sql import Window
+
+    counts = run_stream_to_table(spark, sf_dir)
+    w = Window.partitionBy("event_day").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TREND_TOPK)
+        .drop("rn")
+    )
