@@ -476,11 +476,21 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     passage table is the big intermediate — it is 2 narrow columns
     (hash, position) wider than the text itself, the same footprint
     every suffix-array-free industrial dedup pays."""
+    return passage_dedup_frame(spread(tables(spark, sf_dir)["documents"]))
+
+
+def passage_dedup_frame(docs: DataFrame) -> DataFrame:
+    """The passage dedup over any (doc_id, text) frame — the
+    registered query binds it to the documents table; tests feed it
+    constructed edge cases (empty/whitespace text, single tokens,
+    duplicate-heavy docs) the synthetic corpus doesn't contain.
+    Zero-token docs pass through with n_passages = 0 and empty
+    text_deduped (they never reach the sequence() explode, which
+    would reject an empty range)."""
     from pyspark.sql import Window
 
-    docs = tables(spark, sf_dir)["documents"]
     toks = "filter(split(text, ' '), t -> t <> '')"
-    base = spread(docs).select(
+    base = docs.select(
         "doc_id",
         F.expr(
             f"cast(ceil(size({toks}) / {PASSAGE_W}.0) as int)"

@@ -966,12 +966,20 @@ def pretrain_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole five-metric suite; no joins, no windows, corpus never
     materializes more than its own n-gram stream (same footprint as a
     tokenizer pass)."""
-    docs = tables(spark, sf_dir)["documents"]
+    return gopher_repetition_frame(spread(tables(spark, sf_dir)["documents"]))
+
+
+def gopher_repetition_frame(docs: DataFrame) -> DataFrame:
+    """The Gopher repetition suite over any (doc_id, text) frame —
+    the registered query binds it to the documents table; tests feed
+    it constructed edge cases (empty text, single tokens, pure
+    repetition). Docs under 2 tokens are filtered (no 2-gram exists;
+    total_chars of an empty token list would be 0)."""
     tagged = ", ".join(
         f"transform({_gram_expr(n)}, x -> struct({n} as n, x as gram))"
         for n in GOPHER_NS
     )
-    base = spread(docs).where(
+    base = docs.where(
         F.expr(f"size({TOKENS_EXPR}) >= 2")
     ).select(
         "doc_id",

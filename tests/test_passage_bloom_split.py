@@ -327,3 +327,63 @@ def test_ccnet_buckets_balanced_and_ordered(spark, sf_dir):
         assert max(sizes) - min(sizes) <= 1, (source, sizes)
         assert min(buckets["head"]) >= max(buckets["middle"]), source
         assert min(buckets["middle"]) >= max(buckets["tail"]), source
+
+
+def test_passage_dedup_frame_edge_cases(spark):
+    """Constructed inputs the fixture corpus lacks: empty text,
+    whitespace-only, single token, a doc that is 100% duplicate
+    passages of an earlier doc, and an intra-doc repeat."""
+    from reddit_can_bigdata_spark.operators.dedup import (
+        PASSAGE_W,
+        passage_dedup_frame,
+    )
+
+    w16 = " ".join(["tok"] * PASSAGE_W)  # one full all-equal passage
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(PASSAGE_W * 2))),  # 2 passages
+        (2, ""),  # empty
+        (3, "   "),  # whitespace-only
+        (4, "solo"),  # single token -> 1 short passage
+        (5, " ".join(f"w{i}" for i in range(PASSAGE_W * 2))),  # full dup of 1
+        (6, w16 + " " + w16),  # intra-doc repeat: 2 identical passages
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup_frame(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["n_passages"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_passages"] == 0 and out[2]["n_kept"] == 0
+    assert out[2]["text_deduped"] == ""
+    assert out[3]["n_passages"] == 0 and out[3]["text_deduped"] == ""
+    assert out[4]["n_kept"] == 1 and out[4]["text_deduped"] == "solo"
+    assert out[5]["n_kept"] == 0 and out[5]["text_deduped"] == ""  # all dups
+    assert out[6]["n_passages"] == 2 and out[6]["n_kept"] == 1
+    assert out[6]["text_deduped"] == w16
+
+
+def test_gopher_frame_edge_cases(spark):
+    """Pure repetition must fail every threshold; all-distinct text
+    must pass; sub-2-token docs are out of scope."""
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        gopher_repetition_frame,
+    )
+
+    rows = [
+        (1, "spam " * 50),  # one token repeated 50x
+        (2, " ".join(f"w{i}" for i in range(50))),  # all distinct
+        (3, "solo"),  # 1 token -> filtered
+        (4, ""),  # empty -> filtered
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_repetition_frame(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert not out[1]["keep"]  # pure repetition fails
+    assert out[1]["dup5_frac"] > 0.9 and out[1]["top2_frac"] > 0.15
+    assert out[2]["keep"]  # all-distinct passes
+    assert out[2]["dup5_frac"] == 0.0 and out[2]["dup8_frac"] == 0.0
