@@ -529,3 +529,93 @@ def passage_dedup_frame(docs: DataFrame) -> DataFrame:
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
         )
     )
+
+
+# Incremental ingestion: doc_id % INCR_MOD == 0 plays the "newly
+# crawled batch"; the rest is the existing corpus.
+INCR_MOD = 10
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_MINHASH_EST_CTES},
+    near AS (
+      SELECT CASE WHEN doc_a % {INCR_MOD} = 0 THEN doc_a ELSE doc_b END AS nd,
+             CASE WHEN doc_a % {INCR_MOD} = 0 THEN doc_b ELSE doc_a END AS cd
+      FROM est
+      WHERE est_jaccard >= {CLUSTER_JACCARD}
+        AND ((doc_a % {INCR_MOD} = 0) <> (doc_b % {INCR_MOD} = 0))
+    ),
+    nearm AS (SELECT nd AS doc_id, MIN(cd) AS near_match FROM near GROUP BY nd),
+    h AS (SELECT doc_id, md5(text) AS th FROM documents),
+    exact AS (
+      SELECT n.doc_id, MIN(c.doc_id) AS exact_match
+      FROM h n JOIN h c ON n.th = c.th
+      WHERE n.doc_id % {INCR_MOD} = 0 AND c.doc_id % {INCR_MOD} <> 0
+      GROUP BY n.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+                WHEN m.near_match IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS status,
+           COALESCE(e.exact_match, m.near_match) AS match_id
+    FROM documents d
+    LEFT JOIN exact e ON e.doc_id = d.doc_id
+    LEFT JOIN nearm m ON m.doc_id = d.doc_id
+    WHERE d.doc_id % {INCR_MOD} = 0
+    """,
+    tags=("dedup", "incremental", "scale"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingestion dedup — the decision every crawl refresh
+    makes per new document: 'exact_dup' (byte-identical text already
+    in the corpus), 'near_dup' (shares an LSH band with a corpus doc
+    at estimated jaccard >= {CLUSTER_JACCARD}), else 'novel';
+    match_id = the smallest matching corpus doc (exact match wins).
+
+    Semantics are demonstrated over one table (the doc_id % {INCR_MOD}
+    slice is the batch); in production the corpus side is the
+    PERSISTED signature/band index (plans/layout.py's bucketed-write
+    playbook) so only the new batch is shingled and each band probe
+    hits its bucket — the corpus is never re-hashed. Both match paths
+    are hash-equi-joins: exact on md5(text), near on (band, band_key);
+    no all-pairs stage anywhere."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= CLUSTER_JACCARD
+    )
+    a_new = F.col("doc_a") % INCR_MOD == 0
+    b_new = F.col("doc_b") % INCR_MOD == 0
+    near = pairs.where(a_new != b_new).select(
+        F.when(a_new, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_id"),
+        F.when(a_new, F.col("doc_b")).otherwise(F.col("doc_a")).alias("cd"),
+    )
+    nearm = near.groupBy("doc_id").agg(F.min("cd").alias("near_match"))
+    docs = tables(spark, sf_dir)["documents"]
+    h = docs.select("doc_id", F.md5("text").alias("th"))
+    is_new = F.col("doc_id") % INCR_MOD == 0
+    exact = (
+        h.where(is_new)
+        .join(
+            h.where(~is_new).select(
+                F.col("doc_id").alias("cid"), F.col("th").alias("cth")
+            ),
+            F.col("th") == F.col("cth"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cid").alias("exact_match"))
+    )
+    return (
+        docs.where(is_new)
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(nearm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "exact_dup")
+            .when(F.col("near_match").isNotNull(), "near_dup")
+            .otherwise("novel")
+            .alias("status"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+        )
+    )

@@ -387,3 +387,34 @@ def test_gopher_frame_edge_cases(spark):
     assert out[1]["dup5_frac"] > 0.9 and out[1]["top2_frac"] > 0.15
     assert out[2]["keep"]  # all-distinct passes
     assert out[2]["dup5_frac"] == 0.0 and out[2]["dup8_frac"] == 0.0
+
+
+def test_incremental_dedup_constructed_batch(spark, tmp_path):
+    """Constructed corpus exercising all three statuses, including the
+    exact-dup branch that the synthetic corpus never hits (its texts
+    are unique): doc 10 is a byte-identical copy of corpus doc 3,
+    doc 20 a near-copy of corpus doc 7, doc 30 unrelated."""
+    from reddit_can_bigdata_spark.operators.dedup import (
+        dedup_incremental_batch,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " changed"
+    other = " ".join(f"zz{i}" for i in range(40))
+    rows = [
+        (3, base),
+        (7, " ".join(f"tok{i}" for i in range(40))),  # == base text too
+        (9, other),
+        (10, base),  # new: exact dup of 3 (and 7)
+        (20, near),  # new: near dup of 3/7
+        (30, " ".join(f"qq{i}" for i in range(40))),  # new: novel
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = {r["doc_id"]: r for r in dedup_incremental_batch(spark, sf).collect()}
+    assert set(out) == {10, 20, 30}
+    assert out[10]["status"] == "exact_dup" and out[10]["match_id"] == 3
+    assert out[20]["status"] == "near_dup" and out[20]["match_id"] in (3, 7)
+    assert out[30]["status"] == "novel" and out[30]["match_id"] is None
