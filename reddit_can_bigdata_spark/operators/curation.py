@@ -393,3 +393,62 @@ def curate_dsir_logweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lrat"), 6).alias("log_weight"),
         )
     )
+
+
+N_SHARDS = 16  # output shards for the manifest demo
+
+
+@register(
+    "curate_shard_manifest",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT {PORTABLE_HASH32_SQL.format(x="'shard:' || CAST(doc_id AS VARCHAR)")}
+               % {N_SHARDS} AS shard_id,
+             doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_toks,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM assigned GROUP BY shard_id
+    """,
+    tags=("curation", "sharding"),
+)
+def curate_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD MANIFEST: deterministic shard assignment (portable hash
+    of the stable key % {N_SHARDS} — rerun- and engine-stable, unlike
+    `repartition`'s physical placement) plus the per-shard audit row
+    (doc/token/char totals, id range) that a distributed writer
+    publishes next to its output so downstream loaders can size reads
+    and verify completeness without listing files.
+
+    Plan: narrow map + one {N_SHARDS}-row aggregate; the hash spreads
+    docs uniformly so shards stay balanced at any corpus size (the
+    writer itself is `plans/layout.py`'s partitioned/bucketed write —
+    this query is its accounting side)."""
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_EXPR
+
+    docs = tables(spark, sf_dir)["documents"]
+    assigned = docs.select(
+        (
+            portable_hash32(
+                F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+            )
+            % N_SHARDS
+        ).alias("shard_id"),
+        "doc_id",
+        F.size(F.expr(TOKENS_EXPR)).alias("n_toks"),
+        F.length("text").alias("n_chars"),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
