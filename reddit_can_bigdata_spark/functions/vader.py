@@ -412,7 +412,11 @@ def vader_compound_join(
     for pt in prev_tok:
         cond = pt.isin(*NEGATIONS)
         negated = cond if negated is None else (negated | cond)
-    bidx = F.max(
+    # FIRST 'but' anchors the clause split — F.min, to match the
+    # expression path / Python golden / oracle (array_position
+    # semantics); max would re-anchor to the last 'but' and break
+    # bit-identity on any double-'but' sentence
+    bidx = F.min(
         F.when(F.col("_tok") == "but", F.col("_pos")).otherwise(F.lit(None))
     ).over(wd)
     scaled = F.when(

@@ -212,7 +212,7 @@ def influencer_composite_ref_weights(spark: SparkSession, sf_dir: str) -> DataFr
     bench=True,
 )
 def influencer_composite_top20(
-    spark: SparkSession, sf_dir: str, closeness_mode: str = "exact"
+    spark: SparkSession, sf_dir: str, closeness_mode: str | None = "exact"
 ) -> DataFrame:
     """W2+W5+W6 end-to-end: four centralities → min-max normalize →
     weighted composite → top-20 ranks. The four centrality jobs each
@@ -332,9 +332,13 @@ def user_network_table(
     ev = g5_eigenvector_centrality(spark, sf_dir, edges=ed)
     # size-gated: exact g4 at test scale, sampled g4c at 100x
     cl = closeness_for_scale(spark, sf_dir, edges=ed, mode=closeness_mode)
-    top = influencer_composite_top20(spark, sf_dir).select(
-        "node", "influencer_rank"
-    )
+    # propagate the caller's mode: the registered composite defaults
+    # to 'exact' for oracle stability, but inside this (non-oracle)
+    # table a None/auto/sampled caller must not silently trigger the
+    # exact O(N*E) closeness the gate exists to avoid
+    top = influencer_composite_top20(
+        spark, sf_dir, closeness_mode=closeness_mode
+    ).select("node", "influencer_rank")
     # components via the shared guarded loop (broadcast-ceiling +
     # early-exit), not a private copy of it
     e = ed.select("u", "v")

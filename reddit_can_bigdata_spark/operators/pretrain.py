@@ -866,10 +866,15 @@ def pretrain_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bm")
         )
     )
-    member = " AND ".join(
-        f"(coalesce(element_at(bm, ({_bloom_pos_spark(i, 'gr')}) div 64), 0L)"
-        f" & shiftleft(1L, int(({_bloom_pos_spark(i, 'gr')}) % 64))) != 0"
-        for i in range(BLOOM_K)
+    # bind the K md5 positions ONCE per gram (forall's lambda var `p`
+    # evaluates once), then test word+bit from the bound value — the
+    # inlined-per-test form would compute 2*K md5 hashes per gram on
+    # the corpus hot path instead of K
+    positions = ", ".join(_bloom_pos_spark(i, "gr") for i in range(BLOOM_K))
+    member = (
+        f"forall(array({positions}), p -> "
+        "(coalesce(element_at(bm, p div 64), 0L)"
+        " & shiftleft(1L, int(p % 64))) != 0)"
     )
     return (
         g.where(~is_eval)

@@ -42,20 +42,21 @@ MIN_TEXT_LENGTH = 20
 def pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DAG's ``get_pipeline_stats`` as one row of table-level
     aggregates (`:58-88`): posts, comments, processed posts (ETL
-    filter), unique users. Each aggregate is a single-pass count; the
-    crossJoins glue 1-row results (no data shuffle)."""
+    filter), unique users. ONE aggregate pass per table (the
+    processed-posts count is a conditional count inside the documents
+    aggregate, not a second scan); the crossJoin glues the two 1-row
+    results with no data shuffle."""
     t = tables(spark, sf_dir)
     docs, events = t["documents"], t["events"]
-    return (
-        docs.agg(F.count("*").alias("posts"))
-        .crossJoin(events.agg(F.count("*").alias("comments")))
-        .crossJoin(
-            docs.where(F.length("text") > MIN_TEXT_LENGTH).agg(
-                F.count("*").alias("processed_posts")
-            )
-        )
-        .crossJoin(
-            events.agg(F.countDistinct("user_id").alias("unique_users"))
+    return docs.agg(
+        F.count("*").alias("posts"),
+        F.count(
+            F.when(F.length("text") > MIN_TEXT_LENGTH, F.lit(1))
+        ).alias("processed_posts"),
+    ).crossJoin(
+        events.agg(
+            F.count("*").alias("comments"),
+            F.countDistinct("user_id").alias("unique_users"),
         )
     )
 

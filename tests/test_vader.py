@@ -46,6 +46,10 @@ SENTENCES = [
     "don't love it",
     "never a failure, always a lesson",
     "utterly and completely broken garbage!!!!",
+    # double-'but': the clause split must anchor to the FIRST 'but'
+    # in every path (a max-anchored join path diverges here)
+    "good but bad but good",
+    "the food was great but the wait was awful but the price was fair",
 ]
 
 
