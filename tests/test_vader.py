@@ -190,3 +190,49 @@ def test_randomized_sentences_expr_matches_python(spark):
         if abs(got[i] - want) > 1e-12:
             bad.append((s, got[i], want))
     assert not bad, bad[:5]
+
+
+def test_randomized_sentences_join_path_bit_identical(spark):
+    """The SAME 200 seeded random sentences through the broadcast-join
+    path: bit-identical to the expression path (the randomized pool
+    includes multi-'but' sentences, so a wrong but-anchor cannot
+    hide here the way it can in a hand-picked list)."""
+    import random
+
+    rng = random.Random(42)
+    lex_words = list(LEXICON)
+    vocab = (
+        lex_words
+        + list(BOOSTERS)
+        + ["not", "never", "don't", "but", "the", "a", "zzz", "match", "team"]
+    )
+    sentences = []
+    for _ in range(200):
+        n = rng.randint(0, 12)
+        words = [rng.choice(vocab) for _ in range(n)]
+        tail = rng.choice(["", "!", "!!", "???", ".", "?!"])
+        sentences.append(" ".join(words) + tail)
+    # guarantee multi-'but' coverage: splice 20 sentences with 2-3
+    # 'but's around random lexicon words
+    for _ in range(20):
+        parts = [rng.choice(lex_words) for _ in range(4)]
+        sentences.append(
+            f"{parts[0]} but {parts[1]} but {parts[2]} but {parts[3]}"
+        )
+    assert any(s.split().count("but") >= 2 for s in sentences)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sentences)], "doc_id long, text string"
+    )
+    expr = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", vader_compound_expr("text").alias("c")
+        ).collect()
+    }
+    join = {
+        r["doc_id"]: r["compound"] for r in vader_compound_join(df).collect()
+    }
+    bad = [
+        (sentences[k], expr[k], join[k]) for k in expr if expr[k] != join[k]
+    ]
+    assert not bad, bad[:5]
