@@ -1089,3 +1089,104 @@ def pretrain_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram term
+
+
+@register(
+    "pretrain_bigram_logprob",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+    ),
+    uni AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(toks) AS term FROM d) GROUP BY term
+    ),
+    total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total_toks FROM uni),
+    bg AS (
+      SELECT doc_id, unnest({_gram_sql(2)}) AS gr FROM d
+    ),
+    bcnt AS (
+      SELECT gr, CAST(COUNT(*) AS BIGINT) AS bc FROM bg GROUP BY gr
+    ),
+    model AS (
+      SELECT b.gr,
+             {BIGRAM_LAMBDA} * (b.bc * 1.0 / up.cnt)
+             + {1 - BIGRAM_LAMBDA} * (uc.cnt * 1.0 / total.total_toks) AS p
+      FROM bcnt b
+      JOIN uni up ON up.term = string_split(b.gr, ' ')[1]
+      JOIN uni uc ON uc.term = string_split(b.gr, ' ')[2]
+      CROSS JOIN total
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln(model.p)), 6) AS avg_logprob2
+    FROM bg JOIN model USING (gr)
+    GROUP BY bg.doc_id
+    """,
+    tags=("pretrain", "lm-score"),
+)
+def pretrain_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM language-model score — the next perplexity
+    proxy up from `pretrain_unigram_logprob`: mean ln of
+    p(t_i | t_(i-1)) = {BIGRAM_LAMBDA}*c(t_(i-1) t_i)/c(t_(i-1)) +
+    {1 - BIGRAM_LAMBDA}*c(t_i)/T (Jelinek-Mercer interpolation, the
+    classic smoothing every n-gram quality filter uses so unseen
+    bigrams never hit ln(0) — the unigram floor catches them; here
+    every corpus bigram is by construction seen, the interpolation
+    still reshapes the distribution).
+
+    Plan: the MODEL is assembled model-side — the bigram count table
+    joins the (vocabulary-sized, broadcast) unigram table twice for
+    its prev/cur counts — and the per-doc scoring is one join of the
+    doc bigram stream against that model on the bigram key plus one
+    doc_id aggregate. At 100 TB the bigram model is the big state
+    (corpus-bounded, vocab^2-capped); it shuffle-joins on the bigram
+    key, never broadcasts — same footprint as the dedup shingle
+    tables. Rounded to 6dp per the registry's float-sum rule."""
+    docs = tables(spark, sf_dir)["documents"]
+    from pyspark import StorageLevel
+
+    d = spread(docs).select(
+        "doc_id", F.expr(_gram_expr(2)).alias("grams")
+    )
+    bg = d.select("doc_id", F.explode("grams").alias("gr")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    toks = spread(docs).select(
+        F.explode(F.expr(TOKENS_EXPR)).alias("term")
+    )
+    uni = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = uni.agg(F.sum("cnt").cast("double").alias("total_toks"))
+    bcnt = bg.groupBy("gr").agg(F.count("*").alias("bc"))
+    prev = uni.select(F.col("term").alias("pterm"), F.col("cnt").alias("pc"))
+    cur = uni.select(F.col("term").alias("cterm"), F.col("cnt").alias("cc"))
+    model = (
+        bcnt.join(
+            F.broadcast(prev),
+            F.expr("element_at(split(gr, ' '), 1)") == F.col("pterm"),
+        )
+        .join(
+            F.broadcast(cur),
+            F.expr("element_at(split(gr, ' '), 2)") == F.col("cterm"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "gr",
+            (
+                F.lit(BIGRAM_LAMBDA) * (F.col("bc") * 1.0 / F.col("pc"))
+                + F.lit(1 - BIGRAM_LAMBDA)
+                * (F.col("cc") * 1.0 / F.col("total_toks"))
+            ).alias("p"),
+        )
+    )
+    return (
+        bg.join(model, "gr")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(F.log("p")), 6).alias("avg_logprob2"),
+        )
+    )

@@ -418,3 +418,50 @@ def test_incremental_dedup_constructed_batch(spark, tmp_path):
     assert out[10]["status"] == "exact_dup" and out[10]["match_id"] == 3
     assert out[20]["status"] == "near_dup" and out[20]["match_id"] in (3, 7)
     assert out[30]["status"] == "novel" and out[30]["match_id"] is None
+
+
+def test_bigram_logprob_matches_python_golden(spark, sf_dir):
+    """Pure-Python Jelinek-Mercer bigram model over the fixture
+    corpus; per-doc mean log-prob compared at 1e-9 (float-sum order
+    differs between engines; the registered query rounds to 6dp)."""
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        BIGRAM_LAMBDA,
+        pretrain_bigram_logprob,
+    )
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for toks in docs.values():
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    total = sum(uni.values())
+
+    out = {
+        r["doc_id"]: r for r in pretrain_bigram_logprob(spark, sf_dir).collect()
+    }
+    expect = {d for d, t in docs.items() if len(t) >= 2}
+    assert set(out) == expect
+    for d in expect:
+        toks = docs[d]
+        lps = [
+            math.log(
+                BIGRAM_LAMBDA * bi[(p, c)] / uni[p]
+                + (1 - BIGRAM_LAMBDA) * uni[c] / total
+            )
+            for p, c in zip(toks, toks[1:])
+        ]
+        assert out[d]["n_bigrams"] == len(lps), d
+        assert out[d]["avg_logprob2"] == pytest.approx(
+            sum(lps) / len(lps), abs=1e-6
+        ), d
+    # discriminative: scores vary across docs
+    assert len({r["avg_logprob2"] for r in out.values()}) > 1
