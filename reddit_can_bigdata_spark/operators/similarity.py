@@ -629,3 +629,127 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_sim_earlier",
         )
     )
+
+
+# Product-quantization codebook fixture (tools/make_pq_fixture.py:
+# seeded NumPy Lloyd, 8 subspaces x 16 centroids on the sf0.01
+# embeddings — train-once/search-many, like CODEBOOK_FIXTURE).
+PQ_FIXTURE = str(
+    Path(__file__).resolve().parents[2] / "fixtures" / "pq_codebook_m8k16.parquet"
+)
+PQ_M = 8  # subspaces
+PQ_SUB_D = 8  # dims per subspace (64 / PQ_M)
+PQ_TOPK = 10
+
+# squared-L2 over a (subvector, centroid) pair — sequential fold, so
+# the double is bit-identical across engines (same order).
+_SQL2_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (cast(x as double) - y)"
+    " * (cast(x as double) - y)), cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_SQL2_DUCK = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])),"
+    " (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT sub, cid, cv FROM read_parquet('{PQ_FIXTURE}')
+    ),
+    sv AS (
+      SELECT e.vec_id, t.sub,
+             list_slice(e.embedding, t.sub*{PQ_SUB_D}+1,
+                        t.sub*{PQ_SUB_D}+{PQ_SUB_D}) AS sv
+      FROM embeddings e, (SELECT unnest(range({PQ_M})) AS sub) t
+    ),
+    scored AS (
+      SELECT sv.vec_id, sv.sub, c.cid,
+             {_SQL2_DUCK.format(a='sv.sv', b='c.cv')} AS d2
+      FROM sv JOIN cents c ON c.sub = sv.sub
+    ),
+    codes AS (
+      SELECT vec_id, sub, cid AS code FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id, sub ORDER BY d2, cid) = 1
+    ),
+    dtab AS (
+      SELECT sub, cid, d2 AS qd2 FROM scored WHERE vec_id = 0
+    ),
+    adc AS (
+      SELECT c.vec_id, SUM(dt.qd2) AS dist2
+      FROM codes c JOIN dtab dt ON dt.sub = c.sub AND dt.cid = c.code
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(dist2, 6) AS adc_dist2
+    FROM adc
+    ORDER BY round(dist2, 6), vec_id
+    LIMIT {PQ_TOPK}
+    """,
+    tags=("similarity", "ann", "pq", "scale"),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION with asymmetric-distance (ADC) top-k
+    (Jegou et al. 2011; the FAISS `PQ8` memory layout): each vector
+    compresses to {PQ_M} one-byte codes (nearest centroid per
+    subspace from the persisted codebook fixture — 8 bytes instead of
+    256, a 32x memory/IO cut), and the query scores a candidate as
+    the SUM of precomputed per-subspace squared distances to the
+    candidate's codes.
+
+    Plan: encoding is a broadcast join against the 128-row codebook +
+    one (vec_id, sub)-window argmin — corpus-linear, done once at
+    index-build time in production; the query's distance TABLE (128
+    rows) broadcasts, so serving is a narrow map + one vec_id
+    aggregate + TakeOrdered heap. Sorting uses the ROUNDED distance
+    (+vec_id tiebreak): the 8-term ADC sum is the registry's standard
+    float-sum case."""
+    from pyspark.sql import Window
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    cents = spark.read.parquet(PQ_FIXTURE)
+    sv = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "sub",
+        F.expr(
+            f"slice(embedding, sub*{PQ_SUB_D}+1, {PQ_SUB_D})"
+        ).alias("sv"),
+    )
+    scored = sv.join(F.broadcast(cents), "sub").select(
+        "vec_id",
+        "sub",
+        "cid",
+        F.expr(_SQL2_SPARK.format(a="sv", b="cv")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("cid"))
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("cid").alias("code"))
+    )
+    dtab = scored.where(F.col("vec_id") == 0).select(
+        F.col("sub").alias("q_sub"), F.col("cid").alias("q_cid"),
+        F.col("d2").alias("qd2"),
+    )
+    adc = (
+        codes.where(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(dtab),
+            (F.col("sub") == F.col("q_sub")) & (F.col("code") == F.col("q_cid")),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").alias("dist2"))
+    )
+    return (
+        adc.select("vec_id", F.round("dist2", 6).alias("adc_dist2"))
+        .orderBy(F.asc("adc_dist2"), F.asc("vec_id"))
+        .limit(PQ_TOPK)
+    )
