@@ -691,6 +691,7 @@ _SQL2_DUCK = (
     LIMIT {PQ_TOPK}
     """,
     tags=("similarity", "ann", "pq", "scale"),
+    bench=True,
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT QUANTIZATION with asymmetric-distance (ADC) top-k
