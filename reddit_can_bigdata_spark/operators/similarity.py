@@ -754,3 +754,186 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_dist2"), F.asc("vec_id"))
         .limit(PQ_TOPK)
     )
+
+
+# IVF-PQ residual codebook (tools/make_ivfpq_fixture.py: PQ trained on
+# x - coarse_centroid residuals; same 8x16 budget quantizes finer).
+IVFPQ_FIXTURE = str(
+    Path(__file__).resolve().parents[2]
+    / "fixtures"
+    / "ivfpq_residual_m8k16.parquet"
+)
+IVFPQ_NPROBE = 2
+
+
+@register(
+    "sim_ivfpq_search",
+    oracle=f"""
+    WITH coarse AS (
+      SELECT cid, cv FROM read_parquet('{CODEBOOK_FIXTURE}')
+    ),
+    pqc AS (
+      SELECT sub, cid AS code, cv AS pcv
+      FROM read_parquet('{IVFPQ_FIXTURE}')
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, c.cid, c.cv AS ccv,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN coarse c
+    ),
+    cl AS (SELECT vec_id, embedding, cid, ccv FROM assigned WHERE rn = 1),
+    resid AS (
+      SELECT vec_id, cid,
+             list_transform(list_zip(embedding, ccv),
+                            x -> CAST(x[1] AS DOUBLE) - x[2]) AS rv
+      FROM cl
+    ),
+    sv AS (
+      SELECT vec_id, cid, t.sub,
+             list_slice(rv, t.sub*{PQ_SUB_D}+1, t.sub*{PQ_SUB_D}+{PQ_SUB_D}) AS svv
+      FROM resid, (SELECT unnest(range({PQ_M})) AS sub) t
+    ),
+    scored AS (
+      SELECT sv.vec_id, sv.cid, sv.sub, p.code,
+             {_SQL2_DUCK.format(a='sv.svv', b='p.pcv')} AS d2
+      FROM sv JOIN pqc p ON p.sub = sv.sub
+    ),
+    codes AS (
+      SELECT vec_id, cid, sub, code FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id, sub ORDER BY d2, code) = 1
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT c.cid, c.cv FROM q CROSS JOIN coarse c
+      QUALIFY row_number() OVER (
+        ORDER BY {_cos_sql('q.embedding', 'c.cv')} DESC, c.cid) <= {IVFPQ_NPROBE}
+    ),
+    qres AS (
+      SELECT p.cid,
+             list_transform(list_zip(q.embedding, p.cv),
+                            x -> CAST(x[1] AS DOUBLE) - x[2]) AS qrv
+      FROM q CROSS JOIN probes p
+    ),
+    qsv AS (
+      SELECT cid, t.sub,
+             list_slice(qrv, t.sub*{PQ_SUB_D}+1, t.sub*{PQ_SUB_D}+{PQ_SUB_D}) AS qsvv
+      FROM qres, (SELECT unnest(range({PQ_M})) AS sub) t
+    ),
+    dtab AS (
+      SELECT s.cid, s.sub, p.code,
+             {_SQL2_DUCK.format(a='s.qsvv', b='p.pcv')} AS qd2
+      FROM qsv s JOIN pqc p ON p.sub = s.sub
+    ),
+    adc AS (
+      SELECT c.vec_id, SUM(d.qd2) AS dist2
+      FROM codes c
+      JOIN dtab d ON d.cid = c.cid AND d.sub = c.sub AND d.code = c.code
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(dist2, 6) AS adc_dist2
+    FROM adc
+    ORDER BY round(dist2, 6), vec_id
+    LIMIT {PQ_TOPK}
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "scale"),
+)
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN layout (Jegou et al.
+    2011 §IV; FAISS `IVF8,PQ8`): coarse-assign every vector to the
+    trained IVF codebook, PRODUCT-QUANTIZE THE RESIDUAL
+    (x - coarse_centroid; residuals have far less variance, so the
+    same 8x16 code budget quantizes much finer than raw-vector PQ),
+    then at query time probe the {IVFPQ_NPROBE} nearest coarse cells
+    and ADC-score only their members against per-cell residual
+    distance tables.
+
+    Plan: encode = broadcast coarse + residual map + broadcast
+    128-row PQ codebook + one (vec_id, sub) argmin window — all
+    corpus-linear, index-build-time work. Serve = the query's
+    {IVFPQ_NPROBE}x128-row distance table broadcasts, candidates are
+    PARTITION-PRUNED to the probed cells by the cid equi-join (at
+    scale the codes table is written cid-partitioned, cf.
+    `plans/layout.py::write_ivf_index`, so the probe scans 1-of-K
+    files), one vec_id aggregate, TakeOrdered heap. Sorting uses the
+    ROUNDED distance + vec_id tiebreak per the float-sum rule."""
+    from pyspark.sql import Window
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    coarse = spark.read.parquet(CODEBOOK_FIXTURE)
+    pq = spark.read.parquet(IVFPQ_FIXTURE).select(
+        "sub", F.col("cid").alias("code"), F.col("cv").alias("pcv")
+    )
+    assigned = ivf_assign(emb, coarse)
+    resid = assigned.join(
+        F.broadcast(coarse.select("cid", F.col("cv").alias("ccv"))), "cid"
+    ).select(
+        "vec_id",
+        "cid",
+        F.expr(
+            "zip_with(embedding, ccv, (x, y) -> cast(x as double) - y)"
+        ).alias("rv"),
+    )
+    sv = resid.select(
+        "vec_id",
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+        "rv",
+    ).select(
+        "vec_id",
+        "cid",
+        "sub",
+        F.expr(f"slice(rv, sub*{PQ_SUB_D}+1, {PQ_SUB_D})").alias("svv"),
+    )
+    scored = sv.join(F.broadcast(pq), "sub").select(
+        "vec_id", "cid", "sub", "code",
+        F.expr(_SQL2_SPARK.format(a="svv", b="pcv")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid", "sub", "code")
+    )
+    q = emb.where(F.col("vec_id") == 0).select("embedding")
+    wp = Window.orderBy(
+        F.desc(cosine_expr("embedding", "cv")), F.asc("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(coarse))
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= IVFPQ_NPROBE)
+        .select(
+            "cid",
+            F.expr(
+                "zip_with(embedding, cv, (x, y) -> cast(x as double) - y)"
+            ).alias("qrv"),
+        )
+    )
+    qsv = probes.select(
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+        "qrv",
+    ).select(
+        "cid",
+        "sub",
+        F.expr(f"slice(qrv, sub*{PQ_SUB_D}+1, {PQ_SUB_D})").alias("qsvv"),
+    )
+    dtab = qsv.join(F.broadcast(pq), "sub").select(
+        "cid", "sub", "code",
+        F.expr(_SQL2_SPARK.format(a="qsvv", b="pcv")).alias("qd2"),
+    )
+    adc = (
+        codes.where(F.col("vec_id") != 0)
+        .join(F.broadcast(dtab), ["cid", "sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").alias("dist2"))
+    )
+    return (
+        adc.select("vec_id", F.round("dist2", 6).alias("adc_dist2"))
+        .orderBy(F.asc("adc_dist2"), F.asc("vec_id"))
+        .limit(PQ_TOPK)
+    )

@@ -102,3 +102,57 @@ def test_pq_codes_cover_every_subspace(spark, sf_dir):
     for r in codes:
         assert r["n"] == PQ_M
         assert 0 <= r["lo"] and r["hi"] <= 15
+
+
+def test_ivfpq_recall_and_probe_pruning(spark, sf001_dir):
+    """IVFPQ at n_probe=2 (25% of cells scanned): recall@10 >= 0.3 vs
+    exact L2 on the training corpus, and every returned candidate
+    must belong to one of the two probed coarse cells."""
+    from reddit_can_bigdata_spark.operators.similarity import (
+        CODEBOOK_FIXTURE,
+        IVFPQ_NPROBE,
+        ivf_assign,
+        sim_ivfpq_search,
+    )
+    from reddit_can_bigdata_spark.operators.common import tables
+
+    ids, X = _load(spark, sf001_dir)
+    q = X[ids.index(0)]
+    d2 = ((X - q) ** 2).sum(axis=1)
+    exact = [ids[i] for i in np.argsort(d2, kind="stable") if ids[i] != 0][:10]
+    got = [r["vec_id"] for r in sim_ivfpq_search(spark, sf001_dir).collect()]
+    assert len(got) == 10
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.3, (recall, exact, got)
+
+    emb = tables(spark, sf001_dir)["embeddings"]
+    cents = spark.read.parquet(CODEBOOK_FIXTURE)
+    assign = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign(emb, cents).select("vec_id", "cid").collect()
+    }
+    # the query's own cell is among the probes by construction
+    cn = sorted(
+        (r["cid"], np.array(r["cv"], float)) for r in cents.collect()
+    )
+    C = np.array([c / np.linalg.norm(c) for _, c in cn])
+    sims = (q / np.linalg.norm(q)) @ C.T
+    probed = set(np.argsort(-sims, kind="stable")[:IVFPQ_NPROBE])
+    for v in got:
+        assert assign[v] in probed, (v, assign[v], probed)
+
+    # residual fixture reproducibility (seeded Lloyd, like the others)
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_ivfpq_fixture import train
+
+    from reddit_can_bigdata_spark.operators.similarity import IVFPQ_FIXTURE
+
+    committed = {
+        (r["sub"], r["cid"]): list(r["cv"])
+        for r in spark.read.parquet(IVFPQ_FIXTURE).collect()
+    }
+    retrained = {(m, k): cv for m, k, cv in train(sf001_dir)}
+    assert committed == retrained
