@@ -11,10 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from reddit_can_bigdata_spark.operators.common import tables
+from reddit_can_bigdata_spark.operators.common import DSUM_SQL, dsum, tables
 from reddit_can_bigdata_spark.registry import register
 
 SESSION_GAP_US = 1_800_000_000  # 30 min, matches sessionize_events
+EWMA_ALPHA = 0.5  # decay weight (1-alpha)^k = 0.5^k is exact in binary
+EWMA_TERMS = 7  # explicit 7-day truncated EWMA window
 
 
 @register(
@@ -173,4 +175,282 @@ def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         eb.join(wb, ["user_id", "day"])
         .where(F.col("tus").between(F.col("start_us"), F.col("end_us")))
         .select("event_id", "user_id", F.col("start_us").alias("session_start_us"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 4 additions: gap-fill interpolation, EWMA anomaly, funnel
+# ---------------------------------------------------------------------------
+
+# EWMA weights (1-alpha)^k for k=0..6 with alpha=0.5: every value is a
+# negative power of two, exactly representable in binary, and repr()
+# round-trips it — so the Spark and DuckDB expression trees are built
+# from the SAME literal strings and produce bit-identical doubles.
+_EWMA_WEIGHTS = [repr((1.0 - EWMA_ALPHA) ** k) for k in range(EWMA_TERMS)]
+
+
+@register(
+    "gapfill_interpolate_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             {DSUM_SQL.format(x="value")} AS day_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    j AS (
+      SELECT s.user_id, s.day, d.day_value
+      FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    ),
+    w AS (
+      SELECT user_id, day, day_value,
+        last_value(day_value IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS pd,
+        first_value(day_value IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN day_value IS NOT NULL THEN day_value
+                ELSE round(pv + (nv - pv) * (day - pd) / (nd - pd), 6)
+           END AS value_filled,
+           day_value IS NULL AS is_gap
+    FROM w
+    """,
+    tags=("timeseries", "gapfill", "interpolation"),
+)
+def gapfill_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + linear interpolation: regularize each user's sparse
+    daily purchase series onto a dense per-user day spine (their own
+    min..max day), filling missing days by linear interpolation
+    between the nearest observed neighbors — the `time_bucket_gapfill`
+    / `interpolate` operator of a time-series store, as a pure
+    DataFrame composition.
+
+    Plan: one daily aggregate (shuffle on (user, day)), a tiny
+    per-user span aggregate whose `sequence()` explode rebuilds the
+    spine, a left join back on (user, day), then TWO frame-bounded
+    window passes (carry-last-forward / carry-next-backward with
+    ignorenulls) — state per task is one row per direction. Nothing
+    is quadratic in days or users; at 100 TB the spine explode is the
+    only fan-out and it is bounded by the date range.
+
+    Interpolated values round to 6dp (registry float rule); observed
+    days pass through the exact DECIMAL day-sum untouched."""
+    ev = tables(spark, sf_dir)["events"].where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(dsum("value").alias("day_value"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    vday = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pv = F.last("day_value", ignorenulls=True).over(wp)
+    pd_ = F.last(vday, ignorenulls=True).over(wp)
+    nv = F.first("day_value", ignorenulls=True).over(wn)
+    nd = F.first(vday, ignorenulls=True).over(wn)
+    interp = pv + (nv - pv) * F.datediff(F.col("day"), pd_) / F.datediff(nd, pd_)
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .otherwise(F.round(interp, 6))
+        .alias("value_filled"),
+        F.col("day_value").isNull().alias("is_gap"),
+    )
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    """DuckDB numerator/denominator term lists for the truncated EWMA —
+    built from the same weight literals as the Spark side so both
+    engines evaluate an identical chain of double ops."""
+    num = " + ".join(
+        f"coalesce(lag(day_value, {k}) OVER w * {wgt}, 0.0)"
+        for k, wgt in enumerate(_EWMA_WEIGHTS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(day_value, {k}) OVER w IS NOT NULL"
+        f" THEN {wgt} ELSE 0.0 END)"
+        for k, wgt in enumerate(_EWMA_WEIGHTS)
+    )
+    return num, den
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_sql_terms()
+
+
+@register(
+    "ewma_anomaly_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             {DSUM_SQL.format(x="value")} AS day_value
+      FROM events GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    scored AS (
+      SELECT event_type, day, day_value,
+             round(({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}), 6) AS ewma
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, day_value, ewma,
+           day_value > 1.2 * ewma OR day_value < 0.8 * ewma AS is_anomaly
+    FROM scored
+    """,
+    tags=("timeseries", "ewma", "anomaly"),
+)
+def ewma_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing + threshold anomaly flag over the daily value
+    series of each event type — the classic streaming-metrics monitor
+    (smoothed baseline, flag days that deviate >20% from it).
+
+    EWMA is a recursion, which distributed dataflow can't express
+    directly; the standard scale trick is the TRUNCATED form — weights
+    0.5^k die off so fast that 7 terms bound the error at 2^-7. That
+    turns the recursion into a fixed 7-term weighted sum of window
+    lags: ONE shuffle on event_type, one frame-bounded window pass,
+    no iteration, no state. Weight literals are exact powers of two
+    shared verbatim with the oracle, so the float chain is
+    bit-identical across engines (ewma itself rounds to 6dp, and the
+    anomaly comparison reads the rounded value — no boundary flips).
+    """
+    ev = tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        dsum("value").alias("day_value")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = None
+    den = None
+    for k, wgt in enumerate(_EWMA_WEIGHTS):
+        lagged = F.lag("day_value", k).over(w)
+        term = F.coalesce(lagged * F.lit(float(wgt)), F.lit(0.0))
+        dterm = F.when(lagged.isNotNull(), F.lit(float(wgt))).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    scored = daily.withColumn("ewma", F.round(num / den, 6))
+    return scored.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_value",
+        "ewma",
+        (
+            (F.col("day_value") > 1.2 * F.col("ewma"))
+            | (F.col("day_value") < 0.8 * F.col("ewma"))
+        ).alias("is_anomaly"),
+    )
+
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      FROM events
+    ),
+    s1 AS (SELECT user_id, MIN(tus) AS t FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.tus) AS t FROM ev e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'view' AND e.tus > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.tus) AS t FROM ev e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.tus > s2.t GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, MIN(e.tus) AS t FROM ev e JOIN s3 ON s3.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.tus > s3.t GROUP BY e.user_id),
+    stages AS (
+      SELECT 1 AS stage_no, 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'click', CAST(COUNT(*) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s4
+    )
+    SELECT stage_no, stage, n_users,
+           round(CAST(n_users AS DOUBLE) / first_value(n_users) OVER
+                 (ORDER BY stage_no ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING), 6) AS pct_of_first
+    FROM stages
+    """,
+    tags=("events", "funnel", "window"),
+    bench=True,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users progress
+    signup → view → click → purchase where each stage's event must
+    happen STRICTLY AFTER the user's previous stage time (the
+    product-analytics funnel operator, e.g. ClickHouse's
+    `windowFunnel`, as relational composition).
+
+    Each stage is a filtered min-aggregate joined to the previous
+    stage's per-user time — at any scale the stage tables are
+    user-sized (≪ events) and shrink monotonically, so Spark
+    broadcast-joins them against the events scan; the events table is
+    scanned once per stage with the event-type filter pushed down,
+    never shuffled on a growing key. The final 4-row stage table
+    normalizes against stage 1 with a scalar window."""
+    ev = tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    prev = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t"))
+    )
+    stage_dfs = [prev]
+    for stage in FUNNEL_STAGES[1:]:
+        nxt = (
+            ev.where(F.col("event_type") == stage)
+            .join(F.broadcast(prev.select("user_id", F.col("t").alias("pt"))), "user_id")
+            .where(F.col("tus") > F.col("pt"))
+            .groupBy("user_id")
+            .agg(F.min("tus").alias("t"))
+        )
+        stage_dfs.append(nxt)
+        prev = nxt
+    counts = None
+    for i, (stage, df) in enumerate(zip(FUNNEL_STAGES, stage_dfs), start=1):
+        row = df.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(i).alias("stage_no"), F.lit(stage).alias("stage"), "n_users"
+        )
+        counts = row if counts is None else counts.unionAll(row)
+    w = Window.orderBy("stage_no").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counts.select(
+        "stage_no",
+        "stage",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.first("n_users").over(w), 6
+        ).alias("pct_of_first"),
     )
