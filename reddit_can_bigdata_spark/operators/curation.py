@@ -452,3 +452,162 @@ def curate_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: weighted sampling + hashed-linear quality classifier
+# ---------------------------------------------------------------------------
+
+from pathlib import Path  # noqa: E402
+
+WSAMPLE_K = 50  # weighted sample size
+U32_SPAN = 4294967296.0  # 2^32, the portable_hash32 value span
+
+# Committed seeded weight fixture (tools/make_clf_fixture.py) — the
+# train-once/serve-many split the IVF/PQ codebooks use: scoring (and
+# its oracle) read this same parquet.
+CLF_FIXTURE = str(
+    Path(__file__).resolve().parents[2] / "fixtures" / "quality_clf_d1024.parquet"
+)
+CLF_DIM = 1024
+
+
+@register(
+    "curate_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(ln(({PORTABLE_HASH32_SQL.format(x="CAST(doc_id AS VARCHAR)")}
+                       + 0.5) / {U32_SPAN}) / n_chars, 6) AS samp_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, samp_key
+    FROM keyed
+    ORDER BY samp_key DESC, doc_id ASC
+    LIMIT {WSAMPLE_K}
+    """,
+    tags=("curation", "sampling", "weighted"),
+)
+def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis-Spirakis A-ES scheme — each row gets key u^(1/w)
+    (equivalently ln(u)/w, monotone in it) with weight w = n_chars;
+    the global top-k by key IS an exact weighted sample. The uniform
+    u comes from the portable content hash, not rand(seed), so the
+    sample is identical across engines, reruns, and partitionings —
+    the property `sample()`/`rand()` cannot give.
+
+    One narrow map + TakeOrderedAndProject (per-partition top-k heaps,
+    k rows to the driver-side merge): the canonical cluster-scale
+    sampling plan — no shuffle of the data, no sort of the corpus.
+    Keys round to 6dp and break ties by doc_id so the cutoff is
+    stable."""
+    docs = tables(spark, sf_dir)["documents"]
+    u = (portable_hash32(F.col("doc_id").cast("string")) + 0.5) / F.lit(U32_SPAN)
+    key = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        docs.select("doc_id", "n_chars", key.alias("samp_key"))
+        .orderBy(F.desc("samp_key"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+
+
+@register(
+    "curate_quality_classifier",
+    oracle=None,  # set below (needs the pretrain tokenization twins)
+    tags=("curation", "classifier", "fasttext"),
+    bench=True,
+)
+def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality-classifier INFERENCE — the fastText-style
+    scoring pass (CCNet / GPT-3 / LLaMA corpus filters run exactly
+    this shape): features are hashed uni+bigrams, the model is a
+    {CLF_DIM}-bucket weight vector plus bias, score =
+    sigmoid(bias + mean pooled weight). The committed seeded fixture
+    stands in for a trained model (no training libs in the sandbox);
+    serving mechanics — hashing trick, mean pooling, broadcast of the
+    model — are the real thing.
+
+    Scale: the model is CONSTANT-size (KB), broadcast onto the gram
+    stream; the corpus side is scan → explode → broadcast-join → one
+    doc_id aggregate. Weights are 6dp-rounded at training time so the
+    per-doc weight sum runs in exact DECIMAL (order-independent at
+    any parallelism — the float-sum rule); sigmoid is one shared
+    double expression, rounded to 6dp."""
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_EXPR, _gram_expr
+
+    docs = tables(spark, sf_dir)["documents"]
+    weights = spark.read.parquet(CLF_FIXTURE)
+    bias = weights.where(F.col("feature_id") == -1).select(
+        F.col("weight").alias("bias")
+    )
+    grams = spread(docs).select(
+        "doc_id",
+        F.explode(
+            F.concat(F.expr(TOKENS_EXPR), F.expr(_gram_expr(2)))
+        ).alias("gram"),
+    )
+    feats = grams.select(
+        "doc_id", (portable_hash32(F.col("gram")) % CLF_DIM).alias("feature_id")
+    )
+    pooled = (
+        feats.join(F.broadcast(weights.where(F.col("feature_id") >= 0)), "feature_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum(F.col("weight").cast("decimal(18,6)")).alias("wsum"),
+        )
+    )
+    logit = F.col("bias") + F.col("wsum").cast("double") / F.col("n_feats")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return (
+        pooled.crossJoin(F.broadcast(bias))
+        .select(
+            "doc_id",
+            "n_feats",
+            score.alias("quality_score"),
+            (score >= 0.5).alias("keep"),
+        )
+    )
+
+
+def _clf_oracle() -> str:
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_SQL, _gram_sql
+
+    h = PORTABLE_HASH32_SQL.format(x="gram")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_concat(toks, {_gram_sql(2)})) AS gram FROM d
+    ),
+    feats AS (
+      SELECT doc_id, {h} % {CLF_DIM} AS feature_id FROM grams
+    ),
+    model AS (
+      SELECT feature_id, weight FROM read_parquet('{CLF_FIXTURE}')
+      WHERE feature_id >= 0
+    ),
+    b AS (
+      SELECT weight AS bias FROM read_parquet('{CLF_FIXTURE}')
+      WHERE feature_id = -1
+    ),
+    pooled AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             SUM(CAST(weight AS DECIMAL(18,6))) AS wsum
+      FROM feats JOIN model USING (feature_id)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_feats,
+           round(1.0 / (1.0 + exp(-(bias + CAST(wsum AS DOUBLE) / n_feats))), 6)
+             AS quality_score,
+           round(1.0 / (1.0 + exp(-(bias + CAST(wsum AS DOUBLE) / n_feats))), 6)
+             >= 0.5 AS keep
+    FROM pooled CROSS JOIN b
+    """
+
+
+from reddit_can_bigdata_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["curate_quality_classifier"].oracle = _clf_oracle()

@@ -489,3 +489,128 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOPK)
         .select("doc_id", F.round("score", 6).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: PMI collocations
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # collocation support floor
+PMI_TOPK = 100
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=None,  # set below (shares the pretrain tokenization twins)
+    tags=("text", "pmi", "collocation"),
+    bench=True,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: the top adjacent
+    token pairs whose joint frequency most exceeds what their
+    marginals predict — the corpus-statistics operator behind phrase
+    mining (word2vec's phrase pass, NLTK's collocation finder), as
+    pure relational composition.
+
+    pmi = ln( (c_xy/B) / ((c_x/T)(c_y/T)) ), computed on exact BIGINT
+    counts with one double division chain shared verbatim with the
+    oracle, rounded to 6dp. Support floor c_xy >= {PMI_MIN_COUNT}
+    kills the noise pairs PMI notoriously over-ranks.
+
+    Plan shape at 100 TB: the bigram and unigram count tables are
+    vocabulary-sized (<< corpus); both marginal joins broadcast the
+    unigram table onto the bigram table, the scalar totals ride along
+    as broadcast 1-row cross joins, and the final top-k is a
+    TakeOrderedAndProject — no shuffle ever carries more than
+    vocab^2-capped rows. Cites the reference's keyword-frequency
+    analytics (`dashboard/dashboard.py` keyword counts) it
+    generalizes."""
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        TOKENS_EXPR,
+        _gram_expr,
+    )
+
+    docs = tables(spark, sf_dir)["documents"]
+    toks = spread(docs).select(F.explode(F.expr(TOKENS_EXPR)).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").cast("bigint").alias("cnt"))
+    total = uni.agg(F.sum("cnt").cast("bigint").alias("t_toks"))
+    bg = spread(docs).select(
+        F.explode(F.expr(_gram_expr(2))).alias("bigram")
+    )
+    bcnt = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= PMI_MIN_COUNT)
+    )
+    btotal = bg.agg(F.count("*").cast("bigint").alias("t_pairs"))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    scored = (
+        bcnt.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(F.broadcast(uni.selectExpr("term AS w1", "cnt AS c1")), "w1")
+        .join(F.broadcast(uni.selectExpr("term AS w2", "cnt AS c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(btotal))
+        .select(
+            "bigram",
+            "pair_cnt",
+            "c1",
+            "c2",
+            F.round(
+                F.log(
+                    (F.col("pair_cnt") * 1.0 / F.col("t_pairs"))
+                    / (
+                        (F.col("c1") * 1.0 / F.col("t_toks"))
+                        * (F.col("c2") * 1.0 / F.col("t_toks"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(PMI_TOPK)
+        .select("bigram", "pair_cnt", "c1", "c2", "pmi")
+    )
+
+
+def _pmi_oracle() -> str:
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_SQL, _gram_sql
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+    ),
+    uni AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(toks) AS term FROM d) GROUP BY term
+    ),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_toks FROM uni),
+    bg AS (
+      SELECT unnest({_gram_sql(2)}) AS bigram FROM d
+    ),
+    btotal AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_pairs FROM bg),
+    bcnt AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM bg GROUP BY bigram HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT bigram, pair_cnt, c1, c2,
+           round(ln((pair_cnt * 1.0 / t_pairs)
+                    / ((c1 * 1.0 / t_toks) * (c2 * 1.0 / t_toks))), 6) AS pmi
+    FROM (
+      SELECT b.bigram, b.pair_cnt, u1.cnt AS c1, u2.cnt AS c2, t_toks, t_pairs
+      FROM bcnt b
+      JOIN uni u1 ON u1.term = string_split(b.bigram, ' ')[1]
+      JOIN uni u2 ON u2.term = string_split(b.bigram, ' ')[2]
+      CROSS JOIN total CROSS JOIN btotal
+    )
+    ORDER BY pmi DESC, bigram ASC
+    LIMIT {PMI_TOPK}
+    """
+
+
+from reddit_can_bigdata_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["text_pmi_collocations"].oracle = _pmi_oracle()
