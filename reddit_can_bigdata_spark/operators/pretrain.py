@@ -1190,3 +1190,272 @@ def pretrain_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log("p")), 6).alias("avg_logprob2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: minhash-style containment decontamination + distributed BPE
+# ---------------------------------------------------------------------------
+
+CONTAIN_N = 2  # tokens per containment shingle (fuzzy, smaller than
+# DECONTAM_N's exact-collision 5-grams: containment is a coverage
+# RATIO, so it wants denser shingles)
+CONTAIN_THRESHOLD = 0.1  # report pairs covering >= 10% of an eval doc
+
+
+@register(
+    "pretrain_eval_containment",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_distinct({{grams}})) AS gram FROM d
+    ),
+    ev AS (SELECT doc_id AS eval_id, gram FROM g
+           WHERE doc_id % {{emod}} = 0),
+    evn AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_eval
+            FROM ev GROUP BY eval_id),
+    pairs AS (
+      SELECT c.doc_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM g c JOIN ev e USING (gram)
+      WHERE c.doc_id % {{emod}} <> 0
+      GROUP BY c.doc_id, e.eval_id
+    )
+    SELECT doc_id, eval_id, n_common, n_eval,
+           round(n_common * 1.0 / n_eval, 6) AS containment
+    FROM pairs JOIN evn USING (eval_id)
+    WHERE n_common * 1.0 / n_eval >= {CONTAIN_THRESHOLD}
+    """,
+    tags=("pretrain", "decontamination", "containment"),
+)
+def pretrain_eval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination by CONTAINMENT: for every (corpus doc,
+    eval doc) pair, the fraction of the eval doc's distinct
+    {CONTAIN_N}-gram shingles the corpus doc covers — the
+    one-sided-Jaccard check (Lee et al. 2022 / GPT-3 appx C use
+    exactly this asymmetric measure) that catches an eval benchmark
+    QUOTED INSIDE a larger training document, which symmetric Jaccard
+    dilutes and exact n-gram collision misses once a token differs.
+
+    Plan: the eval side is benchmark-sized by construction, so its
+    shingle set broadcasts under the same ceiling
+    (`DECONTAM_BROADCAST_MAX_GRAMS`) / shuffle-fallback gate as
+    `pretrain_decontaminate`; the corpus side is scan -> shingle
+    explode -> broadcast-hash join -> one (doc, eval) pair aggregate,
+    never shuffled on a corpus-sized key. Pair fan-out is bounded by
+    real shingle matches (the join IS the LSH-style blocking: only
+    colliding shingles produce candidates). One double division,
+    rounded to 6dp; the threshold compares the same unrounded ratio
+    on both sides."""
+    docs = tables(spark, sf_dir)["documents"]
+    g = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.expr(_gram_expr(CONTAIN_N)))
+            ).alias("gram"),
+        )
+        .persist()
+    )
+    is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    ev = g.where(is_eval).select(F.col("doc_id").alias("eval_id"), "gram")
+    evn = ev.groupBy("eval_id").agg(F.count("*").cast("bigint").alias("n_eval"))
+    n_eval_grams = ev.count()
+    eval_side = (
+        F.broadcast(ev)
+        if n_eval_grams <= DECONTAM_BROADCAST_MAX_GRAMS
+        else ev.hint("shuffle_hash")
+    )
+    pairs = (
+        g.where(~is_eval)
+        .join(eval_side, "gram")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    ratio = F.col("n_common") * 1.0 / F.col("n_eval")
+    return (
+        pairs.join(F.broadcast(evn), "eval_id")
+        .where(ratio >= CONTAIN_THRESHOLD)
+        .select(
+            "doc_id",
+            "eval_id",
+            "n_common",
+            "n_eval",
+            F.round(ratio, 6).alias("containment"),
+        )
+    )
+
+
+# patch the two oracle placeholders that depend on helpers defined
+# mid-module (gram SQL + eval modulus)
+from reddit_can_bigdata_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["pretrain_eval_containment"].oracle = _REG[
+    "pretrain_eval_containment"
+].oracle.format(grams=_gram_sql(CONTAIN_N), emod=DECONTAM_EVAL_MOD)
+
+
+BPE_TOPK_PAIRS = 20
+BPE_MIN_PAIR = 2  # stop merging below this support
+
+
+def _chars_expr(col: str) -> str:
+    """Spark: split a word into its character symbols."""
+    return f"filter(split({col}, ''), c -> c <> '')"
+
+
+@register(
+    "pretrain_bpe_pair_counts",
+    oracle=f"""
+    WITH wc AS (
+      SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({TOKENS_SQL}) AS term FROM documents)
+      GROUP BY term
+    ),
+    pos AS (
+      SELECT word, cnt, unnest(generate_series(1, len(word) - 1)) AS i
+      FROM wc WHERE len(word) >= 2
+    )
+    SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+           CAST(SUM(cnt) AS BIGINT) AS pair_total
+    FROM pos
+    GROUP BY l, r
+    ORDER BY pair_total DESC, l ASC, r ASC
+    LIMIT {BPE_TOPK_PAIRS}
+    """,
+    tags=("pretrain", "bpe", "tokenizer"),
+    bench=True,
+)
+def pretrain_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed hot step of BPE tokenizer TRAINING: adjacent
+    symbol-pair counts weighted by word frequency — the aggregation
+    every merge iteration of `bpe_learn_merges` re-runs. Registered
+    standalone (iteration 0: symbols = characters) so the step the
+    cluster actually spends time on carries an exact oracle.
+
+    The decisive scale property of word-frequency BPE: the corpus
+    collapses to its VOCABULARY (one token-count shuffle over the
+    corpus — the same footprint as word count) and every merge
+    iteration after that runs on the vocab table only, which is
+    millions of rows at 100 TB, not billions. Top pairs come out via
+    TakeOrderedAndProject with a full deterministic (count, l, r)
+    tiebreak."""
+    docs = tables(spark, sf_dir)["documents"]
+    wc = (
+        spread(docs)
+        .select(F.explode(F.expr(TOKENS_EXPR)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    pairs = wc.where(F.length("word") >= 2).select(
+        "cnt",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(word) - 1),"
+                f" i -> struct(substring(word, i, 1) AS l,"
+                f" substring(word, i + 1, 1) AS r))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select("cnt", "p.l", "p.r")
+        .groupBy("l", "r")
+        .agg(F.sum("cnt").cast("bigint").alias("pair_total"))
+        .orderBy(F.desc("pair_total"), F.asc("l"), F.asc("r"))
+        .limit(BPE_TOPK_PAIRS)
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_fold_expr(syms_col: str, left: str, right: str) -> str:
+    """Greedy left-to-right application of ONE merge (left, right) to a
+    symbol array, as a Catalyst `aggregate` fold: append each symbol,
+    but when the accumulator tail is `left` and the next symbol is
+    `right`, replace the tail with the concatenation. Left-to-right
+    greediness falls out of the fold order, and a freshly merged
+    symbol can't re-merge because its literal differs from `left`
+    (the convention reference BPE implementations use)."""
+    l, r, m = _sql_quote(left), _sql_quote(right), _sql_quote(left + right)
+    return (
+        f"aggregate({syms_col}, cast(array() as array<string>), "
+        f"(acc, x) -> CASE WHEN size(acc) > 0 "
+        f"AND element_at(acc, -1) = {l} AND x = {r} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({m})) "
+        f"ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_learn_merges(
+    spark: SparkSession, docs: DataFrame, n_merges: int = 16
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    `n_merges` merge rules from word frequencies.
+
+    The corpus collapses ONCE to the (word, count) vocabulary table —
+    the only corpus-sized shuffle. Each iteration then (1) counts
+    adjacent symbol pairs over the vocab weighted by word count,
+    (2) takes the argmax with a deterministic (count desc, l, r)
+    tiebreak — a 1-row driver scalar, the same legitimate collect
+    class as `ml/sentiment.py`'s agreement rate — and (3) applies the
+    merge vocab-side with the `aggregate` fold, localCheckpointing so
+    N iterations don't stack N fold plans. At 100 TB the vocab is
+    ~millions of rows: every iteration is sub-second cluster work;
+    this is exactly how industrial BPE trainers (HuggingFace
+    tokenizers' word-count mode) structure it.
+
+    Returns [(left, right, pair_count), ...] in merge order."""
+    wc = (
+        docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    vocab = wc.select("cnt", F.expr(_chars_expr("word")).alias("syms"))
+    vocab = vocab.localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = vocab.where(F.size("syms") >= 2).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS l,"
+                    " element_at(syms, i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.select("cnt", "p.l", "p.r")
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").cast("bigint").alias("total"))
+            .orderBy(F.desc("total"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].total < BPE_MIN_PAIR:
+            break
+        l, r, total = best[0].l, best[0].r, int(best[0].total)
+        merges.append((l, r, total))
+        vocab = vocab.select(
+            "cnt", F.expr(_merge_fold_expr("syms", l, r)).alias("syms")
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_segment_frame(docs: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Apply a learned merge list to documents: per-token greedy
+    segmentation via the same fold expression, merges applied in
+    learned order. Pure narrow map (tokenize -> per-word symbol fold
+    chain), embarrassingly parallel at any scale."""
+    out = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("word")
+    ).withColumn("syms", F.expr(_chars_expr("word")))
+    expr = "syms"
+    for l, r, _ in merges:
+        expr = _merge_fold_expr(expr, l, r)
+    return out.select(
+        "doc_id", "word", F.expr(expr).alias("pieces")
+    )
