@@ -18,7 +18,7 @@ per-iteration arithmetic is deterministic and final ranks are rounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from reddit_can_bigdata_spark.operators.common import tables
 from reddit_can_bigdata_spark.registry import register
@@ -1145,4 +1145,117 @@ def g3b_betweenness_sampled(
                 "betweenness_est"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 4: backbone extraction + link prediction
+# ---------------------------------------------------------------------------
+
+LINKPRED_TOPK = 20
+BACKBONE_Q = 0.75  # keep edges strictly above the 75th-pct weight
+
+
+@register(
+    "g11_link_prediction",
+    oracle=f"""
+    WITH e0 AS ({_EDGES_SQL}),
+    wh AS (SELECT weight, CAST(COUNT(*) AS BIGINT) AS c FROM e0 GROUP BY weight),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_edges FROM wh),
+    cum AS (SELECT weight,
+                   SUM(c) OVER (ORDER BY weight ROWS UNBOUNDED PRECEDING) AS cs
+            FROM wh),
+    q AS (SELECT MIN(weight) AS q75 FROM cum CROSS JOIN n
+          WHERE cs >= CAST(ceil({BACKBONE_Q} * n_edges) AS BIGINT)),
+    e AS (SELECT u, v FROM e0 CROSS JOIN q WHERE weight > q75),
+    sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM sym GROUP BY a),
+    cand AS (
+      SELECT s1.a AS u, s2.b AS v, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+      FROM sym s1 JOIN sym s2 ON s1.b = s2.a AND s1.a < s2.b
+      GROUP BY s1.a, s2.b
+    ),
+    nonadj AS (
+      SELECT c.* FROM cand c ANTI JOIN e ON e.u = c.u AND e.v = c.v
+    )
+    SELECT n.u, n.v, n.common_neighbors,
+           round(n.common_neighbors * 1.0
+                 / (du.degree + dv.degree - n.common_neighbors), 6) AS jaccard
+    FROM nonadj n
+    JOIN deg du ON du.node = n.u
+    JOIN deg dv ON dv.node = n.v
+    ORDER BY n.common_neighbors * 1.0
+             / (du.degree + dv.degree - n.common_neighbors) DESC, n.u, n.v
+    LIMIT {LINKPRED_TOPK}
+    """,
+    tags=("graph", "link-prediction", "backbone"),
+)
+def g11_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood overlap on the graph BACKBONE:
+    extract the strong-tie subgraph (edges strictly above the exact
+    75th-percentile weight), then score every non-adjacent pair with
+    >= 1 common neighbor by common-neighbor count and Jaccard
+    |N(u)∩N(v)| / |N(u)∪N(v)| — Liben-Nowell & Kleinberg 2003's
+    who-should-be-connected query, extending the reference's network
+    analysis (`network-analysis/network_analysis.py`) with the
+    recommendation step it stops short of. (The co-order graph is
+    near-complete, so prediction is only meaningful on the backbone —
+    the same reason weighted-network papers threshold first.)
+
+    Scale shape: the percentile threshold comes from the WEIGHT
+    HISTOGRAM (distinct weight values — a tiny table at any corpus
+    size), never a global sort of edges; its single-partition
+    cumulative window is over that tiny table. Candidate pairs come
+    from one two-path self-join on the symmetrized backbone (same
+    mid-node join shape and skew profile as triangle counting g9; AQE
+    skew-split handles runaway hubs). Adjacent pairs drop via LEFT
+    ANTI join; node-sized degree tables broadcast under the ceiling.
+    Jaccard is ONE division of exact BIGINTs (engine-stable ordering);
+    output rounds to 6dp; top-k is TakeOrderedAndProject with (u, v)
+    tiebreak."""
+    e0 = _edges(spark, sf_dir)
+    wh = e0.groupBy("weight").agg(F.count("*").cast("bigint").alias("c"))
+    n = wh.agg(F.sum("c").cast("bigint").alias("n_edges"))
+    cum = wh.withColumn(
+        "cs",
+        F.sum("c").over(
+            Window.orderBy("weight").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    q = (
+        cum.crossJoin(F.broadcast(n))
+        .where(F.col("cs") >= F.ceil(BACKBONE_Q * F.col("n_edges")).cast("bigint"))
+        .agg(F.min("weight").alias("q75"))
+    )
+    e = (
+        e0.crossJoin(F.broadcast(q))
+        .where(F.col("weight") > F.col("q75"))
+        .select("u", "v")
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("degree"))
+    s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("mid"))
+    s2 = sym.select(F.col("u").alias("mid"), F.col("v").alias("b"))
+    cand = (
+        s1.join(s2, "mid")
+        .where(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("u"), F.col("b").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("common_neighbors"))
+    )
+    nonadj = cand.join(e, ["u", "v"], "left_anti")
+    du = deg.select(F.col("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("degree").alias("dv"))
+    jac = F.col("common_neighbors") * 1.0 / (
+        F.col("du") + F.col("dv") - F.col("common_neighbors")
+    )
+    return (
+        nonadj.join(du, "u")
+        .join(dv, "v")
+        .select("u", "v", "common_neighbors", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+        .limit(LINKPRED_TOPK)
+        .select("u", "v", "common_neighbors", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -339,3 +339,44 @@ def test_g4d_weighted_sampled_approximates_exact(spark, sf001_dir):
         sum((x - mx) ** 2 for x in xs) * sum((y - my) ** 2 for y in ys)
     )
     assert corr > 0.5, corr
+
+
+def test_g11_link_prediction_golden(spark, sf_dir):
+    """Candidates must be non-adjacent backbone pairs; scores must
+    match a pure-Python recomputation of the thresholded graph."""
+    import math
+
+    from reddit_can_bigdata_spark.operators.graph import (
+        BACKBONE_Q,
+        _edges,
+        g11_link_prediction,
+    )
+
+    rows = g11_link_prediction(spark, sf_dir).collect()
+    assert rows, "backbone link prediction must be non-vacuous"
+    ew = {(r.u, r.v): r.weight for r in _edges(spark, sf_dir).collect()}
+    weights = sorted(w for w in ew.values())
+    q75 = weights[math.ceil(BACKBONE_Q * len(weights)) - 1]
+    strong = {p for p, w in ew.items() if w > q75}
+    nbrs: dict[int, set] = {}
+    for u, v in strong:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    scored = []
+    for u in nbrs:
+        for v in nbrs:
+            if u >= v or (u, v) in strong:
+                continue
+            cn = len(nbrs[u] & nbrs[v])
+            if cn:
+                scored.append(
+                    (-cn / (len(nbrs[u]) + len(nbrs[v]) - cn), u, v, cn)
+                )
+    expect = sorted(scored)[: len(rows)]
+    got = sorted((-r.jaccard, r.u, r.v, r.common_neighbors) for r in rows)
+    for (gj, gu, gv, gc), (ej, eu, ev, ec) in zip(got, expect):
+        assert (gu, gv, gc) == (eu, ev, ec)
+        assert abs(gj - ej) < 1e-5
+    for r in rows:
+        assert (r.u, r.v) not in strong, "predicted pair already adjacent"
+        assert 0.0 < r.jaccard <= 1.0
