@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from reddit_can_bigdata_spark.operators.common import tables
 from reddit_can_bigdata_spark.registry import register
@@ -936,4 +936,86 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.select("vec_id", F.round("dist2", 6).alias("adc_dist2"))
         .orderBy(F.asc("adc_dist2"), F.asc("vec_id"))
         .limit(PQ_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 4: contrastive hard-negative mining
+# ---------------------------------------------------------------------------
+
+HARDNEG_ANCHOR_MOD = 25  # every 25th vector anchors a mining query
+HARDNEG_K = 5
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS av
+      FROM embeddings WHERE vec_id % {HARDNEG_ANCHOR_MOD} = 0
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+             {_cos_sql('e.embedding', 'a.av')} AS cos_raw
+      FROM embeddings e JOIN anchors a ON e.label <> a.anchor_label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cos_raw DESC, neg_id ASC) AS rn
+      FROM scored
+    )
+    SELECT anchor_id, neg_id, neg_label, round(cos_raw, 6) AS cosine, rn
+    FROM ranked WHERE rn <= {HARDNEG_K}
+    """,
+    tags=("similarity", "contrastive", "mining"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive HARD-NEGATIVE mining: for each anchor vector, the
+    top-{HARDNEG_K} most-similar vectors with a DIFFERENT label — the
+    batch job that builds triplet/contrastive training data for
+    embedding models (sentence-transformers' mine_hard_negatives,
+    DPR's negative pools). "Hardest" negatives = highest cosine while
+    label differs.
+
+    Plan: the anchor sample broadcasts (mining runs per anchor batch
+    in production — bounded by construction); candidates form via a
+    broadcast nested-loop on label inequality (each partition scans
+    its vectors once per anchor batch, Arrow-free, all JVM);
+    per-anchor top-k is ONE window over (anchor, cos) — with anchors
+    bounded per batch the window state is k rows per anchor. At 100 TB
+    the corpus side never shuffles; successive anchor batches stream
+    through the same scan. Ties break by (cos desc, neg_id) and the
+    cosine ordering uses the raw double (identical expression both
+    engines); output rounds to 6dp."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    anchors = emb.where(F.col("vec_id") % HARDNEG_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("av"),
+    )
+    cos = cosine_expr("embedding", "av")
+    scored = (
+        emb.join(
+            F.broadcast(anchors), F.col("label") != F.col("anchor_label")
+        )
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            cos.alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_raw"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= HARDNEG_K)
+        .select(
+            "anchor_id",
+            "neg_id",
+            "neg_label",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rn",
+        )
     )

@@ -454,3 +454,135 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users").cast("double") / F.first("n_users").over(w), 6
         ).alias("pct_of_first"),
     )
+
+
+@register(
+    "cohort_retention",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_wk, e.wk
+      FROM ev e JOIN firsts f ON f.user_id = e.user_id
+    ),
+    sizes AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_wk
+    )
+    SELECT strftime(a.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', a.cohort_wk, a.wk) / 7 AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           s.cohort_size,
+           round(COUNT(*) * 1.0 / s.cohort_size, 6) AS retention
+    FROM active a JOIN sizes s ON s.cohort_wk = a.cohort_wk
+    GROUP BY a.cohort_wk, a.wk, s.cohort_size
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    tracked by how many are still active N weeks later — THE
+    product-analytics table every events warehouse serves.
+
+    Plan: first-activity is one user-keyed aggregate; per-(user,
+    week) activity dedups in the same shuffle family; the matrix is a
+    (cohort, week) aggregate whose output is weeks^2-sized — trivial
+    at any corpus scale. The cohort-size table is cohort-count-sized
+    and broadcasts back. Week offsets are integer day-diffs of
+    week-truncated dates divided by 7 — exact, engine-portable (both
+    engines truncate to Monday); retention is one division of exact
+    BIGINTs, rounded to 6dp."""
+    ev = tables(spark, sf_dir)["events"].select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = ev.join(firsts, "user_id").select(
+        "user_id", "cohort_wk", "wk"
+    ).distinct()
+    sizes = firsts.groupBy("cohort_wk").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_wk", "wk")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_US}
+                  OR lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, tus, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id, CAST(MIN(tus) AS BIGINT) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {DSUM_SQL.format(x="value")} AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("timeseries", "session-window"),
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN `session_window` aggregation (the dynamic-gap
+    session operator Structured Streaming shares), oracle-checked
+    against the gaps-and-islands SQL formulation — proving the native
+    operator and the window-function composition define the SAME
+    sessions.
+
+    Semantics pinned by the oracle (and by the constructed boundary
+    test): an event at EXACTLY gap distance still MERGES into the
+    session — Spark closes a session at `last + gap` inclusive, so
+    the SQL twin uses `> gap` for a new session, the SAME convention
+    as the manual `sessionize_events`. The two formulations define
+    identical sessions.
+
+    Plan: one shuffle on user_id; Spark merges overlapping candidate
+    windows per key in a single pass (UpdatingSessionsIterator) —
+    state bounded by a user's open session, the same O(active keys)
+    story as the streaming sessionizer. The session start is the
+    first event's timestamp, emitted as exact BIGINT micros."""
+    ev = tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
