@@ -317,3 +317,38 @@ def test_salted_join_spreads_partitioning(spark, sf_dir):
     assert {tuple(r) for r in df.collect()} == {
         tuple(r) for r in plain.collect()
     }
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown-IS-the-plan query: shipdate range, discount
+    band, and quantity cap must all reach the parquet scan."""
+    df = REGISTRY["tpch_q6_forecast_revenue"].fn(spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, col), (col, pushed_filters(df))
+
+
+def test_tpch_q3_q10_q18_join_strategy(spark, sf_dir):
+    """The dimension/qualifying sides must broadcast; no shuffled
+    merge join of lineitem against a dim, no cartesian."""
+    for name in (
+        "tpch_q3_shipping_priority",
+        "tpch_q10_returned_items",
+        "tpch_q18_large_volume",
+    ):
+        kinds = join_kinds(REGISTRY[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in kinds, (name, kinds)
+        assert "SortMergeJoin" not in kinds, (name, kinds)
+    plan = formatted_plan(REGISTRY["tpch_q18_large_volume"].fn(spark, sf_dir))
+    # aggregate-then-join: the HAVING aggregate must sit BELOW the join
+    assert plan.index("HashAggregate") > plan.index("TakeOrderedAndProject")
+
+
+def test_tpch_q1_single_aggregate_codegen(spark, sf_dir):
+    """Q1 must be one scan + one hash aggregate (partial+final), with
+    the shipdate filter pushed — no joins, no extra exchanges."""
+    from reddit_can_bigdata_spark.plans.inspect import count_exchanges
+
+    df = REGISTRY["tpch_q1_pricing_summary"].fn(spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate"), pushed_filters(df)
+    assert count_exchanges(df) == 1, formatted_plan(df)
+    assert not join_kinds(df)
