@@ -103,3 +103,67 @@ def test_salted_join_matches_plain_join(spark):
     got = salted_join(big, small, "k").groupBy("k", "tag").agg(F.count("*").alias("n"))
     plain = big.join(small, "k").groupBy("k", "tag").agg(F.count("*").alias("n"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_zorder_tightens_both_dimension_spans(spark, tmp_path):
+    """The honest Z-order test: read back the parquet FOOTER stats of
+    every output file and compare per-file (min, max) spans. Linear
+    sort on x leaves each file spanning ~the full y range; Z-order
+    must shrink the average y span by >= 2x while keeping x spans
+    bounded — that span IS what row-group pruning uses."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.plans.layout import write_zordered
+
+    n = 1 << 14
+    side = 1 << 7  # x, y uniform on [0, 128): a 128x128 grid
+    df = spark.range(n).select(
+        (F.col("id") % side).cast("bigint").alias("x"),
+        (F.floor(F.col("id") / side) % side).cast("bigint").alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+    def spans(path, col):
+        out = []
+        for f in Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            out.append(hi - lo)
+        return out
+
+    lin = str(tmp_path / "linear")
+    (
+        df.repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lin)
+    )
+    zod = str(tmp_path / "zorder")
+    write_zordered(df, zod, "x", "y", n_files=8)
+
+    lin_y = spans(lin, "y")
+    z_y = spans(zod, "y")
+    z_x = spans(zod, "x")
+    assert lin_y and z_y
+    avg = lambda v: sum(v) / len(v)
+    # linear-on-x files span ~full y; z-ordered files must be tight in y
+    assert avg(lin_y) >= side * 0.9, lin_y
+    assert avg(z_y) <= avg(lin_y) / 2, (lin_y, z_y)
+    # ...while staying far from degenerate in x (not a plain y sort)
+    assert avg(z_x) <= side * 0.9, z_x
+    # row identity preserved
+    assert (
+        spark.read.parquet(zod).agg(F.sum("payload")).collect()[0][0]
+        == df.agg(F.sum("payload")).collect()[0][0]
+    )

@@ -41,6 +41,16 @@ SHOWCASE = {
     "dedup_incremental_batch": "Incremental dedup: md5-equality and LSH band probes are both hash equi-joins; no all-pairs stage.",
     "pretrain_bigram_logprob": "Bigram LM: model assembled via broadcast unigram joins; doc stream shuffle-joins the model on the bigram key.",
     "sim_ivfpq_search": "IVF-PQ: residual codes from broadcast codebooks; query's distance table broadcasts; candidates confined to probed cells by the cid equi-join.",
+    "text_pmi_collocations": "PMI: vocabulary-sized unigram marginals broadcast onto the bigram counts; scalar totals ride 1-row broadcasts; TakeOrderedAndProject finish.",
+    "curate_quality_classifier": "Hashed-linear classifier: constant-size model broadcast onto the gram stream; exact DECIMAL weight pooling in one doc_id aggregate.",
+    "curate_weighted_sample": "Efraimidis-Spirakis weighted sample: narrow map + TakeOrderedAndProject, zero Exchange nodes.",
+    "gapfill_interpolate_daily": "Gap-fill: per-user spine explode + left join + two frame-bounded ignorenulls window passes.",
+    "g11_link_prediction": "Backbone + link prediction: percentile from the weight HISTOGRAM (tiny), two-path self-join on the thresholded graph, LEFT ANTI adjacency drop.",
+    "session_window_agg": "Native session_window: one shuffle on user_id; sessions merged per key in a single UpdatingSessions pass.",
+    "pretrain_bpe_pair_counts": "BPE hot step: corpus collapses to the vocabulary; pair counts are a vocab-sized explode + hash aggregate into top-k heaps.",
+    "pretrain_eval_containment": "Containment decontam: eval shingles broadcast; the shingle equi-join IS the blocking; one (doc, eval) pair aggregate.",
+    "tpch_q18_large_volume": "Q18 aggregate-then-join: HAVING shrinks lineitem to qualifying orders below the joins; qualifying set broadcasts.",
+    "tpch_q1_pricing_summary": "Q1: pushed shipdate filter; ONE partial+final hash aggregate computes all eight measures (single exchange).",
 }
 
 
