@@ -191,3 +191,74 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             (F.col("id") % 480).cast("int").alias("height"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: JVM-side container-header sniffing (no codec, no Python)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC_HEX = "89504E470D0A1A0A"
+_GIF87_HEX, _GIF89_HEX = "474946383761", "474946383961"
+_JPEG_SOI_HEX = "FFD8"
+
+
+def _be_u32(payload: str, pos: int) -> F.Column:
+    """Big-endian uint32 at 1-indexed byte offset ``pos`` of a binary
+    column, as pure JVM expressions (substring -> hex -> conv)."""
+    return F.conv(F.hex(F.substring(F.col(payload), pos, 4)), 16, 10).cast("int")
+
+
+def _le_u16(payload: str, pos: int) -> F.Column:
+    """Little-endian uint16 at 1-indexed offset ``pos``."""
+    lo = F.conv(F.hex(F.substring(F.col(payload), pos, 1)), 16, 10).cast("int")
+    hi = F.conv(F.hex(F.substring(F.col(payload), pos + 1, 1)), 16, 10).cast("int")
+    return lo + hi * 256
+
+
+def parse_image_headers(df: DataFrame) -> DataFrame:
+    """Sniff image container headers ENTIRELY JVM-side — the step a
+    multimodal pipeline runs on every ingested blob before deciding
+    what to decode, and the proof that 'binary column' work doesn't
+    have to mean Python: magic-number detection and PNG/GIF dimension
+    extraction are substring/hex/conv expressions inside whole-stage
+    codegen, touching only the first 24 bytes of each payload.
+
+    - PNG: 8-byte signature; IHDR width/height are big-endian uint32
+      at offsets 17/21 (1-indexed).
+    - GIF(87a/89a): logical-screen width/height, little-endian uint16
+      at offsets 7/9.
+    - JPEG: SOI marker detected; dimensions live in variable-offset
+      SOF segments, so they need the (stubbed) codec path — width and
+      height come back NULL, mime comes back real.
+
+    At 100 TB this is the cheap pre-filter: corrupt blobs and
+    unsupported formats drop before any Arrow transfer or decode."""
+    hex8 = F.hex(F.substring(F.col("payload"), 1, 8))
+    hex6 = F.hex(F.substring(F.col("payload"), 1, 6))
+    hex2 = F.hex(F.substring(F.col("payload"), 1, 2))
+    is_png = hex8 == _PNG_MAGIC_HEX
+    is_gif = hex6.isin(_GIF87_HEX, _GIF89_HEX)
+    is_jpeg = hex2 == _JPEG_SOI_HEX
+    mime = (
+        F.when(is_png, "image/png")
+        .when(is_gif, "image/gif")
+        .when(is_jpeg, "image/jpeg")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    width = (
+        F.when(is_png, _be_u32("payload", 17))
+        .when(is_gif, _le_u16("payload", 7))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    height = (
+        F.when(is_png, _be_u32("payload", 21))
+        .when(is_gif, _le_u16("payload", 9))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    return df.select(
+        "media_id",
+        mime.alias("mime_detected"),
+        width.alias("parsed_width"),
+        height.alias("parsed_height"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )

@@ -103,3 +103,89 @@ def cms_estimate(sketch_rows: list, key: str) -> int:
         h = int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:8], 16) % CMS_WIDTH
         ests.append(counters.get((i, h), 0))
     return min(ests)
+
+
+# ---------------------------------------------------------------------------
+# round 4: Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 8  # counters per partition summary
+HH_PHI_DEN = 50  # heavy hitter = frequency > n / HH_PHI_DEN (2%)
+
+
+@register(
+    "heavy_hitters_exact",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+    cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY term)
+    SELECT term, freq, total
+    FROM cnt CROSS JOIN n
+    WHERE freq * {HH_PHI_DEN} > total
+    """,
+    tags=("approx", "heavy-hitters"),
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy-hitters (tokens with frequency > 2% of the
+    stream) — the oracle gate for the Misra-Gries scale path below.
+    One hash aggregate + a 1-row total broadcast; the threshold is an
+    integer cross-multiplication (no division, bit-exact)."""
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_EXPR
+
+    docs = tables(spark, sf_dir)["documents"]
+    tok = docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("term"))
+    n = tok.agg(F.count("*").cast("bigint").alias("total"))
+    cnt = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("freq"))
+    return (
+        cnt.crossJoin(F.broadcast(n))
+        .where(F.col("freq") * HH_PHI_DEN > F.col("total"))
+        .select("term", "freq", "total")
+    )
+
+
+def misra_gries_summary(
+    df: DataFrame, col: str, capacity: int = MG_CAPACITY
+) -> list[tuple[str, int]]:
+    """Misra-Gries heavy-hitter summary at 100 TB scale: each
+    partition keeps only ``capacity`` counters (constant memory
+    regardless of cardinality — the property a groupBy lacks when the
+    key space explodes), then the per-partition summaries MERGE by
+    counter addition + the standard (k+1)-th-counter subtraction.
+
+    Guarantees (contract-tested, not oracle-hashed — the summary
+    depends on partitioning order by design): every item with true
+    frequency > n/capacity SURVIVES the summary, and each reported
+    count is within n/capacity of the truth. The per-partition pass
+    is `mapPartitions` (the legitimate per-partition-imperative case
+    the brief carves out); the merge folds the tiny summaries on the
+    driver — O(partitions x capacity) rows, never data-sized."""
+
+    def summarize(rows):
+        counters: dict = {}
+        for r in rows:
+            v = r[0]
+            if v in counters:
+                counters[v] += 1
+            elif len(counters) < capacity:
+                counters[v] = 1
+            else:
+                for k in list(counters):
+                    counters[k] -= 1
+                    if counters[k] == 0:
+                        del counters[k]
+        yield list(counters.items())
+
+    partials = df.select(col).rdd.mapPartitions(summarize).collect()
+    merged: dict = {}
+    for summary in partials:
+        for key, cnt in summary:
+            merged[key] = merged.get(key, 0) + cnt
+            if len(merged) > capacity:
+                cut = sorted(merged.values())[len(merged) - capacity - 1]
+                merged = {
+                    k: c - cut for k, c in merged.items() if c - cut > 0
+                }
+    return sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -54,3 +54,35 @@ def test_count_min_sketch_one_sided_error(spark, sf_dir):
     for key, t in true.items():
         est = cms_estimate(sketch_rows, key)
         assert t <= est <= t + n / CMS_WIDTH * 4, (key, t, est)
+
+
+def test_misra_gries_contract(spark, sf_dir):
+    """MG guarantees: (1) every item with true frequency > n/capacity
+    survives the summary; (2) reported counts never exceed the truth
+    and undercount by at most n/capacity."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.operators.approx import (
+        MG_CAPACITY,
+        misra_gries_summary,
+    )
+    from reddit_can_bigdata_spark.operators.common import tables
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_EXPR
+
+    docs = tables(spark, sf_dir)["documents"]
+    tok = docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("term")).repartition(8)
+    got = dict(misra_gries_summary(tok, "term", MG_CAPACITY))
+    truth = Counter(
+        t for r in docs.select("text").collect() for t in r.text.split(" ") if t
+    )
+    n = sum(truth.values())
+    bound = n / MG_CAPACITY
+    for term, freq in truth.items():
+        if freq > bound:
+            assert term in got, f"guaranteed heavy hitter {term} lost"
+    for term, est in got.items():
+        assert est <= truth[term], "MG must never overcount"
+        assert truth[term] - est <= bound, "undercount beyond the MG bound"
+    assert 0 < len(got) <= MG_CAPACITY

@@ -92,3 +92,45 @@ def test_resize_media_schema_stable_and_metadata_updated(spark):
 
     feats = extract_features(out)
     assert feats.count() == 12
+
+
+def test_parse_image_headers_jvm_side(spark):
+    """Real PNG/GIF byte layouts parse to exact dimensions with zero
+    Python in the plan; JPEG detects mime with NULL dims; junk gets
+    NULL mime."""
+    import struct
+
+    from reddit_can_bigdata_spark.multimodal.binaryops import parse_image_headers
+    from reddit_can_bigdata_spark.plans.inspect import formatted_plan
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x06\x00\x00\x00"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 8
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    junk = b"not an image at all....."
+    df = spark.createDataFrame(
+        [(1, png), (2, gif), (3, jpeg), (4, junk)],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in parse_image_headers(df).collect()}
+    assert (out[1].mime_detected, out[1].parsed_width, out[1].parsed_height) == (
+        "image/png",
+        640,
+        480,
+    )
+    assert (out[2].mime_detected, out[2].parsed_width, out[2].parsed_height) == (
+        "image/gif",
+        320,
+        200,
+    )
+    assert out[3].mime_detected == "image/jpeg"
+    assert out[3].parsed_width is None and out[3].parsed_height is None
+    assert out[4].mime_detected is None
+    assert all(out[i].n_bytes == len(b) for i, b in [(1, png), (2, gif), (3, jpeg), (4, junk)])
+    plan = formatted_plan(parse_image_headers(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
