@@ -1155,19 +1155,54 @@ def g3b_betweenness_sampled(
 LINKPRED_TOPK = 20
 BACKBONE_Q = 0.75  # keep edges strictly above the 75th-pct weight
 
-
-@register(
-    "g11_link_prediction",
-    oracle=f"""
-    WITH e0 AS ({_EDGES_SQL}),
+# DuckDB twin of _backbone: the strong-tie subgraph via the weight
+# HISTOGRAM percentile (never a global edge sort).
+_BACKBONE_SQL = f"""
+    e0 AS ({_EDGES_SQL}),
     wh AS (SELECT weight, CAST(COUNT(*) AS BIGINT) AS c FROM e0 GROUP BY weight),
     n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_edges FROM wh),
     cum AS (SELECT weight,
                    SUM(c) OVER (ORDER BY weight ROWS UNBOUNDED PRECEDING) AS cs
             FROM wh),
     q AS (SELECT MIN(weight) AS q75 FROM cum CROSS JOIN n
-          WHERE cs >= CAST(ceil({BACKBONE_Q} * n_edges) AS BIGINT)),
-    e AS (SELECT u, v FROM e0 CROSS JOIN q WHERE weight > q75),
+          WHERE cs >= CAST(ceil({{bq}} * n_edges) AS BIGINT)),
+    e AS (SELECT u, v FROM e0 CROSS JOIN q WHERE weight > q75)
+""".format(bq=BACKBONE_Q)
+
+
+def _backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strong-tie backbone: edges strictly above the exact
+    {BACKBONE_Q:.0%}-percentile weight. The percentile comes from the
+    distinct-weight histogram (tiny at any scale); its cumulative
+    window runs over that histogram, never the edge list."""
+    e0 = _edges(spark, sf_dir)
+    wh = e0.groupBy("weight").agg(F.count("*").cast("bigint").alias("c"))
+    n = wh.agg(F.sum("c").cast("bigint").alias("n_edges"))
+    cum = wh.withColumn(
+        "cs",
+        F.sum("c").over(
+            Window.orderBy("weight").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    q = (
+        cum.crossJoin(F.broadcast(n))
+        .where(F.col("cs") >= F.ceil(BACKBONE_Q * F.col("n_edges")).cast("bigint"))
+        .agg(F.min("weight").alias("q75"))
+    )
+    return (
+        e0.crossJoin(F.broadcast(q))
+        .where(F.col("weight") > F.col("q75"))
+        .select("u", "v")
+    )
+
+
+
+@register(
+    "g11_link_prediction",
+    oracle=f"""
+    WITH {_BACKBONE_SQL},
     sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
     deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
             FROM sym GROUP BY a),
@@ -1214,27 +1249,7 @@ def g11_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is ONE division of exact BIGINTs (engine-stable ordering);
     output rounds to 6dp; top-k is TakeOrderedAndProject with (u, v)
     tiebreak."""
-    e0 = _edges(spark, sf_dir)
-    wh = e0.groupBy("weight").agg(F.count("*").cast("bigint").alias("c"))
-    n = wh.agg(F.sum("c").cast("bigint").alias("n_edges"))
-    cum = wh.withColumn(
-        "cs",
-        F.sum("c").over(
-            Window.orderBy("weight").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ),
-    )
-    q = (
-        cum.crossJoin(F.broadcast(n))
-        .where(F.col("cs") >= F.ceil(BACKBONE_Q * F.col("n_edges")).cast("bigint"))
-        .agg(F.min("weight").alias("q75"))
-    )
-    e = (
-        e0.crossJoin(F.broadcast(q))
-        .where(F.col("weight") > F.col("q75"))
-        .select("u", "v")
-    )
+    e = _backbone(spark, sf_dir)
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("degree"))
     s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("mid"))
@@ -1258,4 +1273,120 @@ def g11_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
         .limit(LINKPRED_TOPK)
         .select("u", "v", "common_neighbors", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+KCORE_MAX_PEELS = 40  # oracle unrolls this many peel rounds (fixpoint
+# is reached far earlier; the test asserts Spark converged within it)
+
+
+@register(
+    "g12_kcore",
+    oracle=f"""
+    WITH RECURSIVE {_BACKBONE_SQL},
+    sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+    dh AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d),
+    dcum AS (SELECT d, SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cs
+             FROM dh),
+    kmed AS (SELECT MIN(d) AS km FROM dcum CROSS JOIN nn
+             WHERE cs >= CAST(ceil(0.5 * n_nodes) AS BIGINT)),
+    kk AS (SELECT (2 * km + 2) // 3 AS k FROM kmed),
+    alive(node, iter) AS (
+      SELECT a, 0 FROM deg
+      UNION
+      SELECT a.node, a.iter + 1
+      FROM alive a CROSS JOIN kk
+      WHERE a.iter < {KCORE_MAX_PEELS}
+        AND (SELECT COUNT(*) FROM sym s
+             JOIN alive b ON b.iter = a.iter AND b.node = s.b
+             WHERE s.a = a.node) >= kk.k
+    ),
+    core AS (SELECT node FROM alive WHERE iter = {KCORE_MAX_PEELS})
+    SELECT c.node,
+           CAST((SELECT COUNT(*) FROM sym s
+                 JOIN core c2 ON c2.node = s.b
+                 WHERE s.a = c.node) AS BIGINT) AS core_degree,
+           kk.k
+    FROM core c CROSS JOIN kk
+    """,
+    tags=("graph", "kcore"),
+)
+def g12_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition of the backbone at k = ceil(2/3 of the
+    median degree):
+    iteratively peel nodes with in-subgraph degree < k until the
+    maximal subgraph where EVERY node keeps >= k neighbors remains —
+    the standard dense-community / graph-shrinking primitive
+    (Seidman 1983; the first step of most large-graph community and
+    visualization pipelines).
+
+    k is data-adaptive: the exact median degree comes from the
+    backbone DEGREE HISTOGRAM (tiny table, engine-portable) and k =
+    ceil(2*median/3) in pure integer arithmetic — low enough that a
+    dense core survives, high enough that peeling actually cascades
+    (4 rounds / 81-node core at sf0.01; median-k peels this
+    degree-homogeneous graph to empty). The Spark side peels to the actual fixpoint as
+    an iterative dataflow: per round, one degree aggregate over
+    edges-with-both-endpoints-alive and a filter; the survivor set
+    localCheckpoints per round (same lineage discipline as
+    PageRank/components). Each round is one shuffle on node id;
+    rounds needed = peel depth, typically tiny. The DuckDB oracle
+    expresses the SAME peeling as a recursive CTE unrolled to
+    {KCORE_MAX_PEELS} rounds (the fixpoint is reached far earlier —
+    asserted in tests), making this iterative-until-convergence
+    operator fully hash-checked, not rows-only."""
+    e = _backbone(spark, sf_dir)
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+    deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    nn = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    dh = deg.groupBy("d").agg(F.count("*").cast("bigint").alias("c"))
+    dcum = dh.withColumn(
+        "cs",
+        F.sum("c").over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    k_med = int(
+        dcum.crossJoin(F.broadcast(nn))
+        .where(F.col("cs") >= F.ceil(0.5 * F.col("n_nodes")).cast("bigint"))
+        .agg(F.min("d"))
+        .collect()[0][0]
+    )
+    k = (2 * k_med + 2) // 3
+    alive = deg.select("a").localCheckpoint()
+    n_alive = alive.count()
+    rounds = 0
+    while True:
+        surviving = (
+            sym.join(alive, "a")
+            .join(alive.select(F.col("a").alias("b")), "b")
+            .groupBy("a")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= k)
+            .select("a")
+        )
+        surviving = surviving.localCheckpoint()
+        n_new = surviving.count()
+        rounds += 1
+        if n_new == n_alive or n_new == 0:
+            alive = surviving
+            break
+        alive, n_alive = surviving, n_new
+        if rounds >= KCORE_MAX_PEELS:
+            break
+    g12_kcore.last_peel_rounds = rounds  # test hook: must be << MAX
+    core_deg = (
+        sym.join(alive, "a")
+        .join(alive.select(F.col("a").alias("b")), "b")
+        .groupBy("a")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+    )
+    return core_deg.select(
+        F.col("a").alias("node"), "core_degree", F.lit(k).cast("bigint").alias("k")
     )

@@ -380,3 +380,39 @@ def test_g11_link_prediction_golden(spark, sf_dir):
     for r in rows:
         assert (r.u, r.v) not in strong, "predicted pair already adjacent"
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_g12_kcore_invariants(spark, sf_dir):
+    """Every core member keeps >= k neighbors INSIDE the core
+    (validity), no peeled node qualifies for re-entry (maximality —
+    the k-core is unique), and Spark's peel loop converged far below
+    the oracle's unrolled bound."""
+    from reddit_can_bigdata_spark.operators.graph import (
+        KCORE_MAX_PEELS,
+        _backbone,
+        g12_kcore,
+    )
+
+    rows = g12_kcore(spark, sf_dir).collect()
+    assert rows, "k-core must be non-vacuous at the test SF"
+    assert g12_kcore.last_peel_rounds < KCORE_MAX_PEELS / 2
+    k = rows[0].k
+    core = {r.node for r in rows}
+    nbrs: dict[int, set] = {}
+    for e in _backbone(spark, sf_dir).collect():
+        nbrs.setdefault(e.u, set()).add(e.v)
+        nbrs.setdefault(e.v, set()).add(e.u)
+    for r in rows:
+        in_core = len(nbrs[r.node] & core)
+        assert in_core >= k, (r.node, in_core, k)
+        assert r.core_degree == in_core
+    for node in set(nbrs) - core:
+        assert len(nbrs[node] & core) < k, f"maximality violated at {node}"
+    # golden: full python peel reproduces the exact same core
+    alive = set(nbrs)
+    while True:
+        drop = {x for x in alive if len(nbrs[x] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    assert alive == core
