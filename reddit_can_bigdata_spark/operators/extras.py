@@ -6,7 +6,7 @@ exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from reddit_can_bigdata_spark.operators.common import DSUM_SQL, dsum, tables
 from reddit_can_bigdata_spark.registry import register
@@ -319,4 +319,110 @@ def dedup_levenshtein_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             dist.cast("int").alias("edit_distance"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 4: per-group percentiles + join-key skew profiler
+# ---------------------------------------------------------------------------
+
+SKEW_TOPK = 10
+
+
+@register(
+    "group_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(quantile_cont(value, 0.50) AS DOUBLE), 4) AS p50,
+           round(CAST(quantile_cont(value, 0.90) AS DOUBLE), 4) AS p90,
+           round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "quantile", "group"),
+)
+def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact interpolated percentiles (latency-dashboard
+    p50/p90/p99 per event type) — the grouped sibling of a9. One
+    shuffle on the group key; within each group Spark sorts only that
+    group's values. At 100 TB the same query swaps `percentile` for
+    `approx_percentile` (mergeable t-digest-ish sketch, no per-group
+    sort) — the exact form is the correctness gate."""
+    ev = tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.round(F.percentile("value", F.lit(q)), 4).alias(name)
+            for q, name in [(0.50, "p50"), (0.90, "p90"), (0.99, "p99")]
+        ],
+    )
+
+
+@register(
+    "skew_profile_orderkey",
+    oracle=f"""
+    WITH kc AS (
+      SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM kc
+    ),
+    top AS (
+      SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key ASC) AS rnk
+      FROM kc
+    )
+    SELECT t.rnk, t.key, t.cnt, s.n_keys, s.n_rows,
+           round(t.cnt * 1.0 / s.n_rows, 6) AS row_share,
+           round(s.max_cnt * s.n_keys * 1.0 / s.n_rows, 6) AS skew_factor
+    FROM top t CROSS JOIN stats s
+    WHERE t.rnk <= {SKEW_TOPK}
+    """,
+    tags=("diagnostics", "skew"),
+)
+def skew_profile_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW PROFILER — the diagnostic to run before tuning
+    any big join: per-key row counts for the top keys, each key's
+    share of all rows, and the skew factor max_cnt/mean_cnt (how much
+    the hottest shuffle partition exceeds the average; >> 1 means
+    salting / AQE skew-join territory).
+
+    Plan: one aggregate to key grain, a 1-row stats aggregate
+    broadcast back, and a TakeOrdered top-k — the profile costs one
+    shuffle of key-count rows regardless of table size. Every ratio
+    is a single division of exact BIGINTs."""
+    kc = (
+        tables(spark, sf_dir)["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    stats = kc.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    top = (
+        kc.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(SKEW_TOPK)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("key"))
+            ),
+        )
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rnk",
+        "key",
+        "cnt",
+        "n_keys",
+        "n_rows",
+        F.round(F.col("cnt") * 1.0 / F.col("n_rows"), 6).alias("row_share"),
+        F.round(
+            F.col("max_cnt") * F.col("n_keys") * 1.0 / F.col("n_rows"), 6
+        ).alias("skew_factor"),
     )

@@ -352,3 +352,44 @@ def test_tpch_q1_single_aggregate_codegen(spark, sf_dir):
     assert has_pushed_filter(df, "l_shipdate"), pushed_filters(df)
     assert count_exchanges(df) == 1, formatted_plan(df)
     assert not join_kinds(df)
+
+
+def test_runtime_bloom_filter_join_reduction(spark, sf_dir):
+    """The 100 TB shuffle-join saver: with runtime bloom filters on,
+    Spark builds a bloom filter from the SELECTIVE join side and
+    applies it to the big side's scan — rows that can't match die
+    before the shuffle. Asserts (1) the bloom aggregate + probe
+    appear in the plan when forced into a shuffle join, (2) results
+    are bit-identical to the unfiltered plan."""
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.operators.common import tables
+
+    t = tables(spark, sf_dir)
+    sel = t["orders"].where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice"
+    )
+    join = lambda: t["lineitem"].join(
+        sel, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    baseline = sorted(map(tuple, join().collect()))
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        plan = formatted_plan(join())
+        assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan, plan[:500]
+        assert sorted(map(tuple, join().collect())) == baseline
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
