@@ -1459,3 +1459,72 @@ def bpe_segment_frame(docs: DataFrame, merges: list[tuple[str, str, int]]) -> Da
     return out.select(
         "doc_id", "word", F.expr(expr).alias("pieces")
     )
+
+
+def bpe_segment_doc_expr(merges: list[tuple[str, str, int]]) -> str:
+    """Whole-document BPE segmentation expression, ORDER-PRESERVING:
+    tokenize -> per-word char symbols -> the learned merge folds in
+    order -> flatten back to the document's piece sequence. One
+    narrow map; expression depth grows with the merge count, so long
+    merge lists drop out of codegen into interpreted eval — still
+    JVM-side, still no Python."""
+    inner = _chars_expr("w")
+    for left, right, _ in merges:
+        inner = _merge_fold_expr(inner, left, right)
+    return f"flatten(transform({TOKENS_EXPR}, w -> {inner}))"
+
+
+def build_tokenized_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_merges: int = 12,
+) -> DataFrame:
+    """Corpus pipeline stage: train a BPE vocabulary on the corpus,
+    segment every document with it (order-preserving), and write the
+    tokenized shards partitioned by source — the tokenize step that
+    sits between `build_training_shards` and sequence packing in a
+    real pretraining pipeline.
+
+    Scale: training touches the corpus once (vocab collapse) and then
+    iterates on the vocabulary; segmentation is a narrow map; the
+    write is partitioned by source like the chunk shards. Returns the
+    one-row stats a scheduler gates on: docs, words, pieces, and the
+    pieces-per-word ratio (must be < chars-per-word — the whole point
+    of the merges)."""
+    docs = tables(spark, sf_dir)["documents"]
+    merges = bpe_learn_merges(spark, docs, n_merges=n_merges)
+    seg = spread(docs).select(
+        "doc_id",
+        "source",
+        F.expr(bpe_segment_doc_expr(merges)).alias("pieces"),
+        F.size(F.expr(TOKENS_EXPR)).alias("n_words"),
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation("tokenize_write")
+    (
+        seg.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum(F.size("pieces")).alias("n_pieces"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .parquet(out_dir)
+    )
+    got = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(got["n_docs"]),
+                int(got["n_words"]),
+                int(got["n_pieces"]),
+                len(merges),
+                round(got["n_pieces"] / max(got["n_words"], 1), 6),
+            )
+        ],
+        "n_docs bigint, n_words bigint, n_pieces bigint,"
+        " n_merges int, pieces_per_word double",
+    )

@@ -121,3 +121,52 @@ def test_containment_matches_python_golden(spark, sf_dir):
     for r in rows:
         assert abs(r.containment - r.n_common / r.n_eval) < 1e-6
         assert r.containment >= CONTAIN_THRESHOLD
+
+
+def test_tokenized_shards_roundtrip_and_compress(spark, sf_dir, tmp_path):
+    """The tokenize-and-shard stage: pieces must reassemble each
+    document's exact word sequence IN ORDER, the learned merges must
+    actually compress (pieces strictly fewer than characters), and
+    the stats row must match the written shards."""
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.operators.pretrain import build_tokenized_shards
+
+    out = str(tmp_path / "tok_shards")
+    stats = build_tokenized_shards(spark, sf_dir, out, n_merges=8).collect()[0]
+    shards = spark.read.parquet(out)
+    assert stats.n_docs == shards.count()
+    assert stats.n_pieces == shards.agg(F.sum(F.size("pieces"))).collect()[0][0]
+    assert stats.n_merges == 8
+    # pieces-per-word must sit strictly between 1 (full merge) and
+    # chars-per-word (no merges did anything)
+    from reddit_can_bigdata_spark.operators.common import tables
+
+    raw = tables(spark, sf_dir)["documents"]
+    chars_per_word = (
+        raw.select(
+            F.sum(
+                F.aggregate(
+                    F.expr("filter(split(text, ' '), t -> t <> '')"),
+                    F.lit(0),
+                    lambda a, w: a + F.length(w),
+                )
+            ).alias("chars"),
+            F.sum(F.size(F.expr("filter(split(text, ' '), t -> t <> '')"))).alias(
+                "words"
+            ),
+        )
+        .select((F.col("chars") / F.col("words")).alias("cpw"))
+        .collect()[0].cpw
+    )
+    assert 1.0 < stats.pieces_per_word < chars_per_word
+    # order-preserving roundtrip on a sample
+    joined = (
+        shards.limit(20)
+        .join(raw.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "pieces", "text")
+        .collect()
+    )
+    for r in joined:
+        words = [t for t in r.text.split(" ") if t]
+        assert "".join(r.pieces) == "".join(words)
