@@ -361,3 +361,134 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sq").cast("double").alias("sum_qty"),
         )
     )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_nationkey % 2 = 0 AND cn.n_nationkey % 2 = 1)
+        OR (sn.n_nationkey % 2 = 1 AND cn.n_nationkey % 2 = 0))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join", "multiway"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by ship year between
+    the two halves of the nation space (even vs odd nationkey — the
+    fixture's supplier nations are sparse at small SF, so the
+    canonical two-named-nations predicate would be vacuous; the
+    cross-pair structure is identical). The nation table joins TWICE
+    (supplier and customer side); all dims broadcast; lineitem
+    streams once with the shipdate range pushed down; the aggregate
+    shuffles (nation, nation, year)-grain partials only."""
+    t = tables(spark, sf_dir)
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = ((F.col("sn_key") % 2 == 0) & (F.col("cn_key") % 2 == 1)) | (
+        (F.col("sn_key") % 2 == 1) & (F.col("cn_key") % 2 == 0)
+    )
+    return (
+        li.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["orders"]), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH volumes AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             {_REV_SQL} AS vol,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END)
+                      AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE), 12) AS mkt_share,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM volumes GROUP BY o_year
+    """,
+    tags=("tpch", "join", "share"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of ECONOMY-part revenue sold into
+    ASIA customers, by order year. Seven relations, one pass: every
+    dimension broadcasts (part is filtered first), lineitem never
+    shuffles until the (year)-grain aggregate; both sums are
+    decimal-exact and the share is one double division rounded to 12
+    (the promo_share ULP rule)."""
+    t = tables(spark, sf_dir)
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    part = t["part"].where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    region = t["region"].where(F.col("r_name") == "ASIA").select("r_regionkey")
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    vol = (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(orders), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("cn_rkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _rev().alias("vol"),
+            "supp_nation",
+        )
+    )
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol"))).cast(
+        "double"
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(nat / F.sum("vol").cast("double"), 12).alias("mkt_share"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
