@@ -85,3 +85,42 @@ def test_token_budget_deterministic_across_runs(spark, sf_dir):
     a = sorted(map(tuple, curate_token_budget(spark, sf_dir).collect()))
     b = sorted(map(tuple, curate_token_budget(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_binary_rerank_recall_vs_exact(spark, sf_dir):
+    """Two-stage (Hamming candidates -> exact rerank) must recover
+    most of the exact cosine top-10, and the packed codes must agree
+    with Python bit packing."""
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.operators.common import tables
+    from reddit_can_bigdata_spark.operators.similarity import (
+        HAMMING_FINAL_K,
+        sim_binary_rerank_topk,
+        sim_topk_bruteforce,
+    )
+
+    two_stage = [r.vec_id for r in sim_binary_rerank_topk(spark, sf_dir).collect()]
+    exact = [r.vec_id for r in sim_topk_bruteforce(spark, sf_dir).collect()]
+    overlap = len(set(two_stage) & set(exact)) / HAMMING_FINAL_K
+    assert overlap >= 0.5, f"recall@10 {overlap} too low for sign-bit codes"
+
+    # python golden for the packing of a few vectors
+    emb = tables(spark, sf_dir)["embeddings"].limit(5).collect()
+    from reddit_can_bigdata_spark.operators.similarity import _pack_expr
+
+    packed = (
+        tables(spark, sf_dir)["embeddings"]
+        .limit(5)
+        .select(
+            "vec_id",
+            F.expr(_pack_expr("embedding", 0)).alias("w0"),
+            F.expr(_pack_expr("embedding", 1)).alias("w1"),
+        )
+        .collect()
+    )
+    got = {r.vec_id: (r.w0, r.w1) for r in packed}
+    for r in emb:
+        w0 = sum(1 << i for i in range(32) if r.embedding[i] > 0)
+        w1 = sum(1 << i for i in range(32) if r.embedding[32 + i] > 0)
+        assert got[r.vec_id] == (w0, w1)

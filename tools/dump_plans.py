@@ -51,6 +51,8 @@ SHOWCASE = {
     "pretrain_eval_containment": "Containment decontam: eval shingles broadcast; the shingle equi-join IS the blocking; one (doc, eval) pair aggregate.",
     "tpch_q18_large_volume": "Q18 aggregate-then-join: HAVING shrinks lineitem to qualifying orders below the joins; qualifying set broadcasts.",
     "tpch_q1_pricing_summary": "Q1: pushed shipdate filter; ONE partial+final hash aggregate computes all eight measures (single exchange).",
+    "skew_profile_orderkey": "Skew profiler: key-grain aggregate + 1-row stats broadcast + TakeOrdered — costs one shuffle of key-count rows at any table size.",
+    "tpch_q8_market_share": "Q8: seven relations, every dimension broadcast; lineitem unshuffled until the year-grain aggregate.",
 }
 
 
