@@ -151,7 +151,7 @@ def _ensure_loaded() -> None:
         approx,
         pretrain,
     )
-    from reddit_can_bigdata_spark.streaming import pipeline, stateful  # noqa: F401
+    from reddit_can_bigdata_spark.streaming import pipeline, stateful, tws  # noqa: F401
     from reddit_can_bigdata_spark import orchestration  # noqa: F401
 
     _LOADED = True

@@ -88,3 +88,45 @@ def test_extract_comment_drops_deleted():
         "t",
     )
     assert rec["post_id"] == "p1" and rec["created_utc"] == 1735689600.5
+
+
+def test_python_datasource_reddit_rest(spark, tmp_path):
+    """S4/S5 via Spark 4's Python DataSource API: raw JSON-lines
+    captures load as typed DataFrames through spark.read.format, with
+    one partition per capture file, extract_post-identical rows, and
+    malformed lines skipped."""
+    import json
+
+    from reddit_can_bigdata_spark.sources.pyds import (
+        DEFAULT_SCRAPED_AT,
+        RedditRestDataSource,
+    )
+    from reddit_can_bigdata_spark.sources.rest import extract_post
+
+    raws = [
+        {"id": "p1", "title": "Spark rocks", "author": "u1", "subreddit": "s",
+         "score": 5, "upvote_ratio": 0.9, "num_comments": 2,
+         "created_utc": 1704067200.0, "selftext": "body", "url": "http://x",
+         "permalink": "/r/s/p1", "link_flair_text": None},
+        {"id": "p2", "title": "minimal"},
+    ]
+    f1, f2 = tmp_path / "a.jsonl", tmp_path / "b.jsonl"
+    f1.write_text("\n".join(json.dumps(r) for r in raws[:1]) + "\nNOT JSON\n")
+    f2.write_text(json.dumps(raws[1]) + "\n")
+
+    spark.dataSource.register(RedditRestDataSource)
+    df = (
+        spark.read.format("reddit_rest")
+        .option("paths", f"{f1},{f2}")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2, "one partition per capture file"
+    got = {r.id: r.asDict() for r in df.collect()}
+    assert set(got) == {"p1", "p2"}
+    for raw in raws:
+        expect = extract_post(raw, DEFAULT_SCRAPED_AT)
+        assert got[raw["id"]] == expect
+    # schema is the canonical POST_SCHEMA, not inferred
+    from reddit_can_bigdata_spark.schemas import POST_SCHEMA
+
+    assert df.schema == POST_SCHEMA

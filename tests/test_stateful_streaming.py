@@ -109,3 +109,36 @@ def test_sessionize_stream_equals_batch_minus_open(spark, sf_dir):
     )
     assert got == expected
     assert expected, "fixture should contain closed sessions"
+
+
+def test_transform_with_state_plan_constructs(spark):
+    """The NEW transformWithStateInPandas API (Spark 4 arbitrary
+    state): executing it needs the protobuf package for the state
+    server protocol, which this container lacks — so (Kafka
+    precedent) the milestone operator pins plan CONSTRUCTION here and
+    registers its oracle query only where protobuf exists."""
+    import pytest
+
+    from reddit_can_bigdata_spark.streaming.tws import (
+        MILESTONE_SCHEMA,
+        TWS_RUNTIME_AVAILABLE,
+        milestones_stream,
+    )
+
+    src = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    events = src.selectExpr(
+        "value AS user_id", "value AS event_id", "timestamp AS ts"
+    )
+    df = milestones_stream(events)
+    assert df.isStreaming
+    assert df.schema == MILESTONE_SCHEMA
+    if not TWS_RUNTIME_AVAILABLE:
+        pytest.skip(
+            "google.protobuf absent: transformWithState driver worker "
+            "cannot start in this container (verified: worker dies with "
+            "ImportError) — execution covered only where protobuf exists"
+        )
+    # where the runtime exists, actually run the registered query path
+    from reddit_can_bigdata_spark.streaming.tws import streaming_user_milestones
+
+    assert streaming_user_milestones(spark, "/root/testdata/sf0.001").count() >= 0
