@@ -468,3 +468,147 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "dq_audit",
+    oracle="""
+    SELECT 'documents.n_chars_matches_text' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM documents
+    UNION ALL
+    SELECT 'events.value_non_negative',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'orders.totalprice_positive',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.orderkey_fk_integrity',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'embeddings.dim_is_64',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM embeddings
+    """,
+    tags=("diagnostics", "data-quality"),
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality AUDIT (the Great-Expectations / dbt-test shape as
+    one relational pass): declared invariants — column consistency,
+    range constraints, referential integrity, embedding dimension —
+    each reported as (rule, n_checked, n_violations). The gate a
+    pipeline runs BEFORE shipping a snapshot downstream.
+
+    Plan notes: every rule is a conditional aggregate over its own
+    scan (rules over one table could share a scan via grouping sets;
+    kept separate so each rule states its table exactly once); the FK
+    check is a LEFT join probing the orders key — at 100 TB that's
+    the one shuffling rule, and it's exactly the shape AQE handles.
+    All counts are exact BIGINTs — bit-portable."""
+    t = tables(spark, sf_dir)
+
+    def rule(name: str, df: DataFrame, bad) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_violations"),
+        ).select("rule", "n_checked", "n_violations")
+
+    docs, ev, orders, li, emb = (
+        t["documents"],
+        t["events"],
+        t["orders"],
+        t["lineitem"],
+        t["embeddings"],
+    )
+    fk = li.join(
+        orders.select("o_orderkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left",
+    )
+    return (
+        rule(
+            "documents.n_chars_matches_text",
+            docs,
+            F.col("n_chars") != F.length("text"),
+        )
+        .unionAll(rule("events.value_non_negative", ev, F.col("value") < 0))
+        .unionAll(
+            rule("orders.totalprice_positive", orders, F.col("o_totalprice") <= 0)
+        )
+        .unionAll(
+            rule("lineitem.orderkey_fk_integrity", fk, F.col("o_orderkey").isNull())
+        )
+        .unionAll(
+            rule("embeddings.dim_is_64", emb, F.size("embedding") != 64)
+        )
+    )
+
+
+@register(
+    "scd2_user_event_type",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             event_id
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, tus,
+             row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id)
+               AS version
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
+           CAST(tus AS BIGINT) AS valid_from_us,
+           CAST(lead(tus) OVER (PARTITION BY user_id ORDER BY version)
+                AS BIGINT) AS valid_to_us,
+           lead(tus) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+             AS is_current
+    FROM changes
+    """,
+    tags=("warehouse", "scd2", "window"),
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build: each user's
+    event_type history collapses into versioned validity intervals
+    [valid_from, valid_to) with an is_current flag — the dimension
+    table every warehouse maintains for point-in-time joins, built
+    from the raw change stream in two window passes (change
+    detection via lag, interval closing via lead).
+
+    One shuffle on user_id serves both windows (same partitioning);
+    the output is change-count-sized, not event-count-sized. Exact
+    epoch-micro timestamps; deterministic (ts, event_id) ordering."""
+    ev = tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .withColumn("version", F.row_number().over(w).cast("bigint"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("tus").over(wv)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "version",
+        F.col("tus").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )

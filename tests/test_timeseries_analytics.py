@@ -115,3 +115,33 @@ def test_funnel_requires_strict_ordering(spark, sf_dir):
             t = min(cands)
         n4 += ok
     assert out["purchase"] == n4
+
+
+def test_scd2_intervals_tile_and_single_current(spark, sf_dir):
+    """SCD2 invariants: versions are contiguous from 1, intervals
+    tile exactly (valid_to == next valid_from), exactly ONE current
+    row per user, and zero violations in the dq_audit fixture."""
+    from reddit_can_bigdata_spark.operators.extras import (
+        dq_audit,
+        scd2_user_event_type,
+    )
+
+    rows = scd2_user_event_type(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for urows in by_user.values():
+        urows.sort(key=lambda r: r.version)
+        assert [r.version for r in urows] == list(range(1, len(urows) + 1))
+        assert sum(r.is_current for r in urows) == 1
+        assert urows[-1].is_current and urows[-1].valid_to_us is None
+        for a, b in zip(urows, urows[1:]):
+            assert a.valid_to_us == b.valid_from_us, "intervals must tile"
+            assert a.event_type != b.event_type, "no-op versions forbidden"
+
+    audit = {r.rule: r for r in dq_audit(spark, sf_dir).collect()}
+    assert len(audit) == 5
+    for r in audit.values():
+        assert r.n_violations == 0, f"fixture violates {r.rule}"
+        assert r.n_checked > 0
