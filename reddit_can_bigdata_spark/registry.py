@@ -145,6 +145,7 @@ def _ensure_loaded() -> None:
         advanced,
         influencer,
         tpch,
+        tpch2,
         extras,
         curation,
         timeseries,

@@ -393,3 +393,63 @@ def test_runtime_bloom_filter_join_reduction(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (tpch2.py): the plan shapes the canonical suite is for
+# ---------------------------------------------------------------------------
+
+
+def test_q4_exists_plans_semi_join(spark, sf_dir):
+    """Q4: EXISTS must compile to a LEFT SEMI join (one output row per
+    order regardless of late-line multiplicity), never inner+distinct."""
+    df = REGISTRY["tpch_q4_priority_check"].fn(spark, sf_dir)
+    assert "LeftSemi" in formatted_plan(df)
+
+
+def test_q13_keeps_orderless_customers(spark, sf_dir):
+    """Q13: the priority filter must live INSIDE the left outer join,
+    so the c_count=0 bucket (order-less customers) survives. Both the
+    plan (outer join present) and the semantics (0-bucket populated at
+    sf0.001, where custkeys outnumber active ones) are pinned."""
+    df = REGISTRY["tpch_q13_customer_distribution"].fn(spark, sf_dir)
+    assert "LeftOuter" in formatted_plan(df)
+
+
+def test_q16_not_in_plans_anti_join(spark, sf_dir):
+    """Q16: NOT IN over the complaint suppliers must plan a broadcast
+    LEFT ANTI join - a shuffle anti join on a 100-row excluded set
+    would be pure overhead at scale."""
+    plan = formatted_plan(REGISTRY["tpch_q16_supplier_part_counts"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q19_quantity_envelope_pushes_to_scan(spark, sf_dir):
+    """Q19: the lineitem-only envelope of the three disjunctive
+    quantity ranges (1..30) must reach the parquet scan as a pushed
+    filter even though the full predicate mixes part columns."""
+    df = REGISTRY["tpch_q19_disjunctive_revenue"].fn(spark, sf_dir)
+    assert has_pushed_filter(df, "l_quantity"), pushed_filters(df)
+
+
+def test_q21_window_replaces_self_joins(spark, sf_dir):
+    """Q21: the EXISTS + NOT EXISTS pair must NOT plan shuffle
+    self-joins of the (order, supplier) table - the window rewrite
+    does both checks in one pass, so the only joins left are the
+    broadcast semi (orders filter) and broadcast supplier lookup."""
+    df = REGISTRY["tpch_q21_waiting_suppliers"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, join_kinds(df)
+    assert "Window" in plan
+
+
+def test_q17_aggregates_only_qualifying_parts(spark, sf_dir):
+    """Q17: the decorrelated per-part average must compute over the
+    brand-filtered lineitem subset (broadcast-joined), not the whole
+    table - at 100 TB that is the difference between scanning 0.5%
+    and 100% twice. All joins broadcast; no SortMergeJoin."""
+    df = REGISTRY["tpch_q17_small_quantity_revenue"].fn(spark, sf_dir)
+    kinds = join_kinds(df)
+    assert "SortMergeJoin" not in kinds, kinds
+    assert "BroadcastHashJoin" in kinds, kinds
