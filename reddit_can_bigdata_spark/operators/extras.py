@@ -612,3 +612,143 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4 (session 2): remaining window/reshape shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_rolling_7d_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS BIGINT)
+               AS day_num,
+             strftime(o_orderdate, '%Y-%m-%d') AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+      FROM orders GROUP BY day_num, day
+    )
+    SELECT day,
+           CAST(rev_dec AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev_dec) OVER (
+             ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_7d_revenue,
+           CAST(COUNT(*) OVER (
+             ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS days_in_window
+    FROM daily
+    """,
+    tags=("window", "rolling", "timeseries"),
+)
+def w_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue: a RANGE-frame window over day numbers,
+    so gap days genuinely shrink the window (a ROWS frame would
+    silently span gaps — the classic rolling-metric bug). Aggregates
+    to day grain FIRST (one shuffle, ~2k rows), then the window runs
+    over the tiny daily table; the decimal day-sum keeps the rolling
+    sum exact under any accumulation order. At 100 TB the daily
+    pre-aggregate is what makes this free — the window never sees
+    row-grain data. days_in_window exposes partial leading windows
+    (the first 6 days), matching the oracle's RANGE semantics."""
+    o = tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("day_num"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("rev_dec").cast("double").alias("day_revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("rolling_7d_revenue"),
+        F.count("*").over(w).cast("bigint").alias("days_in_window"),
+    )
+
+
+@register(
+    "w_ntile_customer_quartiles",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s_dec
+      FROM orders GROUP BY o_custkey
+    ), tiled AS (
+      SELECT o_custkey, s_dec,
+             ntile(4) OVER (ORDER BY s_dec, o_custkey) AS quartile
+      FROM spend
+    )
+    SELECT CAST(quartile AS INT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(s_dec) AS DOUBLE) AS min_spend,
+           CAST(MAX(s_dec) AS DOUBLE) AS max_spend,
+           CAST(SUM(s_dec) AS DOUBLE) AS total_spend
+    FROM tiled GROUP BY quartile
+    """,
+    tags=("window", "ntile"),
+)
+def w_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles via ntile(4): equal-COUNT buckets (vs
+    group_percentiles' equal-VALUE cuts). The ordering key is (exact
+    decimal spend, custkey) — the custkey tiebreak is what makes
+    ntile deterministic and therefore oracle-comparable; ntile over a
+    float sum with ties would be engine-dependent. The global-order
+    window runs over the customer-grain aggregate (one row per
+    customer), and the quartile summary collapses it immediately. At
+    100 TB swap the single-partition ntile for a 2-pass percentile
+    cut (approx_percentile thresholds + bucket join) — same output
+    contract; the summary here IS that contract's test."""
+    o = tables(spark, sf_dir)["orders"]
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s_dec")
+    )
+    tiled = spend.select(
+        "s_dec",
+        F.ntile(4).over(Window.orderBy("s_dec", "o_custkey")).alias("quartile"),
+    )
+    return tiled.groupBy(F.col("quartile").cast("int").alias("quartile")).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.min("s_dec").cast("double").alias("min_spend"),
+        F.max("s_dec").cast("double").alias("max_spend"),
+        F.sum("s_dec").cast("double").alias("total_spend"),
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle=f"""
+    WITH wide AS (
+      SELECT l_returnflag,
+             {DSUM_SQL.format(x="l_quantity")} AS qty,
+             {DSUM_SQL.format(x="l_extendedprice")} AS price,
+             {DSUM_SQL.format(x="l_discount")} AS discount,
+             {DSUM_SQL.format(x="l_tax")} AS tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, total
+    FROM wide
+    UNPIVOT (total FOR measure IN (qty, price, discount, tax))
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (melt): per-returnflag totals of four
+    measures unpivoted to (flag, measure, total) rows — the inverse
+    of pivot_event_type_by_day. Aggregation happens BEFORE the
+    unpivot (3 rows x 4 measures, not 600k x 4): unpivoting raw
+    lineitem would 4x the shuffle volume for identical results.
+    Spark's native unpivot() generates the same Expand node as SQL
+    stack(); no UDF, no driver loop."""
+    li = tables(spark, sf_dir)["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("qty"),
+        dsum("l_extendedprice").alias("price"),
+        dsum("l_discount").alias("discount"),
+        dsum("l_tax").alias("tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="total",
+    )
