@@ -53,6 +53,11 @@ SHOWCASE = {
     "tpch_q1_pricing_summary": "Q1: pushed shipdate filter; ONE partial+final hash aggregate computes all eight measures (single exchange).",
     "skew_profile_orderkey": "Skew profiler: key-grain aggregate + 1-row stats broadcast + TakeOrdered — costs one shuffle of key-count rows at any table size.",
     "tpch_q8_market_share": "Q8: seven relations, every dimension broadcast; lineitem unshuffled until the year-grain aggregate.",
+    "tpch_q5_local_supplier_volume": "Q5: the non-FK locality predicate (s_nationkey = c_nationkey) evaluates inside the broadcast supplier join; only lineitem/orders shuffle, both on orderkey.",
+    "tpch_q13_customer_distribution": "Q13: the priority filter lives INSIDE the LeftOuter join condition (c_count=0 customers survive); histogram re-aggregation is row-count-free.",
+    "tpch_q17_small_quantity_revenue": "Q17: correlated per-part AVG decorrelated over the brand-filtered broadcast subset; all joins broadcast, aggregate-before-join.",
+    "tpch_q21_waiting_suppliers": "Q21: EXISTS + NOT EXISTS compiled to ONE window pass over the (order, supplier) aggregate — no self-join shuffles; broadcast semi + lookup only.",
+    "w_rolling_7d_revenue": "Rolling 7d: RANGE frame over day numbers on a daily pre-aggregate — the window never sees row-grain data.",
 }
 
 
