@@ -453,3 +453,65 @@ def test_q17_aggregates_only_qualifying_parts(spark, sf_dir):
     kinds = join_kinds(df)
     assert "SortMergeJoin" not in kinds, kinds
     assert "BroadcastHashJoin" in kinds, kinds
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """The engine's skew story is two-layer: explicit salting
+    (j5_salted_skew_join) where the hot key is known, and AQE's
+    runtime skew-join split everywhere else. This pins the second
+    layer: with a planted 80%-hot key and skew thresholds scaled to
+    the fixture, the ADAPTIVE final plan must mark the sort-merge
+    join skew=true (hot partition split at runtime), and the result
+    must match the non-adaptive run.
+
+    Two trigger conditions discovered the hard way (both are real
+    100TB lessons): the skewed side must come from MULTIPLE map
+    tasks (AQE splits a reduce partition by map-output block, so a
+    single-mapper shuffle is indivisible - hence the repartition),
+    and the probe side must not share lineage with the build side
+    (a dim derived from the same scan blocked the rewrite)."""
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.operators.common import tables
+
+    li = (
+        tables(spark, sf_dir)["lineitem"]
+        .repartition(16)  # multiple mappers => splittable reduce blocks
+        .select(
+            F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_quantity",
+        )
+    )
+    dim = (
+        spark.range(0, 70_000)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("payload"))
+        .repartition(8)
+    )
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        joined = li.join(dim, "k")
+        rows = joined.collect()  # action on THIS Dataset finalizes ITS plan
+        expected = (len(rows), sum(r["payload"] for r in rows))
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:800]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # same result under default confs (AQE split must not change data)
+    rows2 = li.join(dim, "k").collect()
+    assert (len(rows2), sum(r["payload"] for r in rows2)) == expected
