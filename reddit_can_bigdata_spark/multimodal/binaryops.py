@@ -262,3 +262,80 @@ def parse_image_headers(df: DataFrame) -> DataFrame:
         height.alias("parsed_height"),
         F.length("payload").cast("bigint").alias("n_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4 (session 3): the oracle row for the binary plumbing
+# ---------------------------------------------------------------------------
+
+
+def _register_header_sniff() -> None:
+    """Registered here (not at import of registry) to keep binaryops
+    importable without the registry and vice versa."""
+    from reddit_can_bigdata_spark.operators.common import tables
+    from reddit_can_bigdata_spark.registry import register
+
+    @register(
+        "multimodal_header_sniff",
+        oracle="""
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif' END
+                 AS mime_detected,
+               CASE WHEN doc_id % 3 IN (0, 1)
+                 THEN CAST(16 + doc_id % 97 AS INT) END AS parsed_width,
+               CASE WHEN doc_id % 3 IN (0, 1)
+                 THEN CAST(9 + doc_id % 53 AS INT) END AS parsed_height,
+               CAST(CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN 24 WHEN 1 THEN 10
+                 ELSE 4 + octet_length(encode(substring(text, 1, 12)))
+               END AS BIGINT) AS n_bytes
+        FROM documents
+        """,
+        tags=("multimodal", "binary"),
+    )
+    def multimodal_header_sniff(spark, sf_dir: str) -> DataFrame:
+        """The multimodal binary path's oracle row: deterministic
+        PNG / GIF / raw payloads are SYNTHESIZED from doc_id (hex
+        assembly -> unhex -> binary column), then parsed back by
+        `parse_image_headers` — all JVM-side (unhex / substring /
+        hex / conv inside codegen, no Python). The DuckDB oracle
+        states the round-trip IDENTITY arithmetically (what width
+        went in must come out), so a mistake in either the encoder's
+        byte layout or the parser's offsets breaks the hash. The raw
+        branch is prefixed 'RAW:' so document text can never
+        accidentally collide with a container magic number.
+
+        Cites the plumbing contract in this module's docstring;
+        production ingestion replaces the synthesis with real blob
+        columns and keeps the parser unchanged."""
+        docs = tables(spark, sf_dir)["documents"]
+        m = (F.col("doc_id") % 3).cast("int")
+        w = (F.lit(16) + F.col("doc_id") % 97).cast("int")
+        h = (F.lit(9) + F.col("doc_id") % 53).cast("int")
+        png_hex = F.concat(
+            F.lit(_PNG_MAGIC_HEX),
+            F.lit("0000000D49484452"),  # IHDR length + tag
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+        )
+        gif_hex = F.concat(
+            F.lit(_GIF89_HEX),
+            F.lpad(F.hex(w % 256), 2, "0"),
+            F.lpad(F.hex((w / 256).cast("int")), 2, "0"),
+            F.lpad(F.hex(h % 256), 2, "0"),
+            F.lpad(F.hex((h / 256).cast("int")), 2, "0"),
+        )
+        raw_hex = F.hex(
+            F.encode(F.concat(F.lit("RAW:"), F.substring("text", 1, 12)), "UTF-8")
+        )
+        payload = F.unhex(
+            F.when(m == 0, png_hex).when(m == 1, gif_hex).otherwise(raw_hex)
+        )
+        media = docs.select(
+            F.col("doc_id").alias("media_id"), payload.alias("payload")
+        )
+        return parse_image_headers(media)
+
+
+_register_header_sniff()
