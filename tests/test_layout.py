@@ -167,3 +167,48 @@ def test_zorder_tightens_both_dimension_spans(spark, tmp_path):
         spark.read.parquet(zod).agg(F.sum("payload")).collect()[0][0]
         == df.agg(F.sum("payload")).collect()[0][0]
     )
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    """Ops contract for long-lived datasets: a column added mid-stream
+    must be readable across old+new files with mergeSchema (old rows
+    NULL in the new column), and the default read must at least keep
+    working off the footer schema. At 100 TB you never rewrite
+    history for an added column."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "evolving")
+    spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("source")
+    ).write.mode("overwrite").parquet(d)
+    spark.range(100, 150).select(
+        F.col("id").alias("doc_id"),
+        F.lit("b").alias("source"),
+        (F.col("id") * 2).alias("quality"),  # the evolved column
+    ).write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"doc_id", "source", "quality"}
+    got = merged.agg(
+        F.count("*").alias("n"),
+        F.count("quality").alias("n_quality"),
+        F.sum("quality").alias("s"),
+    ).collect()[0]
+    assert (got["n"], got["n_quality"]) == (150, 50)
+    assert got["s"] == sum(i * 2 for i in range(100, 150))
+
+
+def test_output_file_sizing_max_records(spark, tmp_path):
+    """Writer-side small-file control: maxRecordsPerFile must cap rows
+    per output file — the knob that keeps shard sizes uniform when a
+    partition is larger than the target file size (the complement of
+    AQE's small-partition coalescing)."""
+    import glob
+
+    d = str(tmp_path / "sized")
+    spark.range(0, 10_000).coalesce(1).write.option(
+        "maxRecordsPerFile", 2_500
+    ).mode("overwrite").parquet(d)
+    files = glob.glob(f"{d}/*.parquet")
+    assert len(files) == 4, files
+    assert spark.read.parquet(d).count() == 10_000
