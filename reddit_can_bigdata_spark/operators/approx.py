@@ -189,3 +189,116 @@ def misra_gries_summary(
                     k: c - cut for k, c in merged.items() if c - cut > 0
                 }
     return sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+# ---------------------------------------------------------------------------
+# round 4 (session 3): error-bounded approximate aggregation
+# ---------------------------------------------------------------------------
+
+SAMPLE_MOD = 16  # keep 1-in-16 rows (hash-deterministic)
+
+_CI_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * CAST(1.0 - l_discount AS DECIMAL(9,4))"
+)
+_CI_KEY = "concat(CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR))"
+
+
+@register(
+    "approx_sample_revenue_ci",
+    oracle=f"""
+    WITH agg AS (
+      SELECT COUNT(*) AS n_total,
+             COUNT(*) FILTER (insample) AS n_sample,
+             CAST(SUM({_CI_REV}) AS DOUBLE) AS exact_total,
+             CAST(SUM(CASE WHEN insample THEN {_CI_REV} END) AS DOUBLE) AS s,
+             CAST(SUM(CASE WHEN insample
+                  THEN CAST({_CI_REV} AS DOUBLE) * CAST({_CI_REV} AS DOUBLE)
+                  END) AS DOUBLE) AS s2
+      FROM (SELECT *,
+              {PORTABLE_HASH32_SQL.format(x=_CI_KEY)} % {SAMPLE_MOD} = 0
+                AS insample
+            FROM lineitem)
+    )
+    SELECT CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_sample AS BIGINT) AS n_sample,
+           ROUND(exact_total, 2) AS exact_total,
+           ROUND(s / n_sample * n_total, 2) AS est_total,
+           ROUND(sqrt((s2 - s * s / n_sample) / (n_sample - 1) / n_sample
+                      * (1.0 - CAST(n_sample AS DOUBLE) / n_total))
+                 * n_total, 2) AS se_total,
+           ROUND(s / n_sample * n_total
+                 - 1.96 * sqrt((s2 - s * s / n_sample) / (n_sample - 1)
+                               / n_sample
+                               * (1.0 - CAST(n_sample AS DOUBLE) / n_total))
+                        * n_total, 2) AS ci95_lo,
+           ROUND(s / n_sample * n_total
+                 + 1.96 * sqrt((s2 - s * s / n_sample) / (n_sample - 1)
+                               / n_sample
+                               * (1.0 - CAST(n_sample AS DOUBLE) / n_total))
+                        * n_total, 2) AS ci95_hi
+    FROM agg
+    """,
+    tags=("approx", "sampling", "ci"),
+)
+def approx_sample_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlinkDB-style error-bounded approximation: estimate total
+    revenue from a deterministic 1-in-{SAMPLE_MOD} hash sample and
+    report the 95% CI from the finite-population SRS estimator
+    (se = N * sqrt(var/n * (1 - n/N))).
+
+    ONE pass computes everything as conditional aggregates (the exact
+    total rides along here only to expose the CI's honesty; the
+    production point is that the sample-side scan could read 1/16th
+    of the data via a hash-bucketed layout). The sample membership is
+    the portable md5 hash — reproducible across engines, reruns, and
+    partitionings, unlike `sample(fraction, seed)`. Sums accumulate
+    in DECIMAL; the x² moment is a double product of the exact
+    decimal (deterministic: one rounding per row, same in both
+    engines); every derived stat is the identical double expression
+    tree on both sides, rounded to cents.
+
+    `tests/test_approx.py` pins that the exact total falls inside the
+    interval at both SFs and that se scales ~1/sqrt(n)."""
+    from reddit_can_bigdata_spark.functions.text import portable_hash32
+
+    li = tables(spark, sf_dir)["lineitem"]
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(9,4)")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("_"),
+        F.col("l_linenumber").cast("string"),
+    )
+    insample = portable_hash32(key) % SAMPLE_MOD == 0
+    agg = li.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.count(F.when(insample, 1)).cast("bigint").alias("n_sample"),
+        F.sum(rev).cast("double").alias("exact_total_raw"),
+        F.sum(F.when(insample, rev)).cast("double").alias("s"),
+        F.sum(F.when(insample, rev.cast("double") * rev.cast("double")))
+        .cast("double")
+        .alias("s2"),
+    )
+    n, ns = F.col("n_total"), F.col("n_sample")
+    s, s2 = F.col("s"), F.col("s2")
+    est = s / ns * n
+    se = (
+        F.sqrt(
+            (s2 - s * s / ns)
+            / (ns - F.lit(1))
+            / ns
+            * (F.lit(1.0) - ns.cast("double") / n)
+        )
+        * n
+    )
+    return agg.select(
+        "n_total",
+        "n_sample",
+        F.round("exact_total_raw", 2).alias("exact_total"),
+        F.round(est, 2).alias("est_total"),
+        F.round(se, 2).alias("se_total"),
+        F.round(est - F.lit(1.96) * se, 2).alias("ci95_lo"),
+        F.round(est + F.lit(1.96) * se, 2).alias("ci95_hi"),
+    )

@@ -86,3 +86,22 @@ def test_misra_gries_contract(spark, sf_dir):
         assert est <= truth[term], "MG must never overcount"
         assert truth[term] - est <= bound, "undercount beyond the MG bound"
     assert 0 < len(got) <= MG_CAPACITY
+
+
+def test_sample_ci_contains_exact_and_tightens(spark, sf_dir, sf001_dir):
+    """approx_sample_revenue_ci: the 95% interval must contain the
+    exact total at both SFs (the estimator's honesty), and the
+    RELATIVE standard error must shrink going 6k -> 60k rows
+    (~1/sqrt(10); assert a loose 2x to stay variance-proof)."""
+    from reddit_can_bigdata_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    fn = REGISTRY["approx_sample_revenue_ci"].fn
+    rows = {d: fn(spark, d).collect()[0] for d in (sf_dir, sf001_dir)}
+    rel = {}
+    for d, r in rows.items():
+        assert r["ci95_lo"] <= r["exact_total"] <= r["ci95_hi"], dict(r.asDict())
+        assert r["n_sample"] > 0 and r["se_total"] > 0
+        rel[d] = r["se_total"] / r["est_total"]
+    small, big = (sf_dir, sf001_dir) if rows[sf_dir]["n_total"] < rows[sf001_dir]["n_total"] else (sf001_dir, sf_dir)
+    assert rel[big] < rel[small] / 2.0, rel
