@@ -1136,3 +1136,57 @@ def sim_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(HAMMING_FINAL_K)
         .select("vec_id", "label", "hamming", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4 (session 3): PCA projection against a committed basis fixture
+# ---------------------------------------------------------------------------
+
+# tools/make_pca_fixture.py: numpy SVD of the mean-centered sf0.01
+# embeddings, sign-normalized; rows (pc, axis[64], offset) with
+# offset = dot(mean, axis) so projecting is one fused dot product.
+PCA_FIXTURE = str(
+    Path(__file__).resolve().parents[2] / "fixtures" / "pca_basis_k4.parquet"
+)
+
+_DOT_SPARK = (
+    "aggregate(zip_with({x}, {a}, (p, q) -> cast(p as double) * q),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_DOT_DUCK = (
+    "list_reduce(list_transform(list_zip({x}, {a}),"
+    " z -> CAST(z[1] AS DOUBLE) * z[2]), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "sim_pca_project",
+    oracle=f"""
+    SELECT e.vec_id, b.pc,
+           round({_DOT_DUCK.format(x="e.embedding", a="b.axis")} - b."offset", 6)
+             AS score
+    FROM embeddings e, read_parquet('{PCA_FIXTURE}') b
+    """,
+    tags=("similarity", "pca", "scale"),
+)
+def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the COMMITTED PCA basis — the
+    train-once / project-many split of `ml/embeddings.py::pca_project`
+    (fit: numpy SVD offline in tools/make_pca_fixture.py, like the
+    IVF/PQ codebooks; eigensolves aren't SQL-expressible but the
+    linear projection is, so the serving path gets an exact oracle).
+
+    Plan: the 4-row basis broadcasts (BroadcastNestedLoopJoin, never
+    a CartesianProduct); each (vector, axis) score is ONE fused
+    sequential fold — bit-identical across engines because both fold
+    left-to-right — minus the precomputed mean offset. Corpus-linear,
+    no shuffle at all: the scan streams straight to output. At 100 TB
+    this is the cheap first stage before PCA-space clustering or
+    semantic dedup."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    basis = spark.read.parquet(PCA_FIXTURE)
+    score = F.expr(_DOT_SPARK.format(x="embedding", a="axis")) - F.col("offset")
+    return (
+        emb.crossJoin(F.broadcast(basis))
+        .select("vec_id", "pc", F.round(score, 6).alias("score"))
+    )
