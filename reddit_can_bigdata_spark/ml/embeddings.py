@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 @dataclass
 class PcaResult:
-    projected: DataFrame  # (vec_id, proj: array<double>)  [+ label if present]
+    projected: DataFrame  # exactly (id_col, proj: array<double>)
     components: list[list[float]]  # k rows, each a d-dim principal axis
     explained_variance: list[float]  # length k, descending
 

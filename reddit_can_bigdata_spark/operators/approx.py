@@ -213,7 +213,8 @@ _CI_KEY = "concat(CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR
              CAST(SUM({_CI_REV}) AS DOUBLE) AS exact_total,
              CAST(SUM(CASE WHEN insample THEN {_CI_REV} END) AS DOUBLE) AS s,
              CAST(SUM(CASE WHEN insample
-                  THEN CAST({_CI_REV} AS DOUBLE) * CAST({_CI_REV} AS DOUBLE)
+                  THEN CAST({_CI_REV} AS DECIMAL(19,4))
+                       * CAST({_CI_REV} AS DECIMAL(19,4))
                   END) AS DOUBLE) AS s2
       FROM (SELECT *,
               {PORTABLE_HASH32_SQL.format(x=_CI_KEY)} % {SAMPLE_MOD} = 0
@@ -253,10 +254,12 @@ def approx_sample_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the data via a hash-bucketed layout). The sample membership is
     the portable md5 hash — reproducible across engines, reruns, and
     partitionings, unlike `sample(fraction, seed)`. Sums accumulate
-    in DECIMAL; the x² moment is a double product of the exact
-    decimal (deterministic: one rounding per row, same in both
-    engines); every derived stat is the identical double expression
-    tree on both sides, rounded to cents.
+    in DECIMAL — including the x² moment: the revenue term carries at
+    most 4 decimal places, so the (18,4) recast is exact and the
+    squared decimal sum is order-independent (a plain double sum here
+    would be the partition-order ULP footgun dsum() exists to avoid);
+    every derived stat is the identical double expression tree on
+    both sides, rounded to cents.
 
     `tests/test_approx.py` pins that the exact total falls inside the
     interval at both SFs and that se scales ~1/sqrt(n)."""
@@ -277,7 +280,12 @@ def approx_sample_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(insample, 1)).cast("bigint").alias("n_sample"),
         F.sum(rev).cast("double").alias("exact_total_raw"),
         F.sum(F.when(insample, rev)).cast("double").alias("s"),
-        F.sum(F.when(insample, rev.cast("double") * rev.cast("double")))
+        F.sum(
+            # (18,4)^2 -> DECIMAL(37,8) in Spark, exact; the oracle uses
+            # (19,4) because DuckDB needs int128 operands for the same
+            # product (int64 DECIMAL(18) overflows) -> (38,8), same value
+            F.when(insample, rev.cast("decimal(18,4)") * rev.cast("decimal(18,4)"))
+        )
         .cast("double")
         .alias("s2"),
     )

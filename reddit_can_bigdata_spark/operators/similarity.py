@@ -1149,21 +1149,11 @@ PCA_FIXTURE = str(
     Path(__file__).resolve().parents[2] / "fixtures" / "pca_basis_k4.parquet"
 )
 
-_DOT_SPARK = (
-    "aggregate(zip_with({x}, {a}, (p, q) -> cast(p as double) * q),"
-    " cast(0.0 as double), (acc, v) -> acc + v)"
-)
-_DOT_DUCK = (
-    "list_reduce(list_transform(list_zip({x}, {a}),"
-    " z -> CAST(z[1] AS DOUBLE) * z[2]), (acc, v) -> acc + v)"
-)
-
-
 @register(
     "sim_pca_project",
     oracle=f"""
     SELECT e.vec_id, b.pc,
-           round({_DOT_DUCK.format(x="e.embedding", a="b.axis")} - b."offset", 6)
+           round({_DOT_SQL.format(a="e.embedding", b="b.axis")} - b."offset", 6)
              AS score
     FROM embeddings e, read_parquet('{PCA_FIXTURE}') b
     """,
@@ -1185,7 +1175,7 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic dedup."""
     emb = tables(spark, sf_dir)["embeddings"]
     basis = spark.read.parquet(PCA_FIXTURE)
-    score = F.expr(_DOT_SPARK.format(x="embedding", a="axis")) - F.col("offset")
+    score = dot_expr("embedding", "axis") - F.col("offset")
     return (
         emb.crossJoin(F.broadcast(basis))
         .select("vec_id", "pc", F.round(score, 6).alias("score"))

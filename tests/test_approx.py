@@ -96,6 +96,8 @@ def test_sample_ci_contains_exact_and_tightens(spark, sf_dir, sf001_dir):
     from reddit_can_bigdata_spark.registry import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
+    if sf_dir == sf001_dir:
+        pytest.skip("needs two distinct SFs to compare se scaling")
     fn = REGISTRY["approx_sample_revenue_ci"].fn
     rows = {d: fn(spark, d).collect()[0] for d in (sf_dir, sf001_dir)}
     rel = {}

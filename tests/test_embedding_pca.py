@@ -19,7 +19,11 @@ def fitted(spark, sf_dir):
     emb = tables(spark, sf_dir)["embeddings"]
     res = pca_project(emb, k=K)
     x = np.array(
-        [r["embedding"] for r in emb.select("embedding").collect()], dtype=np.float64
+        [
+            r["embedding"]
+            for r in emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+        ],
+        dtype=np.float64,
     )
     return res, x
 
@@ -64,6 +68,6 @@ def test_projection_equals_centered_matmul(fitted):
     xc = x - x.mean(axis=0)
     c = np.array(res.components)  # k x d
     expected = xc @ c.T
-    # vec_ids are 0..n-1 in fixture order
+    # x is vec_id-ordered (explicit orderBy above), so row i <-> vec_id i
     for i in range(len(x)):
         assert np.allclose(got[i], expected[i], atol=1e-6)

@@ -46,8 +46,10 @@ def main() -> None:
         summary = first[0].strip() if first else ""
         if len(summary) > 90:
             summary = summary[:87] + "..."
+        summary = summary.replace("|", "\\|")
+        tag_cell = ", ".join(s.tags).replace("|", "\\|")
         lines.append(
-            f"| `{name}` | {', '.join(s.tags)} |"
+            f"| `{name}` | {tag_cell} |"
             f" {'exact' if s.oracle else 'rows-only'} |"
             f" {'y' if s.bench else ''} | {summary} |"
         )
