@@ -614,3 +614,75 @@ def _pmi_oracle() -> str:
 from reddit_can_bigdata_spark.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["text_pmi_collocations"].oracle = _pmi_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 4 (session 3): regression/correlation aggregates (Zipf fit)
+# ---------------------------------------------------------------------------
+
+from reddit_can_bigdata_spark.operators.pretrain import (  # noqa: E402
+    TOKENS_EXPR as _ZIPF_TOKENS_EXPR,
+    TOKENS_SQL as _ZIPF_TOKENS_SQL,
+)
+
+
+@register(
+    "stat_zipf_token_fit",
+    oracle=f"""
+    WITH counts AS (
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT unnest({_ZIPF_TOKENS_SQL}) AS token FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT ln(row_number() OVER (ORDER BY n DESC, token)) AS lx,
+             ln(n) AS ly
+      FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           ROUND(regr_slope(ly, lx), 6) AS slope,
+           ROUND(regr_intercept(ly, lx), 6) AS intercept,
+           ROUND(regr_r2(ly, lx), 6) AS r2,
+           ROUND(corr(ly, lx), 6) AS corr_yx
+    FROM ranked
+    """,
+    tags=("text", "stats", "regression"),
+)
+def stat_zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution — the
+    least-squares family of AGGREGATES (regr_slope / regr_intercept /
+    regr_r2 / corr) the registry didn't cover yet, on the log-log
+    (rank, frequency) relation a natural-language corpus should make
+    near-linear with slope ~ -1 (Zipf 1949; the sanity statistic a
+    curation pipeline tracks to spot machine-generated or templated
+    corpora, whose slopes flatten).
+
+    Tokenization is the ONE shared policy (`pretrain.TOKENS_EXPR`).
+    Plan: token counts are one explode + hash aggregate; the rank is
+    a single global window over the vocabulary-sized count table
+    (documents-independent size), and the regression aggregates
+    reduce it to one row — all map-side-combinable at 100 TB. The
+    regression sums are floating-point reductions whose accumulation
+    order differs between engines, so outputs round to 6 (the
+    iterative-float registry rule); rank ties break on the token
+    string for a deterministic ordering."""
+    docs = tables(spark, sf_dir)["documents"]
+    counts = (
+        spread(docs)
+        .select(F.explode(F.expr(_ZIPF_TOKENS_EXPR)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    ranked = counts.select(
+        F.log(F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))).cast("double")).alias("lx"),
+        F.log(F.col("n").cast("double")).alias("ly"),
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_vocab"),
+        F.round(F.regr_slope("ly", "lx"), 6).alias("slope"),
+        F.round(F.regr_intercept("ly", "lx"), 6).alias("intercept"),
+        F.round(F.regr_r2("ly", "lx"), 6).alias("r2"),
+        F.round(F.corr("ly", "lx"), 6).alias("corr_yx"),
+    )
