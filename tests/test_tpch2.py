@@ -117,3 +117,62 @@ def test_q13_counts_customers_with_zero_matching_orders(spark, tmp_path):
         for r in REGISTRY["tpch_q13_customer_distribution"].fn(spark, d).collect()
     }
     assert got == {0: 2, 2: 1}
+
+
+def test_q2_and_q15_surface_all_tied_rows(spark, tmp_path):
+    """Q2 (min-cost supplier) and Q15 (top supplier) must return EVERY
+    row tied at the extreme — the spec semantics an ORDER BY + LIMIT 1
+    argmax rewrite silently breaks. Constructed: two EUROPE suppliers
+    sell part 1 at the identical min price (Q2 -> both rows); two
+    suppliers have identical maximal quarterly revenue (Q15 -> both)."""
+    d = str(tmp_path)
+    ts = "timestamp"
+    spark.createDataFrame(
+        [
+            # part 1: suppliers 1 and 2 tie at 10.0; supplier 3 higher
+            (1, 1, 1, 1, 10.0, 10.0, 0.0, 0.0, "1997-03-01"),
+            (2, 1, 2, 1, 10.0, 10.0, 0.0, 0.0, "1997-03-02"),
+            (3, 1, 3, 1, 10.0, 99.0, 0.0, 0.0, "1997-03-03"),
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
+        f"cast(l_shipdate as {ts}) as l_shipdate",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "p1", "Brand#1", "STANDARD", 15, 1.0)],
+        "p_partkey bigint, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    spark.createDataFrame(
+        [(1, "S1", 0, 5.0), (2, "S2", 0, 7.0), (3, "S3", 0, 9.0)],
+        "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    ).write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+    spark.createDataFrame(
+        [(0, "NATION_0", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    ).write.mode("overwrite").parquet(f"{d}/nation.parquet")
+    spark.createDataFrame(
+        [(0, "EUROPE")], "r_regionkey int, r_name string"
+    ).write.mode("overwrite").parquet(f"{d}/region.parquet")
+
+    q2 = REGISTRY["tpch_q2_min_cost_supplier"].fn(spark, d).collect()
+    assert sorted(r["s_name"] for r in q2) == ["S1", "S2"], q2
+
+    q15 = REGISTRY["tpch_q15_top_supplier"].fn(spark, d).collect()
+    # rev: S1 = S2 = 10.0 (ties), S3 = 99.0 -> wait, S3 is the max alone
+    # use the decimal-exact revenue: S3's single 99.0 line wins alone;
+    # instead check ties by dropping S3's line via a variant table
+    assert [r["s_name"] for r in q15] == ["S3"], q15
+    spark.read.parquet(f"{d}/lineitem.parquet").where(
+        "l_suppkey <> 3"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem2.parquet")
+    import shutil
+
+    shutil.rmtree(f"{d}/lineitem.parquet")
+    shutil.move(f"{d}/lineitem2.parquet", f"{d}/lineitem.parquet")
+    q15b = REGISTRY["tpch_q15_top_supplier"].fn(spark, d).collect()
+    assert sorted(r["s_name"] for r in q15b) == ["S1", "S2"], q15b
+    assert all(r["total_revenue"] == 10.0 for r in q15b)
