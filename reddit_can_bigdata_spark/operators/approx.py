@@ -310,3 +310,81 @@ def approx_sample_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est - F.lit(1.96) * se, 2).alias("ci95_lo"),
         F.round(est + F.lit(1.96) * se, 2).alias("ci95_hi"),
     )
+
+
+_GCI_KEY = "CAST(event_id AS VARCHAR)"
+_GCI_VAL = "CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(19,4))"
+
+
+@register(
+    "approx_group_value_ci",
+    oracle=f"""
+    WITH agg AS (
+      SELECT event_type,
+             COUNT(*) AS n_total,
+             COUNT(*) FILTER (insample) AS n_sample,
+             CAST(SUM(CASE WHEN insample THEN {_GCI_VAL} END) AS DOUBLE) AS s,
+             CAST(SUM(CASE WHEN insample THEN {_GCI_VAL} * {_GCI_VAL} END)
+                  AS DOUBLE) AS s2
+      FROM (SELECT *,
+              {PORTABLE_HASH32_SQL.format(x=_GCI_KEY)} % {SAMPLE_MOD} = 0
+                AS insample
+            FROM events)
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_sample AS BIGINT) AS n_sample,
+           ROUND(s / n_sample * n_total, 2) AS est_total,
+           ROUND(sqrt((s2 - s * s / n_sample) / (n_sample - 1) / n_sample
+                      * (1.0 - CAST(n_sample AS DOUBLE) / n_total))
+                 * n_total, 2) AS se_total
+    FROM agg
+    WHERE n_sample >= 2
+    """,
+    tags=("approx", "sampling", "ci", "group"),
+)
+def approx_group_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED form of the sample estimator: per-event-type total
+    `value` with its standard error, from the same 1-in-{SAMPLE_MOD}
+    portable-hash sample — what an approximate engine actually serves
+    (every GROUP BY answer carries its own error bar; groups whose
+    sample is too small for a variance estimate are withheld rather
+    than reported with a fake se). Identical arithmetic to
+    approx_sample_revenue_ci, one hash aggregate on event_type; the
+    sample predicate is group-independent, so per-group estimates stay
+    unbiased. The (19,4) decimal in BOTH engines here (vs the
+    18/19 split in the scalar query): value is small enough that
+    Spark's (19,4)^2 -> (38,8) stays in range too, and one shared
+    width keeps the oracle string identical to the Spark types."""
+    from reddit_can_bigdata_spark.functions.text import portable_hash32
+
+    ev = tables(spark, sf_dir)["events"]
+    val = F.col("value").cast("decimal(18,4)").cast("decimal(19,4)")
+    insample = (
+        portable_hash32(F.col("event_id").cast("string")) % SAMPLE_MOD == 0
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.count(F.when(insample, 1)).cast("bigint").alias("n_sample"),
+        F.sum(F.when(insample, val)).cast("double").alias("s"),
+        F.sum(F.when(insample, val * val)).cast("double").alias("s2"),
+    )
+    n, ns, s, s2 = (F.col(c) for c in ("n_total", "n_sample", "s", "s2"))
+    est = s / ns * n
+    se = (
+        F.sqrt(
+            (s2 - s * s / ns)
+            / (ns - F.lit(1))
+            / ns
+            * (F.lit(1.0) - ns.cast("double") / n)
+        )
+        * n
+    )
+    return agg.where(ns >= 2).select(
+        "event_type",
+        "n_total",
+        "n_sample",
+        F.round(est, 2).alias("est_total"),
+        F.round(se, 2).alias("se_total"),
+    )
