@@ -126,6 +126,7 @@ def _influencer_ref_weights_oracle() -> str:
 @register(
     "influencer_composite_ref_weights",
     oracle=_influencer_ref_weights_oracle(),
+    oracle_max_sf=0.01,
     tags=("graph", "window", "composite", "betweenness"),
 )
 def influencer_composite_ref_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,6 +209,7 @@ def influencer_composite_ref_weights(spark: SparkSession, sf_dir: str) -> DataFr
 @register(
     "influencer_composite_top20",
     oracle=_influencer_oracle(),
+    oracle_max_sf=0.01,
     tags=("graph", "window", "composite"),
     bench=True,
 )

@@ -38,6 +38,12 @@ class QuerySpec:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    # Largest SF at which the ORACLE is tractable (None = any).  The
+    # Spark side has no such limit — oracles are single-node
+    # correctness mirrors written in the naive correlated/recursive
+    # style, and a few (the centrality composites) explode past the
+    # driver's sf0.01 check scale (a 17 GB DuckDB spill, measured).
+    oracle_max_sf: float | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -48,6 +54,7 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    oracle_max_sf: float | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query under ``name`` with its oracle SQL."""
 
@@ -55,7 +62,8 @@ def register(
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags, bench=bench
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags,
+            bench=bench, oracle_max_sf=oracle_max_sf,
         )
         return fn
 

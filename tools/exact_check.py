@@ -29,6 +29,25 @@ def main() -> int:
             checked |= set(json.loads(p.read_text()))
         names = [n for n in registry.REGISTRY if n not in checked]
 
+    # honor declared oracle SF ceilings (oracle_max_sf): a few oracles
+    # are written in the naive correlated/recursive style and explode
+    # past sf0.01 (17 GB DuckDB spill, measured) — skip, don't spill
+    try:
+        sf = float(
+            Path(sf_dir).name.replace("sf", "")
+        )
+    except ValueError:
+        sf = None
+    if sf is not None:
+        skipped = [
+            n for n in names
+            if (m := registry.REGISTRY[n].oracle_max_sf) is not None and sf > m
+        ]
+        for n in skipped:
+            print(f"SKIP {n}: oracle declared tractable only up to "
+                  f"sf{registry.REGISTRY[n].oracle_max_sf}")
+        names = [n for n in names if n not in set(skipped)]
+
     import duckdb
 
     from reddit_can_bigdata_spark.session import get_spark
