@@ -58,6 +58,9 @@ SHOWCASE = {
     "tpch_q17_small_quantity_revenue": "Q17: correlated per-part AVG decorrelated over the brand-filtered broadcast subset; all joins broadcast, aggregate-before-join.",
     "tpch_q21_waiting_suppliers": "Q21: EXISTS + NOT EXISTS compiled to ONE window pass over the (order, supplier) aggregate — no self-join shuffles; broadcast semi + lookup only.",
     "w_rolling_7d_revenue": "Rolling 7d: RANGE frame over day numbers on a daily pre-aggregate — the window never sees row-grain data.",
+    "sim_pca_project": "PCA serving path: 4-row basis broadcasts (BroadcastNestedLoopJoin); per-vector score is one fused fold; zero shuffles.",
+    "approx_sample_revenue_ci": "Error-bounded estimate: sample membership + both moments + exact total in ONE conditional aggregate over a single scan.",
+    "multimodal_header_sniff": "Binary round-trip: hex-assembled payloads parsed back by substring/conv expressions inside codegen — no Python, no shuffle.",
 }
 
 
