@@ -752,3 +752,92 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="total",
     )
+
+
+_SCD2_DIM_SQL = """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             event_id
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, tus,
+             row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id)
+               AS version
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
+             CAST(tus AS BIGINT) AS valid_from_us,
+             CAST(lead(tus) OVER (PARTITION BY user_id ORDER BY version)
+                  AS BIGINT) AS valid_to_us
+      FROM changes
+    )
+"""
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle=f"""
+    {_SCD2_DIM_SQL}
+    SELECT e.event_id, e.user_id, d.version,
+           d.event_type AS type_at_event,
+           d.event_type = e.event_type AS type_matches
+    FROM events e
+    JOIN dim d
+      ON d.user_id = e.user_id
+     AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= d.valid_from_us
+     AND (d.valid_to_us IS NULL
+          OR epoch_us(CAST(e.ts AS TIMESTAMP)) < d.valid_to_us)
+    """,
+    tags=("warehouse", "scd2", "temporal-join"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join against the SCD2 dimension: every
+    fact row picks the dimension VERSION whose [valid_from, valid_to)
+    interval contains its event time — the query SCD2 exists to make
+    correct (joining `is_current` instead silently rewrites history).
+
+    Composition: reuses `scd2_user_event_type`'s builder for the
+    dimension, then joins facts on user_id with the interval
+    predicate INSIDE the join condition — an equi-join on user_id
+    (co-partitioned, sort-merge) whose per-row interval scan is
+    bounded by that user's version count, never an unbounded
+    interval join. The dimension's tiling invariant (pinned in
+    `tests/test_analytics.py`'s SCD2 tests) guarantees exactly one
+    version per fact, so output rows == fact rows; `type_matches`
+    exposes the self-consistency (a fact always lands in the version
+    its own type opened) as an auditable column rather than an
+    assumption."""
+    dim = scd2_user_event_type(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("type_at_event"),
+        "version",
+        "valid_from_us",
+        "valid_to_us",
+    )
+    ev = tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    return (
+        ev.join(
+            dim,
+            (F.col("d_user") == F.col("user_id"))
+            & (F.col("tus") >= F.col("valid_from_us"))
+            & (
+                F.col("valid_to_us").isNull()
+                | (F.col("tus") < F.col("valid_to_us"))
+            ),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "version",
+            "type_at_event",
+            (F.col("type_at_event") == F.col("event_type")).alias("type_matches"),
+        )
+    )
