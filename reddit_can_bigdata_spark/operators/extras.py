@@ -841,3 +841,117 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("type_at_event") == F.col("event_type")).alias("type_matches"),
         )
     )
+
+
+TOPK_TIES_K = 3
+
+
+@register(
+    "topk_per_group_ties",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= {TOPK_TIES_K}
+    """,
+    tags=("window", "topk", "ties"),
+)
+def topk_per_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITH ties: rank() keeps every row tying at the
+    k-th value, where row_number() (curate_cap_per_group's choice)
+    would break ties arbitrarily and drop data — the same semantic
+    fork Q2/Q15 pin at the global level, here per group. Because ties
+    are kept rather than broken, the output needs NO tiebreak column
+    to be deterministic — the kept SET is unique even though a
+    row_number variant's kept set would not be. One shuffle on the
+    group key, per-group heap-ish window, k+ties rows out per group."""
+    o = tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= TOPK_TIES_K)
+        .drop("rnk")
+    )
+
+
+@register(
+    "robust_mad_by_type",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med_v
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(m.med_v, 6) AS median_value,
+           ROUND(median(abs(e.value - m.med_v)), 6) AS mad,
+           CAST(SUM(CASE WHEN abs(e.value - m.med_v)
+                              > 3.0 * 1.4826
+                                * (SELECT median(abs(e2.value - m2.med_v))
+                                   FROM events e2 JOIN med m2
+                                     ON m2.event_type = e2.event_type
+                                   WHERE e2.event_type = e.event_type)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN med m ON m.event_type = e.event_type
+    GROUP BY e.event_type, m.med_v
+    """,
+    tags=("agg", "robust", "quantile"),
+)
+def robust_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: the median absolute deviation
+    (median of |x - median|) and the count of 3-sigma-equivalent
+    outliers under the 1.4826-scaled MAD — the outlier detector that
+    survives the heavy tails a mean/stddev z-score drowns in (the
+    right default for data-quality gates over skewed metrics).
+
+    Two exact-percentile passes: group medians (tiny table) broadcast
+    back onto the events scan, then the deviation median per group —
+    the same shuffle key both times, so AQE reuses the partitioning.
+    At 100 TB both `median` calls swap for `approx_percentile` (the
+    a9/group_percentiles scale rule). DuckDB's median() interpolates
+    like Spark's percentile(0.5); outputs round to 6."""
+    ev = tables(spark, sf_dir)["events"]
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med_v")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_v",
+        F.abs(F.col("value") - F.col("med_v")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type", "med_v").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_raw")
+    )
+    flagged = (
+        dev.join(
+            F.broadcast(mad.select("event_type", "mad_raw")), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad_raw"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        mad.join(F.broadcast(flagged), "event_type")
+        .select(
+            "event_type",
+            F.round("med_v", 6).alias("median_value"),
+            F.round("mad_raw", 6).alias("mad"),
+            "n_outliers",
+        )
+    )
