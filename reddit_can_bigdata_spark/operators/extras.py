@@ -955,3 +955,57 @@ def robust_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+from reddit_can_bigdata_spark.functions.text import (  # noqa: E402
+    PORTABLE_HASH32_SQL as _PH32_SQL,
+)
+
+
+@register(
+    "table_checksum_lineitem",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({{h}}) AS BIGINT) AS checksum_sum,
+           CAST(bit_xor({{h}}) AS BIGINT) AS checksum_xor
+    FROM (
+      SELECT concat_ws('|',
+               CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+               CAST(CAST(l_quantity AS DECIMAL(18,4)) AS VARCHAR),
+               CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR),
+               l_returnflag) AS row_repr
+      FROM lineitem
+    )
+    """.format(h=_PH32_SQL.format(x="row_repr")),
+    tags=("diagnostics", "checksum", "scale"),
+)
+def table_checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the reconciliation primitive
+    for verifying a 100 TB replica, migration, or engine port without
+    moving the data: every row canonicalizes to a delimited string
+    (floats via exact DECIMAL so the text form is engine-stable),
+    hashes with the portable md5-based hash, and reduces by SUM and
+    XOR — both commutative, so the result is identical at any
+    partitioning, row order, or executor count. Cost is one scan +
+    a 1-row aggregate; two independent reductions make silent
+    collisions (a pair of compensating errors) vastly less likely
+    than either alone. This engine's own oracle harness is the
+    use case in miniature: DuckDB computes the same checksum from
+    the same parquet, proving byte-level agreement of the scan."""
+    from reddit_can_bigdata_spark.functions.text import portable_hash32
+
+    li = tables(spark, sf_dir)["lineitem"]
+    row_repr = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("decimal(18,4)").cast("string"),
+        F.col("l_extendedprice").cast("decimal(18,4)").cast("string"),
+        F.col("l_returnflag"),
+    )
+    h = portable_hash32(row_repr)
+    return li.select(h.alias("h")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("h").cast("bigint").alias("checksum_sum"),
+        F.expr("bit_xor(h)").cast("bigint").alias("checksum_xor"),
+    )
