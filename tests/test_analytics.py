@@ -123,3 +123,51 @@ def test_influencers_and_community_rollup(spark, sf_dir):
     assert [r["influencer_rank"] for r in top] == list(range(1, len(top) + 1))
     roll = A.community_rollup(un).collect()
     assert sum(r["members"] for r in roll) == un.count()
+
+
+def test_table_checksum_is_partitioning_independent(spark, sf_dir):
+    """The reconciliation checksum must be identical under any
+    physical layout — that is its entire value. Recompute over a
+    shuffled 17-partition copy of lineitem and compare all three
+    fields."""
+    import shutil
+    import tempfile
+
+    from reddit_can_bigdata_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    fn = REGISTRY["table_checksum_lineitem"].fn
+    base = fn(spark, sf_dir).collect()[0]
+
+    tmp = tempfile.mkdtemp()
+    try:
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(
+            17
+        ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+        alt = fn(spark, tmp).collect()[0]
+        assert tuple(base) == tuple(alt), (base, alt)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_topk_ties_keeps_every_row_at_the_boundary(spark, tmp_path):
+    """Constructed k-th-place tie: with k=3 and three orders tied at
+    the 3rd-highest price, ALL of them must be kept (5 rows out, not
+    3) — the rank() semantics a row_number cap would break."""
+    from reddit_can_bigdata_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "1-URGENT", 100.0),
+            (2, "1-URGENT", 90.0),
+            (3, "1-URGENT", 80.0),
+            (4, "1-URGENT", 80.0),
+            (5, "1-URGENT", 80.0),
+            (6, "1-URGENT", 10.0),
+        ],
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    rows = REGISTRY["topk_per_group_ties"].fn(spark, d).collect()
+    assert sorted(r["o_orderkey"] for r in rows) == [1, 2, 3, 4, 5], rows
