@@ -43,19 +43,30 @@ def pca_project(
     ``center=True`` subtracts the column mean first (Spark ML's PCA
     does NOT center, which silently makes the first component point at
     the mean for uncentered corpora — the classic footgun). The mean
-    is a d-dim aggregate broadcast back as a literal array, so
-    centering costs one narrow map, not a shuffle.
+    comes from ONE aggregate (posexplode → per-index avg, map-side
+    combined to d partial rows per partition) that also yields the
+    dimensionality d = number of result rows — no separate
+    ``first()`` probe job, and an empty input raises a clear error
+    instead of a ``TypeError`` on ``None``.
     """
     from pyspark.ml.feature import PCA as MlPca
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     work = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("x"))
     if center:
-        d = len(work.select("x").first()["x"])
-        mean_row = work.agg(
-            *[F.avg(F.col("x")[i]).alias(f"m{i}") for i in range(d)]
-        ).first()
-        mean_arr = F.array(*[F.lit(float(mean_row[f"m{i}"])) for i in range(d)])
+        mean_rows = (
+            work.select(F.posexplode("x").alias("i", "v"))
+            .groupBy("i")
+            .agg(F.avg("v").alias("m"))
+            .orderBy("i")
+            .collect()
+        )
+        if not mean_rows:
+            raise ValueError(
+                "pca_project(center=True): input has no rows (or empty "
+                f"'{vec_col}' arrays); nothing to center or fit"
+            )
+        mean_arr = F.array(*[F.lit(float(r["m"])) for r in mean_rows])
         work = work.select(
             id_col,
             F.zip_with("x", mean_arr, lambda a, b: a - b).alias("x"),

@@ -224,20 +224,25 @@ _CI_KEY = "concat(CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR
     SELECT CAST(n_total AS BIGINT) AS n_total,
            CAST(n_sample AS BIGINT) AS n_sample,
            ROUND(exact_total, 2) AS exact_total,
-           ROUND(s / n_sample * n_total, 2) AS est_total,
-           ROUND(sqrt((s2 - s * s / n_sample) / (n_sample - 1) / n_sample
-                      * (1.0 - CAST(n_sample AS DOUBLE) / n_total))
-                 * n_total, 2) AS se_total,
-           ROUND(s / n_sample * n_total
+           CASE WHEN n_sample >= 1
+                THEN ROUND(s / n_sample * n_total, 2) END AS est_total,
+           CASE WHEN n_sample >= 2
+                THEN ROUND(sqrt((s2 - s * s / n_sample) / (n_sample - 1)
+                                / n_sample
+                                * (1.0 - CAST(n_sample AS DOUBLE) / n_total))
+                           * n_total, 2) END AS se_total,
+           CASE WHEN n_sample >= 2
+                THEN ROUND(s / n_sample * n_total
                  - 1.96 * sqrt((s2 - s * s / n_sample) / (n_sample - 1)
                                / n_sample
                                * (1.0 - CAST(n_sample AS DOUBLE) / n_total))
-                        * n_total, 2) AS ci95_lo,
-           ROUND(s / n_sample * n_total
+                        * n_total, 2) END AS ci95_lo,
+           CASE WHEN n_sample >= 2
+                THEN ROUND(s / n_sample * n_total
                  + 1.96 * sqrt((s2 - s * s / n_sample) / (n_sample - 1)
                                / n_sample
                                * (1.0 - CAST(n_sample AS DOUBLE) / n_total))
-                        * n_total, 2) AS ci95_hi
+                        * n_total, 2) END AS ci95_hi
     FROM agg
     """,
     tags=("approx", "sampling", "ci"),
@@ -260,6 +265,13 @@ def approx_sample_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be the partition-order ULP footgun dsum() exists to avoid);
     every derived stat is the identical double expression tree on
     both sides, rounded to cents.
+
+    Degenerate inputs are guarded identically on both sides (the
+    grouped variant's rule applied here): est needs n_sample >= 1 and
+    se/ci need n_sample >= 2, else NULL — without the guard a
+    filtered-down input hits x/0, where Spark doubles yield Inf/NaN
+    but DuckDB's behavior depends on its ieee_floating_point_ops
+    setting — a latent cross-engine divergence.
 
     `tests/test_approx.py` pins that the exact total falls inside the
     interval at both SFs and that se scales ~1/sqrt(n)."""
@@ -305,10 +317,10 @@ def approx_sample_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         "n_sample",
         F.round("exact_total_raw", 2).alias("exact_total"),
-        F.round(est, 2).alias("est_total"),
-        F.round(se, 2).alias("se_total"),
-        F.round(est - F.lit(1.96) * se, 2).alias("ci95_lo"),
-        F.round(est + F.lit(1.96) * se, 2).alias("ci95_hi"),
+        F.when(ns >= 1, F.round(est, 2)).alias("est_total"),
+        F.when(ns >= 2, F.round(se, 2)).alias("se_total"),
+        F.when(ns >= 2, F.round(est - F.lit(1.96) * se, 2)).alias("ci95_lo"),
+        F.when(ns >= 2, F.round(est + F.lit(1.96) * se, 2)).alias("ci95_hi"),
     )
 
 

@@ -966,7 +966,7 @@ from reddit_can_bigdata_spark.functions.text import (  # noqa: E402
     "table_checksum_lineitem",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM({{h}}) AS BIGINT) AS checksum_sum,
+           CAST(SUM(CAST({{h}} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum_sum,
            CAST(bit_xor({{h}}) AS BIGINT) AS checksum_xor
     FROM (
       SELECT concat_ws('|',
@@ -986,7 +986,11 @@ def table_checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floats via exact DECIMAL so the text form is engine-stable),
     hashes with the portable md5-based hash, and reduces by SUM and
     XOR — both commutative, so the result is identical at any
-    partitioning, row order, or executor count. Cost is one scan +
+    partitioning, row order, or executor count.  The SUM accumulates
+    in DECIMAL(38,0): 32-bit hashes summed over >2^32 rows overflow
+    int64, and the two engines disagree on overflow (DuckDB errors,
+    Spark wraps/throws under ANSI) — decimal keeps the reduction
+    well-defined to ~10^28 rows, i.e. at any real table size. Cost is one scan +
     a 1-row aggregate; two independent reductions make silent
     collisions (a pair of compensating errors) vastly less likely
     than either alone. This engine's own oracle harness is the
@@ -1006,6 +1010,8 @@ def table_checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = portable_hash32(row_repr)
     return li.select(h.alias("h")).agg(
         F.count("*").cast("bigint").alias("n_rows"),
-        F.sum("h").cast("bigint").alias("checksum_sum"),
+        F.sum(F.col("h").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("checksum_sum"),
         F.expr("bit_xor(h)").cast("bigint").alias("checksum_xor"),
     )

@@ -254,16 +254,19 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pre-filtered by the join before touching orders; every money
     term stays in exactly-representable decimals (qty is an integer,
     retailprice has 2dp) so the profit sum is bit-identical across
-    engines and partition orders."""
+    engines and partition orders.  Orders is a FACT table (same
+    cardinality class as lineitem) so it shuffle-joins on orderkey —
+    only the dimensions (filtered part, supplier, nation) broadcast."""
     t = tables(spark, sf_dir)
     parts = t["part"].where(F.col("p_name").like("%gear%")).select(
         "p_partkey", "p_retailprice"
     )
+    orders = t["orders"].select("o_orderkey", "o_orderdate")
     return (
         t["lineitem"]
         .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(t["orders"]), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),

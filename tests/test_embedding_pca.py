@@ -71,3 +71,17 @@ def test_projection_equals_centered_matmul(fitted):
     # x is vec_id-ordered (explicit orderBy above), so row i <-> vec_id i
     for i in range(len(x)):
         assert np.allclose(got[i], expected[i], atol=1e-6)
+
+
+def test_empty_input_raises_clear_error(spark):
+    """center=True on an empty DataFrame must raise ValueError with a
+    message, not TypeError from first() returning None (round-4 advice:
+    ml/embeddings.py dimension probe)."""
+    import pytest
+    from reddit_can_bigdata_spark.ml.embeddings import pca_project
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no rows"):
+        pca_project(empty, k=2)
