@@ -1,43 +1,78 @@
-"""VADER-style compound sentiment, Spark-first (SURVEY §2.8 F13).
+"""VADER compound sentiment, Spark-first (SURVEY §2.8 F13).
 
 The reference labels posts with the VADER library behind a row-at-a-time
 Python UDF (`spark-ml-sentiment/spark_ml_sentiment.py:108-138`). This
 module re-implements the published VADER *algorithm* (Hutto & Gilbert,
-ICWSM 2014 — MIT licensed; all rule constants below are from the public
-paper/source) as set-oriented Spark:
+ICWSM 2014 — MIT licensed; every constant, rule, and evaluation order
+below is from the public paper/source) as set-oriented Spark:
 
-- ``vader_compound_expr`` — ONE Catalyst expression chain (split →
-  per-token valence with booster/negation context → but-clause
+- ``vader_compound_expr`` — ONE Catalyst expression chain (tokenize →
+  per-token valence with the full published rule set → but-clause
   reweight → punctuation emphasis → alpha-normalization). Stays
   JVM-side; no Python in the hot path.
 - ``vader_compound_join`` — the 100 TB shape: tokens exploded and
   broadcast-joined against a LEXICON TABLE (any size — the full 7.5k
   entry vader_lexicon.txt drops in via ``load_vader_lexicon``),
-  context via lag windows, deterministic sequential re-summation.
+  context via lag/lead windows, deterministic sequential re-summation.
   Bit-identical to the expression path on the same lexicon (asserted
-  in tests/test_vader.py).
-- ``vader_compound_py`` — pure-Python golden reference for tests.
+  in tests/test_vader.py) because both are generated from the SAME
+  per-token valence builder (`_pos_valence`) over different accessor
+  environments.
+- ``vader_compound_py`` — pure-Python reference of the same published
+  algorithm for golden tests.
 - ``vader_sql`` — the DuckDB twin of the expression path, generated
-  from the same constants so engine and oracle are structurally
-  identical (same literals, same left-to-right summation).
+  from the same builder so engine and oracle are structurally
+  identical (same literals, same left-to-right float operations).
 
-Implemented VADER rules: lexicon valence on the [-4, 4] scale,
-booster/dampener scaling (+-0.293 with 0.95/0.9 distance decay over a
-3-token window), negation flip (x -0.74, 3-token window), "but"-clause
-reweighting (0.5 before / 1.5 after), exclamation (+0.292 each, max 4)
-and question-mark (2-3: 0.18 each, >3: 0.96) emphasis added along the
-sign of the sum, and compound = x / sqrt(x^2 + 15) in [-1, 1], with
-the standard +-0.05 label thresholds.
+Published rules implemented (the COMPLETE sentiment_valence rule set):
 
-Not implemented (documented simplifications): ALL-CAPS emphasis
-(+0.733), multi-word idioms ("kind of", "the bomb"), the "least"
-special case, and "never so/this" intensification. The vendored
-lexicon is a ~150-word subset on VADER's rating scale — swap in the
-full MIT-licensed file (vaderSentiment/vader_lexicon.txt) via
-``load_vader_lexicon`` + ``vader_compound_join`` for production.
+- tokenization: whitespace split; leading/trailing ASCII punctuation
+  stripped unless the stripped form is <= 2 chars (which preserves
+  emoticons like ":)" and, published quirk, keeps "no." un-stripped);
+- lexicon valence on the [-4, 4] scale; booster words themselves are
+  skipped ("very" scores 0 even if a lexicon entry exists), as is
+  "kind" when followed by "of";
+- the "no" special cases: "no" before a lexicon word scores 0 itself,
+  and a lexicon word preceded by "no" (1-2 back, or 3 back with
+  or/nor between) takes lexicon * N_SCALAR;
+- ALL-CAPS emphasis (+-C_INCR = 0.733) on sentiment words AND on
+  boosters, gated on the document mixing cases (cap differential);
+- booster/dampener scaling (+-0.293) over a 3-token window with
+  0.95 / 0.9 distance decay, each distance gated on the intervening
+  word NOT being a lexicon entry;
+- negation flip (x -0.74) checked independently at each of the three
+  distances (so stacked negators multiply), with the published NEGATE
+  list plus the "n't" substring rule, the "never so/this" x1.25
+  intensification, and the "without doubt" exemption;
+- multi-word idioms: SPECIAL_CASES n-grams override the valence
+  (first match among the five look-back windows, then the look-ahead
+  bigram/trigram), and trailing booster idioms ("kind of", "sort of",
+  "just enough") add their dampener — all inside the published
+  distance-3 gate;
+- the "least" special case (negates, except after "at"/"very");
+- but-clause reweighting (0.5 before / 1.5 after the FIRST "but");
+- exclamation (+0.292 each, max 4) and question-mark (2-3: 0.18 each,
+  >3: 0.96) emphasis added along the sign of the sum;
+- compound = x / sqrt(x^2 + 15), labeled at +-0.05.
+
+Remaining divergences from the vaderSentiment *package* (documented,
+environmental): (1) the vendored unigram lexicon is a subset — the
+container has no network access to fetch the 7,5xx-entry file; the
+full MIT file drops in unmodified via ``load_vader_lexicon`` and both
+scoring paths accept it. (2) The emoji-description preprocessing step
+(which needs the package's emoji_utf8_lexicon.txt) is not applied;
+text emoticons like ":)" work through the lexicon as published.
+(3) The published ``_but_check`` mutates via ``list.index(value)``,
+which mis-targets when two tokens carry the SAME nonzero valence on
+opposite sides of "but" (a known quirk of the implementation); this
+module applies the positional form, identical except on those value
+collisions. ``tests/test_vader.py`` pins exact equality with ten
+published README outputs.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -45,18 +80,19 @@ from pyspark.sql import Column, DataFrame, functions as F
 # All from the published VADER source (MIT).
 B_INCR = 0.293
 B_DECR = -0.293
+C_INCR = 0.733  # ALL-CAPS emphasis
 N_SCALAR = -0.74
+NEVER_SO = 1.25  # "never so/this" intensification
 ALPHA = 15.0
 EP_AMP = 0.292  # per '!', capped at 4
 QM_SOME = 0.18  # per '?' when 2-3 of them
 QM_MANY = 0.96  # 4+ '?'
-DECAY = (1.0, 0.95, 0.9)  # booster distance decay, 1..3 tokens back
 POS_THRESHOLD = 0.05
 NEG_THRESHOLD = -0.05
 
-# Vendored unigram lexicon SUBSET on VADER's [-4, 4] mean-rating scale.
-# Representative coverage for the test corpora; production swaps in the
-# full file (load_vader_lexicon) through the join path.
+# Vendored unigram lexicon SUBSET with the published mean ratings on
+# VADER's [-4, 4] scale. Production swaps in the full MIT-licensed
+# vader_lexicon.txt (load_vader_lexicon) through either path.
 LEXICON: dict[str, float] = {
     # positive
     "good": 1.9, "great": 3.1, "excellent": 2.7, "amazing": 2.8,
@@ -101,36 +137,66 @@ LEXICON: dict[str, float] = {
     "afraid": -2.0, "scared": -1.9, "crisis": -2.4, "threat": -2.2,
     "danger": -2.4, "dangerous": -2.1, "hurt": -2.0, "cry": -2.0,
     "kill": -3.1, "dead": -3.3, "death": -2.9, "war": -2.9,
+    # entries the special rules reference
+    "no": -1.2, "sux": -1.5,
 }
 
-BOOSTERS: dict[str, float] = {
+# The COMPLETE published BOOSTER_DICT (single- and multi-word keys).
+BOOSTER_DICT: dict[str, float] = {
     **{w: B_INCR for w in (
-        "absolutely", "amazingly", "completely", "considerably",
-        "decidedly", "deeply", "enormously", "entirely", "especially",
-        "exceptionally", "extremely", "fabulously", "greatly", "highly",
-        "hugely", "incredibly", "intensely", "majorly", "more", "most",
-        "particularly", "purely", "quite", "really", "remarkably", "so",
-        "substantially", "thoroughly", "totally", "tremendously",
-        "unbelievably", "unusually", "utterly", "very",
+        "absolutely", "amazingly", "awfully", "completely",
+        "considerable", "considerably", "decidedly", "deeply", "effing",
+        "enormous", "enormously", "entirely", "especially",
+        "exceptional", "exceptionally", "extreme", "extremely",
+        "fabulously", "flipping", "flippin", "frackin", "fracking",
+        "fricking", "frickin", "frigging", "friggin", "fully", "fuckin",
+        "fucking", "fuggin", "fugging", "greatly", "hella", "highly",
+        "hugely", "incredible", "incredibly", "intensely", "major",
+        "majorly", "more", "most", "particularly", "purely", "quite",
+        "really", "remarkably", "so", "substantially", "thoroughly",
+        "total", "totally", "tremendous", "tremendously", "uber",
+        "unbelievably", "unusually", "utter", "utterly", "very",
     )},
     **{w: B_DECR for w in (
-        "almost", "barely", "hardly", "kinda", "less", "little",
-        "marginally", "occasionally", "partly", "scarcely", "slightly",
-        "somewhat", "sorta",
+        "almost", "barely", "hardly", "just enough", "kind of", "kinda",
+        "kindof", "kind-of", "less", "little", "marginal", "marginally",
+        "occasional", "occasionally", "partly", "scarce", "scarcely",
+        "slight", "slightly", "somewhat", "sort of", "sorta", "sortof",
+        "sort-of",
     )},
 }
+BOOSTERS = BOOSTER_DICT  # back-compat alias
 
-NEGATIONS: tuple[str, ...] = (
-    "not", "no", "never", "none", "nobody", "nothing", "neither",
-    "nor", "nowhere", "cannot", "rarely", "seldom", "despite",
-    "without", "isnt", "isn't", "arent", "aren't", "aint", "ain't",
-    "cant", "can't", "couldnt", "couldn't", "didnt", "didn't",
-    "doesnt", "doesn't", "dont", "don't", "hasnt", "hasn't", "havent",
-    "haven't", "wasnt", "wasn't", "werent", "weren't", "wont",
-    "won't", "wouldnt", "wouldn't", "shouldnt", "shouldn't",
+# Multi-word booster keys are the only ones an n-gram can match.
+_MULTIWORD_BOOSTERS = {k: v for k, v in BOOSTER_DICT.items() if " " in k}
+
+# The published NEGATE list (note: "no" is NOT here — it has its own
+# rules above; the "n't" substring check rides alongside).
+NEGATE: tuple[str, ...] = (
+    "aint", "arent", "cannot", "cant", "couldnt", "darent", "didnt",
+    "doesnt", "ain't", "aren't", "can't", "couldn't", "daren't",
+    "didn't", "doesn't", "dont", "hadnt", "hasnt", "havent", "isnt",
+    "mightnt", "mustnt", "neither", "don't", "hadn't", "hasn't",
+    "haven't", "isn't", "mightn't", "mustn't", "neednt", "needn't",
+    "never", "none", "nope", "nor", "not", "nothing", "nowhere",
+    "oughtnt", "shant", "shouldnt", "uhuh", "wasnt", "werent",
+    "oughtn't", "shan't", "shouldn't", "uh-uh", "wasn't", "weren't",
+    "without", "wont", "wouldnt", "won't", "wouldn't", "rarely",
+    "seldom", "despite",
 )
+NEGATIONS = NEGATE  # back-compat alias
 
-_STRIP_RE = "^[^a-z0-9']+|[^a-z0-9']+$"  # strip edge punctuation, keep '
+# Published sentiment-laden idioms (override the unigram valence).
+SPECIAL_CASES: dict[str, float] = {
+    "the shit": 3.0, "the bomb": 3.0, "bad ass": 1.5, "badass": 1.5,
+    "bus stop": 0.0, "yeah right": -2.0, "kiss of death": -1.5,
+    "to die for": 3.0, "beating heart": 3.1, "broken heart": -2.9,
+}
+
+# Published tokenizer punctuation set (Python string.punctuation), as a
+# regex character-class body. "-" last; "]", "\" escaped.
+_PUNCT_CLASS = r"""!"#$%&'()*+,./:;<=>?@\[\\\]^_`{|}~-"""
+_STRIP_RE = rf"^[{_PUNCT_CLASS}]+|[{_PUNCT_CLASS}]+$"
 
 
 def _lit(v: float) -> str:
@@ -144,39 +210,216 @@ def _sq(w: str) -> str:
 
 
 def _case_valence(var: str, mapping: dict[str, float]) -> str:
+    """Simple-CASE lookup returning NULL when absent (NULL == "not in
+    the lexicon", which the published gates test via membership)."""
     branches = " ".join(f"WHEN {_sq(w)} THEN {_lit(v)}" for w, v in mapping.items())
-    return f"(CASE {var} {branches} ELSE {_lit(0.0)} END)"
+    return f"(CASE {var} {branches} END)"
 
 
 def _in_list(var: str, words: tuple[str, ...]) -> str:
     return f"({var} IN ({', '.join(_sq(w) for w in words)}))"
 
 
-def _val_body(velem, belem, gelem) -> str:
-    """Per-position valence over PRECOMPUTED per-token arrays: ``velem``
-    / ``belem`` / ``gelem`` are engine-specific accessors into the
-    valence / booster-value / is-negation arrays (each token's lexicon
-    CASE runs ONCE when those arrays are built, not 7x per position —
-    the difference between an 11.6s and a ~4s sf0.1 scan). Position
-    var is ``i`` (1-based), but-index var ``bidx``. Identical literals
-    + operation order in both engines => bit-identical doubles."""
-    z = _lit(0.0)
-    boost = " + ".join(
-        f"(CASE WHEN i > {j} THEN {belem(f'i-{j}')} ELSE {z} END) * {_lit(DECAY[j - 1])}"
-        for j in (1, 2, 3)
+def _neg_expr(var: str) -> str:
+    """negated(): published NEGATE membership OR the "n't" substring."""
+    return f"({_in_list(var, NEGATE)} OR instr({var}, {_sq(chr(110) + chr(39) + chr(116))}) > 0)"
+
+
+_SP = "' '"  # the SQL literal for the idiom separator space
+
+
+# ----------------------------------------------------- accessor environments
+class _Env:
+    """Accessor environment the shared valence builder is generated
+    over. Three instances: Spark arrays, DuckDB lists, Spark lag/lead
+    columns (the join path) — one builder, three bit-identical plans."""
+
+    def __init__(self, *, cur, back, fwd, bind, n, cap, butx, i="i"):
+        self.cur = cur    # cur(field) -> SQL for token i's field
+        self.back = back  # back(field, d) -> SQL, NULL when i <= d
+        self.fwd = fwd    # fwd(field, k) -> SQL, NULL when i + k > n
+        self.bind = bind  # bind(var, val_sql, body_sql) -> SQL
+        self.n = n        # token count SQL
+        self.cap = cap    # cap-differential boolean SQL
+        self.butx = butx  # 1-based index of first 'but' (0 absent) SQL
+        self.i = i        # 1-based position var
+
+
+def _spark_bind(var: str, val: str, body: str) -> str:
+    return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+
+def _duck_bind(var: str, val: str, body: str) -> str:
+    return f"list_transform([{val}], {var} -> {body})[1]"
+
+
+def _array_env(elem, bind) -> _Env:
+    """Environment over per-token arrays in struct ``s`` with position
+    var ``i`` (used by both the Spark and DuckDB expression paths)."""
+    return _Env(
+        cur=lambda f: elem(f, "i"),
+        back=lambda f, d: f"(CASE WHEN i > {d} THEN {elem(f, f'i-{d}')} END)",
+        fwd=lambda f, k: f"(CASE WHEN i + {k} <= {elem.n} THEN {elem(f, f'i+{k}')} END)",
+        bind=bind,
+        n=elem.n,
+        cap=elem.cap,
+        butx=elem.butx,
     )
-    negated = " OR ".join(
-        f"(i > {j} AND {gelem(f'i-{j}')})" for j in (1, 2, 3)
+
+
+class _SparkElem:
+    n = "s.n"
+    cap = "s.c"
+    butx = "s.x"
+
+    def __call__(self, field: str, idx: str) -> str:
+        return f"element_at(s.{field}, cast({idx} as int))"
+
+
+class _DuckElem:
+    n = "struct_extract(s, 'n')"
+    cap = "struct_extract(s, 'c')"
+    butx = "struct_extract(s, 'x')"
+
+    def __call__(self, field: str, idx: str) -> str:
+        return f"struct_extract(s, '{field}')[CAST({idx} AS BIGINT)]"
+
+
+# -------------------------------------------------- the shared rule builder
+def _pos_valence(E: _Env) -> str:
+    """Published ``sentiment_valence`` for the token at 1-based
+    position ``i``, as one SQL scalar. Fields: 'l' lowercase token,
+    'v' lexicon valence (NULL absent), 'b' booster value (NULL
+    absent), 'u' isupper, 'g' negated-word flag. The sequential
+    valence mutation (caps -> distance-1 -> distance-2 -> distance-3
+    with idioms -> least) unrolls as nested single-element-array
+    bindings so each intermediate is evaluated exactly once."""
+    Z, C, NS = _lit(0.0), _lit(C_INCR), _lit(N_SCALAR)
+    L = lambda d: E.back("l", d)
+    V = lambda d: E.back("v", d)
+    B = lambda d: E.back("b", d)
+    U = lambda d: E.back("u", d)
+    G = lambda d: E.back("g", d)
+    l_i, v_i, b_i, u_i = E.cur("l"), E.cur("v"), E.cur("b"), E.cur("u")
+    lf1, lf2, vf1 = E.fwd("l", 1), E.fwd("l", 2), E.fwd("v", 1)
+    i, N = E.i, E.n
+
+    sp = lambda s_expr: _case_valence(s_expr, SPECIAL_CASES)
+    bm = lambda s_expr: f"coalesce({_case_valence(s_expr, _MULTIWORD_BOOSTERS)}, {Z})"
+
+    # polarity_scores preamble: boosters and "kind of" score 0 outright
+    skip = f"(({b_i}) IS NOT NULL OR ({l_i} = 'kind' AND {lf1} = 'of'))"
+
+    # base + the "no" special cases + ALL-CAPS emphasis
+    no_neg = (
+        f"(({L(1)} = 'no') OR ({L(2)} = 'no') OR "
+        f"({L(3)} = 'no' AND {L(1)} IN ('or', 'nor')))"
     )
-    return (
-        f"(CASE WHEN base_v = {z} THEN {z} ELSE "
-        f"(CASE WHEN base_v > {z} THEN base_v + ({boost}) "
-        f"ELSE base_v - ({boost}) END) "
-        f"* (CASE WHEN {negated} THEN {_lit(N_SCALAR)} ELSE {_lit(1.0)} END) "
-        f"* (CASE WHEN bidx > 0 AND i < bidx THEN {_lit(0.5)} "
-        f"WHEN bidx > 0 AND i > bidx THEN {_lit(1.5)} ELSE {_lit(1.0)} END) "
-        f"END)"
-    ).replace("base_v", velem("i"))
+    no_zero = f"({l_i} = 'no' AND {vf1} IS NOT NULL)"
+    v0 = E.bind(
+        "nv",
+        f"(CASE WHEN {no_neg} THEN {v_i} * {NS} "
+        f"WHEN {no_zero} THEN {Z} ELSE {v_i} END)",
+        f"(CASE WHEN {u_i} AND {E.cap} THEN "
+        f"(CASE WHEN nv > {Z} THEN nv + {C} ELSE nv - {C} END) "
+        f"ELSE nv END)",
+    )
+
+    def step(d: int, vvar: str) -> str:
+        """One distance of the published loop: booster scalar (with
+        caps and decay), then the distance's negation rules, then (at
+        distance 3) the idiom checks — all gated on the intervening
+        word not being a lexicon entry."""
+        decay = {1: None, 2: 0.95, 3: 0.9}[d]
+        mul = "" if decay is None else f" * {_lit(decay)}"
+        app = f"(i > {d} AND ({V(d)}) IS NULL)"
+        sc = (
+            f"(CASE WHEN ({B(d)}) IS NULL THEN {Z} ELSE "
+            f"((CASE WHEN {vvar} < {Z} THEN -({B(d)}) ELSE {B(d)} END) + "
+            f"(CASE WHEN {U(d)} AND {E.cap} THEN "
+            f"(CASE WHEN {vvar} > {Z} THEN {C} ELSE -{C} END) "
+            f"ELSE {Z} END)){mul} END)"
+        )
+        if d == 1:
+            vb = f"(CASE WHEN {G(1)} THEN va{d} * {NS} ELSE va{d} END)"
+        elif d == 2:
+            vb = (
+                f"(CASE WHEN {L(2)} = 'never' AND {L(1)} IN ('so', 'this') "
+                f"THEN va{d} * {_lit(NEVER_SO)} "
+                f"WHEN {L(2)} = 'without' AND {L(1)} = 'doubt' THEN va{d} "
+                f"WHEN {G(2)} THEN va{d} * {NS} ELSE va{d} END)"
+            )
+        else:
+            vb = (
+                f"(CASE WHEN {L(3)} = 'never' AND "
+                f"({L(2)} IN ('so', 'this') OR {L(1)} IN ('so', 'this')) "
+                f"THEN va{d} * {_lit(NEVER_SO)} "
+                f"WHEN {L(3)} = 'without' AND "
+                f"({L(2)} = 'doubt' OR {L(1)} = 'doubt') THEN va{d} "
+                f"WHEN {G(3)} THEN va{d} * {NS} ELSE va{d} END)"
+            )
+        if d == 3:
+            onezero = f"concat({L(1)}, ' ', {l_i})"
+            twoonezero = f"concat({L(2)}, ' ', {L(1)}, ' ', {l_i})"
+            twoone = f"concat({L(2)}, ' ', {L(1)})"
+            threetwoone = f"concat({L(3)}, ' ', {L(2)}, ' ', {L(1)})"
+            threetwo = f"concat({L(3)}, ' ', {L(2)})"
+            zeroone = (
+                f"(CASE WHEN i < {N} THEN "
+                f"{sp(f'concat({l_i}, {_SP}, {lf1})')} END)"
+            )
+            zeroonetwo = (
+                f"(CASE WHEN i + 1 < {N} THEN "
+                f"{sp(f'concat({l_i}, {_SP}, {lf1}, {_SP}, {lf2})')} END)"
+            )
+            # first matching look-back idiom wins; the look-ahead
+            # trigram overrides the bigram overrides those (published
+            # sequential assignment order)
+            vc = (
+                f"coalesce({zeroonetwo}, {zeroone}, "
+                f"{sp(onezero)}, {sp(twoonezero)}, {sp(twoone)}, "
+                f"{sp(threetwoone)}, {sp(threetwo)}, vb{d})"
+            )
+            body = (
+                f"((({vc}) + {bm(threetwoone)}) + {bm(threetwo)}) + {bm(twoone)}"
+            )
+        else:
+            body = f"vb{d}"
+        inner = E.bind(
+            f"sc{d}", sc,
+            E.bind(f"va{d}", f"({vvar} + sc{d})", E.bind(f"vb{d}", vb, body)),
+        )
+        return f"(CASE WHEN {app} THEN {inner} ELSE {vvar} END)"
+
+    least = (
+        f"(CASE WHEN i > 2 AND ({V(1)}) IS NULL AND {L(1)} = 'least' THEN "
+        f"(CASE WHEN {L(2)} <> 'at' AND {L(2)} <> 'very' "
+        f"THEN v3 * {NS} ELSE v3 END) "
+        f"WHEN i = 2 AND ({V(1)}) IS NULL AND {L(1)} = 'least' "
+        f"THEN v3 * {NS} ELSE v3 END)"
+    )
+    core = E.bind(
+        "v0", v0,
+        E.bind(
+            "v1", step(1, "v0"),
+            E.bind("v2", step(2, "v1"), E.bind("v3", step(3, "v2"), least)),
+        ),
+    )
+    butscale = (
+        f"(CASE WHEN {E.butx} > 0 AND i < {E.butx} THEN {_lit(0.5)} "
+        f"WHEN {E.butx} > 0 AND i > {E.butx} THEN {_lit(1.5)} "
+        f"ELSE {_lit(1.0)} END)"
+    )
+    body = (
+        f"(CASE WHEN {skip} THEN {Z} WHEN ({v_i}) IS NULL THEN {Z} "
+        f"ELSE {core} END) * {butscale}"
+    )
+    # the builder emits the position var as literal ``i``; environments
+    # whose position lives elsewhere (the join path's _pos column) bind
+    # it via one outer single-element-array lambda
+    if i != "i":
+        body = E.bind("i", i, body)
+    return body
 
 
 def _punct_norm(raw: str, ep: str, qm: str) -> str:
@@ -200,33 +443,82 @@ def _punct_parts(text: str) -> tuple[str, str]:
     return ep, qm
 
 
+def _isup(t: str) -> str:
+    """str.isupper(): >=1 cased char, all cased chars upper."""
+    return f"(upper({t}) = {t} AND lower({t}) <> {t})"
+
+
+def _strip_sql(t: str, engine: str) -> str:
+    """Published token cleanup: strip edge punctuation, but keep the
+    ORIGINAL token when the stripped form is <= 2 chars."""
+    if engine == "spark":
+        pat = _sq(_STRIP_RE.replace("\\", "\\\\"))
+        rep = f"regexp_replace({t}, {pat}, '')"
+    else:
+        pat = _sq(_STRIP_RE)
+        rep = f"regexp_replace({t}, {pat}, '', 'g')"
+    return rep
+
+
+def _struct_fields(toks: str, engine: str, lexicon: dict[str, float]) -> dict[str, str]:
+    """The per-token lookup arrays + document scalars, each built ONCE
+    from the bound token array (the CollapseProject re-evaluation
+    pitfall — see pretrain._gram_expr)."""
+    if engine == "spark":
+        tr = lambda body: f"transform({toks}, t -> {body})"
+        low_arr = f"transform({toks}, t -> lower(t))"
+        butx = f"coalesce(array_position({low_arr}, 'but'), 0)"
+        nup = (
+            f"aggregate(transform({toks}, t -> CASE WHEN {_isup('t')} "
+            f"THEN 1 ELSE 0 END), 0, (a, x) -> a + x)"
+        )
+        cap = (
+            f"element_at(transform(array({nup}), nup -> "
+            f"(nup > 0 AND nup < size({toks}))), 1)"
+        )
+        n = f"size({toks})"
+    else:
+        tr = lambda body: f"list_transform({toks}, t -> {body})"
+        low_arr = f"list_transform({toks}, t -> lower(t))"
+        butx = f"coalesce(list_position({low_arr}, 'but'), 0)"
+        nup = (
+            f"list_reduce(list_prepend(0, list_transform({toks}, "
+            f"t -> CASE WHEN {_isup('t')} THEN 1 ELSE 0 END)), (a, x) -> a + x)"
+        )
+        cap = (
+            f"list_transform([{nup}], nup -> "
+            f"(nup > 0 AND nup < len({toks})))[1]"
+        )
+        n = f"len({toks})"
+    return {
+        "v": tr(_case_valence("lower(t)", lexicon)),
+        "b": tr(_case_valence("lower(t)", BOOSTER_DICT)),
+        "u": tr(_isup("t")),
+        "l": low_arr,
+        "g": tr(_neg_expr("lower(t)")),
+        "x": butx,
+        "n": n,
+        "c": cap,
+    }
+
+
 def vader_compound_expr(
     text_col: str, lexicon: dict[str, float] | None = None
 ) -> Column:
-    """Compound score as ONE expression. The token array, the three
-    per-token lookup arrays (valence / booster / negation — each
-    lexicon CASE evaluated once per token), the but-index, and the raw
-    sum are each bound ONCE via single-element-array lambdas (the
-    CollapseProject re-evaluation pitfall — see pretrain._gram_expr)."""
+    """Compound score as ONE Catalyst expression chain."""
     lexicon = lexicon or LEXICON
     text = f"coalesce({text_col}, '')"
+    rawtoks = f"filter(split({text}, '\\\\s+'), t -> t <> '')"
     toks = (
-        f"filter(transform(split(lower({text}), '\\\\s+'),"
-        f" t -> regexp_replace(t, {_sq(_STRIP_RE)}, '')), t -> t <> '')"
+        f"transform({rawtoks}, t -> element_at(transform("
+        f"array({_strip_sql('t', 'spark')}), st -> "
+        f"CASE WHEN length(st) > 2 THEN st ELSE t END), 1))"
     )
-    lookups = (
-        f"named_struct("
-        f"'v', transform(toks, t -> {_case_valence('t', lexicon)}), "
-        f"'b', transform(toks, t -> {_case_valence('t', BOOSTERS)}), "
-        f"'g', transform(toks, t -> {_in_list('t', NEGATIONS)}), "
-        f"'x', coalesce(array_position(toks, 'but'), 0), "
-        f"'n', size(toks))"
-    )
-    val = _val_body(
-        lambda idx: f"element_at(s.v, cast({idx} as int))",
-        lambda idx: f"element_at(s.b, cast({idx} as int))",
-        lambda idx: f"element_at(s.g, cast({idx} as int))",
-    ).replace("bidx", "s.x")
+    fields = _struct_fields("toks", "spark", lexicon)
+    lookups = "named_struct(" + ", ".join(
+        f"'{k}', {v}" for k, v in fields.items()
+    ) + ")"
+    val = _pos_valence(_array_env(_SparkElem(), _spark_bind))
     raw = (
         f"CASE WHEN s.n = 0 THEN {_lit(0.0)} ELSE "
         f"aggregate(transform(sequence(1, s.n), i -> {val}),"
@@ -252,39 +544,31 @@ def vader_label_expr(compound: Column) -> Column:
 
 
 def vader_sql(text_col: str, lexicon: dict[str, float] | None = None) -> str:
-    """DuckDB twin of ``vader_compound_expr``: same constants, same
-    left-to-right summation => bit-identical compound. Returns a
-    scalar SQL expression over ``text_col``."""
+    """DuckDB twin of ``vader_compound_expr``: same builder, same
+    constants, same left-to-right summation => bit-identical compound.
+    Returns a scalar SQL expression over ``text_col``."""
     lexicon = lexicon or LEXICON
     text = f"coalesce({text_col}, '')"
+    rawtoks = f"list_filter(regexp_split_to_array({text}, '\\s+'), t -> t <> '')"
     toks = (
-        f"list_filter(list_transform(regexp_split_to_array(lower({text}), '\\s+'),"
-        f" t -> regexp_replace(t, {_sq(_STRIP_RE)}, '', 'g')), t -> t <> '')"
+        f"list_transform({rawtoks}, t -> list_transform("
+        f"[{_strip_sql('t', 'duck')}], st -> "
+        f"CASE WHEN length(st) > 2 THEN st ELSE t END)[1])"
     )
-    lookups = (
-        f"{{'v': list_transform(toks, t -> {_case_valence('t', lexicon)}), "
-        f"'b': list_transform(toks, t -> {_case_valence('t', BOOSTERS)}), "
-        f"'g': list_transform(toks, t -> {_in_list('t', NEGATIONS)}), "
-        f"'x': coalesce(list_position(toks, 'but'), 0), "
-        f"'n': len(toks)}}"
-    )
-    val = _val_body(
-        lambda idx: f"struct_extract(s, 'v')[CAST({idx} AS BIGINT)]",
-        lambda idx: f"struct_extract(s, 'b')[CAST({idx} AS BIGINT)]",
-        lambda idx: f"struct_extract(s, 'g')[CAST({idx} AS BIGINT)]",
-    ).replace("bidx", "struct_extract(s, 'x')")
+    fields = _struct_fields("toks", "duck", lexicon)
+    lookups = "{" + ", ".join(f"'{k}': {v}" for k, v in fields.items()) + "}"
+    val = _pos_valence(_array_env(_DuckElem(), _duck_bind))
     # list_reduce errors on empty input — prepend the 0.0 accumulator;
     # ((0+v1)+v2)... matches Spark's aggregate fold exactly.
+    nn = "struct_extract(s, 'n')"
     raw = (
-        f"CASE WHEN struct_extract(s, 'n') = 0 THEN {_lit(0.0)} ELSE "
+        f"CASE WHEN {nn} = 0 THEN {_lit(0.0)} ELSE "
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
-        f" list_transform(range(1, struct_extract(s, 'n') + 1), i -> {val})),"
+        f" list_transform(range(1, {nn} + 1), i -> {val})),"
         f" (a, v) -> a + v) END"
     )
     ep, qm = _punct_parts(text)
     body = _punct_norm("raw_v", ep, qm)
-    # bind via lambdas over single-element lists, mirroring the Spark
-    # binding trick (DuckDB inlines CTE columns referenced many times)
     return (
         f"list_transform([{toks}], toks -> "
         f"list_transform([{lookups}], s -> "
@@ -294,54 +578,142 @@ def vader_sql(text_col: str, lexicon: dict[str, float] | None = None) -> str:
 
 
 # -------------------------------------------------------------- golden ref
-def vader_compound_py(text: str | None, lexicon: dict[str, float] | None = None) -> float:
-    """Pure-Python reference of the same simplified-VADER spec (same
-    rules, same constants, same summation order) for golden tests."""
-    import math
-    import re
+def _tokenize_py(text: str) -> list[str]:
+    import string
 
+    out = []
+    for t in text.split():
+        st = t.strip(string.punctuation)
+        out.append(st if len(st) > 2 else t)
+    return out
+
+
+def vader_compound_py(
+    text: str | None, lexicon: dict[str, float] | None = None
+) -> float:
+    """Pure-Python reference of the published algorithm — the same
+    rules, constants, and float-operation order as the SQL builders."""
     lexicon = lexicon or LEXICON
     text = text or ""
-    toks = [
-        re.sub(r"^[^a-z0-9']+|[^a-z0-9']+$", "", t) for t in re.split(r"\s+", text.lower())
-    ]
-    toks = [t for t in toks if t]
-    bidx = toks.index("but") + 1 if "but" in toks else 0
-    raw = 0.0
-    for i in range(1, len(toks) + 1):
-        base = lexicon.get(toks[i - 1], 0.0)
-        if base == 0.0:
+    toks = _tokenize_py(text)
+    low = [t.lower() for t in toks]
+    n = len(toks)
+    isup = [t.isupper() for t in toks]
+    cap_diff = 0 < sum(isup) < n
+
+    def negated(w: str) -> bool:
+        return w in NEGATE or "n't" in w
+
+    sentiments: list[float] = []
+    for i in range(n):
+        if low[i] in BOOSTER_DICT:
+            sentiments.append(0.0)
             continue
-        boost = sum(
-            BOOSTERS.get(toks[i - 1 - j], 0.0) * DECAY[j - 1]
-            for j in (1, 2, 3)
-            if i > j
-        )
-        v = base + boost if base > 0 else base - boost
-        if any(i > j and toks[i - 1 - j] in NEGATIONS for j in (1, 2, 3)):
+        if i < n - 1 and low[i] == "kind" and low[i + 1] == "of":
+            sentiments.append(0.0)
+            continue
+        if low[i] not in lexicon:
+            sentiments.append(0.0)
+            continue
+        v = lexicon[low[i]]
+        if low[i] == "no" and i != n - 1 and low[i + 1] in lexicon:
+            v = 0.0
+        if (
+            (i > 0 and low[i - 1] == "no")
+            or (i > 1 and low[i - 2] == "no")
+            or (i > 2 and low[i - 3] == "no" and low[i - 1] in ("or", "nor"))
+        ):
+            v = lexicon[low[i]] * N_SCALAR
+        if isup[i] and cap_diff:
+            v = v + C_INCR if v > 0 else v - C_INCR
+        for start_i in range(3):
+            j = i - (start_i + 1)
+            if i > start_i and low[j] not in lexicon:
+                sc = 0.0
+                if low[j] in BOOSTER_DICT:
+                    sc = BOOSTER_DICT[low[j]]
+                    if v < 0:
+                        sc = -sc
+                    if isup[j] and cap_diff:
+                        sc = sc + C_INCR if v > 0 else sc - C_INCR
+                if start_i == 1 and sc != 0:
+                    sc *= 0.95
+                if start_i == 2 and sc != 0:
+                    sc *= 0.9
+                v = v + sc
+                if start_i == 0:
+                    if negated(low[j]):
+                        v *= N_SCALAR
+                elif start_i == 1:
+                    if low[i - 2] == "never" and low[i - 1] in ("so", "this"):
+                        v *= NEVER_SO
+                    elif low[i - 2] == "without" and low[i - 1] == "doubt":
+                        pass
+                    elif negated(low[i - 2]):
+                        v *= N_SCALAR
+                else:
+                    if low[i - 3] == "never" and (
+                        low[i - 2] in ("so", "this") or low[i - 1] in ("so", "this")
+                    ):
+                        v *= NEVER_SO
+                    elif low[i - 3] == "without" and (
+                        low[i - 2] == "doubt" or low[i - 1] == "doubt"
+                    ):
+                        pass
+                    elif negated(low[i - 3]):
+                        v *= N_SCALAR
+                    onezero = f"{low[i - 1]} {low[i]}"
+                    twoonezero = f"{low[i - 2]} {low[i - 1]} {low[i]}"
+                    twoone = f"{low[i - 2]} {low[i - 1]}"
+                    threetwoone = f"{low[i - 3]} {low[i - 2]} {low[i - 1]}"
+                    threetwo = f"{low[i - 3]} {low[i - 2]}"
+                    for seq in (onezero, twoonezero, twoone, threetwoone, threetwo):
+                        if seq in SPECIAL_CASES:
+                            v = SPECIAL_CASES[seq]
+                            break
+                    if n - 1 > i:
+                        zeroone = f"{low[i]} {low[i + 1]}"
+                        if zeroone in SPECIAL_CASES:
+                            v = SPECIAL_CASES[zeroone]
+                    if n - 1 > i + 1:
+                        zeroonetwo = f"{low[i]} {low[i + 1]} {low[i + 2]}"
+                        if zeroonetwo in SPECIAL_CASES:
+                            v = SPECIAL_CASES[zeroonetwo]
+                    for g in (threetwoone, threetwo, twoone):
+                        if g in BOOSTER_DICT:
+                            v += BOOSTER_DICT[g]
+        if i > 1 and low[i - 1] not in lexicon and low[i - 1] == "least":
+            if low[i - 2] != "at" and low[i - 2] != "very":
+                v *= N_SCALAR
+        elif i > 0 and low[i - 1] not in lexicon and low[i - 1] == "least":
             v *= N_SCALAR
-        if bidx > 0 and i < bidx:
-            v *= 0.5
-        elif bidx > 0 and i > bidx:
-            v *= 1.5
-        raw += v
+        sentiments.append(v)
+    if "but" in low:
+        bi = low.index("but")
+        sentiments = [
+            s * 0.5 if k < bi else (s * 1.5 if k > bi else s)
+            for k, s in enumerate(sentiments)
+        ]
+    total = 0.0
+    for s in sentiments:
+        total += s
     ep = min(text.count("!"), 4) * EP_AMP
     q = text.count("?")
     qm = QM_MANY if q > 3 else (q * QM_SOME if q > 1 else 0.0)
-    if raw > 0:
-        raw += ep + qm
-    elif raw < 0:
-        raw -= ep + qm
+    if total > 0:
+        total += ep + qm
+    elif total < 0:
+        total -= ep + qm
     else:
         return 0.0
-    return raw / math.sqrt(raw * raw + ALPHA)
+    return total / math.sqrt(total * total + ALPHA)
 
 
 # ------------------------------------------------------------- join path
 def load_vader_lexicon(path: str) -> dict[str, float]:
     """Parse the real MIT-licensed vader_lexicon.txt (token\\tmean\\t
-    stddev\\traw_ratings) for the join path. Multi-word and non-ascii
-    entries are kept as-is; the join tokenizer only matches unigrams."""
+    stddev\\traw_ratings) for either path. Multi-word and non-ascii
+    entries are kept as-is; the tokenizer only matches unigrams."""
     out: dict[str, float] = {}
     with open(path, encoding="utf-8") as fh:
         for line in fh:
@@ -362,14 +734,15 @@ def vader_compound_join(
     expression (the full VADER file, domain lexicons, multilingual).
 
     Plan: posexplode tokens -> broadcast-join (token -> valence,
-    booster) -> lag windows over (doc, pos) for the 3-token
-    booster/negation context and the but-index -> per-doc sequential
-    re-sum via sort_array(collect_list(struct(pos, val))): the fold
-    order is exactly the expression path's left-to-right order, so the
-    result is BIT-IDENTICAL to ``vader_compound_expr`` on the same
-    lexicon (asserted in tests). One shuffle (the groupBy); the
-    explode is corpus-linear.
-    """
+    booster) -> lag/lead windows over (doc, pos) for the published
+    3-token context -> the SAME ``_pos_valence`` rule expression over
+    those columns -> per-doc sequential re-sum via
+    sort_array(collect_list(struct(pos, val))): the fold order is
+    exactly the expression path's left-to-right order, so the result
+    is BIT-IDENTICAL to ``vader_compound_expr`` on the same lexicon
+    (asserted in tests). One shuffle (the window + groupBy share the
+    hash(_id) partitioning, so AQE runs them in one exchange); the
+    explode is corpus-linear."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -378,67 +751,75 @@ def vader_compound_join(
         spark.createDataFrame(list(lexicon.items()), "tok string, valence double")
     )
     boost_df = F.broadcast(
-        spark.createDataFrame(list(BOOSTERS.items()), "tok string, bval double")
+        spark.createDataFrame(list(BOOSTER_DICT.items()), "tok string, bval double")
     )
     text = f"coalesce({text_col}, '')"
+    rawtoks = f"filter(split({text}, '\\\\s+'), t -> t <> '')"
     toks = (
-        f"filter(transform(split(lower({text}), '\\\\s+'),"
-        f" t -> regexp_replace(t, {_sq(_STRIP_RE)}, '')), t -> t <> '')"
+        f"transform({rawtoks}, t -> element_at(transform("
+        f"array({_strip_sql('t', 'spark')}), st -> "
+        f"CASE WHEN length(st) > 2 THEN st ELSE t END), 1))"
     )
     ep, qm = _punct_parts(text)
+    # document-level scalars computed ONCE from the token array — no
+    # extra window passes for n / cap-diff / but-index
     base = df.select(
         F.col(id_col).alias("_id"),
         F.expr(toks).alias("_toks"),
         F.expr(ep).alias("_ep"),
         F.expr(qm).alias("_qm"),
+    ).select(
+        "_id",
+        "_toks",
+        "_ep",
+        "_qm",
+        F.expr("size(_toks)").alias("_n"),
+        F.expr(
+            "element_at(transform(array(aggregate(transform(_toks, "
+            f"t -> CASE WHEN {_isup('t')} THEN 1 ELSE 0 END), 0, "
+            "(a, x) -> a + x)), nup -> (nup > 0 AND nup < size(_toks))), 1)"
+        ).alias("_cap"),
+        F.expr(
+            "coalesce(array_position(transform(_toks, t -> lower(t)), 'but'), 0)"
+        ).alias("_bx"),
     )
     tok = base.select(
-        "_id", "_ep", "_qm", F.posexplode_outer("_toks").alias("_pos", "_tok")
+        "_id", "_ep", "_qm", "_n", "_cap", "_bx",
+        F.posexplode_outer("_toks").alias("_pos", "_tok"),
     ).withColumn("_pos", F.col("_pos") + 1)  # 1-based like the expr path
+    tok = tok.withColumn("_low", F.lower("_tok")).withColumn(
+        "_up", F.expr(_isup("_tok"))
+    )
     tok = (
-        tok.join(lex_df, tok["_tok"] == lex_df["tok"], "left")
+        tok.join(lex_df, tok["_low"] == lex_df["tok"], "left")
         .drop("tok")
-        .join(boost_df, tok["_tok"] == boost_df["tok"], "left")
+        .join(boost_df, tok["_low"] == boost_df["tok"], "left")
         .drop("tok")
     )
+    tok = tok.withColumn("_ng", F.expr(_neg_expr("_low")))
     w = Window.partitionBy("_id").orderBy("_pos")
-    wd = Window.partitionBy("_id")
-    prev_tok = [F.lag("_tok", j).over(w) for j in (1, 2, 3)]
-    prev_b = [F.lag("bval", j).over(w) for j in (1, 2, 3)]
-    boost = sum(
-        F.coalesce(pb, F.lit(0.0)) * F.lit(d) for pb, d in zip(prev_b, DECAY)
+    lag_src = {"l": "_low", "v": "valence", "b": "bval", "u": "_up", "g": "_ng"}
+    for f, col in lag_src.items():
+        for d in (1, 2, 3):
+            tok = tok.withColumn(f"_{f}b{d}", F.lag(col, d).over(w))
+    tok = (
+        tok.withColumn("_lf1", F.lead("_low", 1).over(w))
+        .withColumn("_lf2", F.lead("_low", 2).over(w))
+        .withColumn("_vf1", F.lead("valence", 1).over(w))
     )
-    negated = None
-    for pt in prev_tok:
-        cond = pt.isin(*NEGATIONS)
-        negated = cond if negated is None else (negated | cond)
-    # FIRST 'but' anchors the clause split — F.min, to match the
-    # expression path / Python golden / oracle (array_position
-    # semantics); max would re-anchor to the last 'but' and break
-    # bit-identity on any double-'but' sentence
-    bidx = F.min(
-        F.when(F.col("_tok") == "but", F.col("_pos")).otherwise(F.lit(None))
-    ).over(wd)
-    scaled = F.when(
-        F.col("valence") > 0, F.col("valence") + boost
-    ).otherwise(F.col("valence") - boost)
-    val = (
-        F.when(F.col("valence").isNull() | (F.col("valence") == 0.0), F.lit(0.0))
-        .otherwise(
-            scaled
-            * F.when(F.coalesce(negated, F.lit(False)), F.lit(N_SCALAR)).otherwise(
-                F.lit(1.0)
-            )
-            * F.when(
-                bidx.isNotNull() & (F.col("_pos") < bidx), F.lit(0.5)
-            )
-            .when(bidx.isNotNull() & (F.col("_pos") > bidx), F.lit(1.5))
-            .otherwise(F.lit(1.0))
-        )
+    env = _Env(
+        cur=lambda f: lag_src[f],
+        back=lambda f, d: f"_{f}b{d}",
+        fwd=lambda f, k: {"l": {1: "_lf1", 2: "_lf2"}, "v": {1: "_vf1"}}[f][k],
+        bind=_spark_bind,
+        n="_n",
+        cap="_cap",
+        butx="_bx",
+        i="_pos",
     )
+    tok = tok.withColumn("_val", F.expr(_pos_valence(env)))
     per_doc = (
-        tok.withColumn("_val", val)
-        .groupBy("_id")
+        tok.groupBy("_id")
         .agg(
             F.first("_ep").alias("_ep"),
             F.first("_qm").alias("_qm"),
