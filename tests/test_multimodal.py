@@ -26,11 +26,86 @@ def test_extract_features_schema_and_determinism(spark):
     assert rows[7]["feat_mean"] == sum(payload) // len(payload)
 
 
-def test_decode_is_explicitly_stubbed():
+def _bmp24(width, height, rows_rgb, top_down=False):
+    """Hand-build a 24-bit BI_RGB BMP: ``rows_rgb`` is top-down
+    [[(r,g,b), ...], ...]; storage order flips unless top_down."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    px = bytearray()
+    storage = rows_rgb if top_down else list(reversed(rows_rgb))
+    for row in storage:
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        px += line
+    h_field = -height if top_down else height
+    dib = struct.pack("<IiiHHIIiiII", 40, width, h_field, 1, 24, 0,
+                      len(px), 2835, 2835, 0, 0)
+    off = 14 + len(dib)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
+    return bytes(hdr + dib + px)
+
+
+def test_decode_image_bmp_24bit_padding_and_row_order():
+    """24-bit BMP with a non-multiple-of-4 stride (3px wide => 9 bytes
+    + 3 pad): bottom-up storage must come back top-down RGB, exact."""
     from reddit_can_bigdata_spark.multimodal.binaryops import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    for top_down in (False, True):
+        img = decode_image(_bmp24(3, 2, rows, top_down=top_down))
+        assert (img.width, img.height, img.mode) == (3, 2, "RGB")
+        want = bytes(c for row in rows for p in row for c in p)
+        assert img.pixels == want, top_down
+
+
+def test_decode_image_ppm_p6_p3_and_comments():
+    from reddit_can_bigdata_spark.multimodal.binaryops import decode_image
+
+    px = bytes((1, 2, 3, 4, 5, 6))
+    img = decode_image(b"P6\n# a comment\n2 1\n255\n" + px)
+    assert (img.width, img.height, img.pixels) == (2, 1, px)
+    img3 = decode_image(b"P3\n2 1\n255\n1 2 3 4 5 6\n")
+    assert (img3.width, img3.height, img3.pixels) == (2, 1, px)
+
+
+def test_decode_image_rejects_unsupported_with_clear_error():
+    from reddit_can_bigdata_spark.multimodal.binaryops import decode_image
+
+    with pytest.raises(ValueError, match="unsupported image container"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P6\n2 2\n255\n\x00")
+    with pytest.raises(ValueError, match="compression"):
+        bad = bytearray(_bmp24(2, 1, [[(0, 0, 0), (0, 0, 0)]]))
+        bad[30] = 1  # BI_RLE8
+        decode_image(bytes(bad))
+
+
+def test_image_pixel_stats_end_to_end(spark):
+    """REAL decode over mapInPandas: BMP + PPM payloads mixed with a
+    corrupt blob; exact dimensions and channel means come back, the
+    corrupt row is dropped (not a crash)."""
+    from reddit_can_bigdata_spark.multimodal.binaryops import image_pixel_stats
+
+    bmp = _bmp24(2, 2, [
+        [(10, 20, 30), (10, 20, 30)],
+        [(10, 20, 30), (10, 20, 30)],
+    ])
+    ppm = b"P6\n1 2\n255\n" + bytes((100, 150, 200, 102, 152, 202))
+    rows = [(1, bytearray(bmp)), (2, bytearray(ppm)), (3, bytearray(b"garbage"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in image_pixel_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["width"], got[1]["height"]) == (2, 2)
+    assert (got[1]["mean_r"], got[1]["mean_g"], got[1]["mean_b"]) == (10, 20, 30)
+    assert (got[2]["width"], got[2]["height"]) == (1, 2)
+    assert (got[2]["mean_r"], got[2]["mean_g"], got[2]["mean_b"]) == (101, 151, 201)
 
 
 def test_sample_frames_one_to_n_and_deterministic(spark):
