@@ -13,7 +13,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from reddit_can_bigdata_spark.operators.common import DSUM_SQL, dsum, tables
+from reddit_can_bigdata_spark.operators.common import (
+    DSUM_SQL,
+    dsum,
+    iter_checkpoint,
+    tables,
+)
 from reddit_can_bigdata_spark.operators.graph import (
     _EDGES_SQL,
     _edges,
@@ -69,7 +74,7 @@ def _bfs_distances(
     roots = sources if sources is not None else sym.select("src").distinct()
     dist = roots.select(
         "src", F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint(eager=True)
+    ).transform(iter_checkpoint)
     frontier = dist
     frontier_n = None  # rows in `frontier` (known after round 1)
     edges = sym.withColumnRenamed("src", "mid")
@@ -147,7 +152,7 @@ def _bfs_distances(
                 found = found.unionByName(easy)
             improved = found.select(
                 "src", "node", F.lit(depth).cast("long").alias("dist")
-            ).localCheckpoint(eager=True)
+            ).transform(iter_checkpoint)
         else:
             expanded = (
                 frontier.join(edges, frontier.node == F.col("mid"))
@@ -162,7 +167,7 @@ def _bfs_distances(
                 expanded.join(old, ["src", "node"], "left")
                 .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
                 .select("src", "node", "dist")
-                .localCheckpoint(eager=True)
+                .transform(iter_checkpoint)
             )
         frontier_n = improved.count()
         if frontier_n == 0:
@@ -170,7 +175,7 @@ def _bfs_distances(
         dist = (
             dist.join(improved.select("src", "node"), ["src", "node"], "left_anti")
             .unionByName(improved)
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
         if unweighted:
             dist_n += frontier_n
@@ -415,8 +420,9 @@ def g5_eigenvector_centrality(
         )
         # m feeds both the norm and the next vector — checkpoint it or
         # the plan doubles every iteration (2^EIGEN_ITERS blowup; OOMs
-        # the driver just rendering the tree). Cluster: checkpoint().
-        m = m.localCheckpoint(eager=True)
+        # the driver just rendering the tree). iter_checkpoint goes
+        # reliable when spark.redditCan.iterCheckpointDir is set.
+        m = m.transform(iter_checkpoint)
         norm = m.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
         v = m.crossJoin(F.broadcast(norm)).select(
             "node", (F.col("val") / F.col("nrm")).alias("val")

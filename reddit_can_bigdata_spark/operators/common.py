@@ -11,6 +11,40 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return load_tables(spark, sf_dir)
 
 
+ITER_CHECKPOINT_DIR_CONF = "spark.redditCan.iterCheckpointDir"
+
+
+def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Per-round lineage truncation for iterative loops (PageRank,
+    BFS/Brandes, label propagation, k-core, BPE), with a RELIABLE mode
+    for real clusters.
+
+    Default: ``localCheckpoint`` — executor-local shuffle files, no
+    distributed filesystem needed, right for local mode and the bench.
+    But executor-local blocks die with the executor: at 100x scale a
+    single lost executor kills a 40-round PageRank mid-flight. Setting
+    the runtime conf ``spark.redditCan.iterCheckpointDir`` to an
+    HDFS/S3 path swaps every loop's truncation to reliable
+    ``checkpoint()`` (files survive executor loss; lineage restarts
+    from the checkpoint, not from round 0). One conf, no per-operator
+    plumbing:
+
+        spark.conf.set("spark.redditCan.iterCheckpointDir", "s3://...")
+
+    The non-loop ``localCheckpoint`` sites (influencer's shared edge
+    cache, scalar barriers) intentionally stay local — they cache a
+    finished result for O(seconds) reuse, where recompute-on-loss is
+    the cheaper failure mode."""
+    spark = df.sparkSession
+    ckdir = spark.conf.get(ITER_CHECKPOINT_DIR_CONF, None)
+    if ckdir:
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() != ckdir:
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to cluster parallelism.
 

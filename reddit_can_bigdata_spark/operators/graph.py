@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from reddit_can_bigdata_spark.operators.common import tables
+from reddit_can_bigdata_spark.operators.common import iter_checkpoint, tables
 from reddit_can_bigdata_spark.registry import register
 
 PAGERANK_ITERS = 10
@@ -542,9 +542,10 @@ def g6_pagerank(
         # eager checkpoint every round: the broadcast above *executes*
         # the ranks plan, so an un-truncated lineage would re-run the
         # previous rounds on every broadcast (measured 1.7x slower when
-        # checkpointing only every 3rd round). On a cluster use
-        # checkpoint() to a reliable dir instead.
-        ranks = ranks.localCheckpoint(eager=True)
+        # checkpointing only every 3rd round). iter_checkpoint swaps to
+        # reliable checkpoint() when spark.redditCan.iterCheckpointDir
+        # is set (survives executor loss on a cluster).
+        ranks = ranks.transform(iter_checkpoint)
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 
@@ -617,7 +618,7 @@ def label_prop_partition(
             votes.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
         # sync label-prop is deterministic, so an unchanged round is a
         # fixed point and every further round is a no-op — early exit
@@ -785,7 +786,7 @@ def min_label_components(
         )
         # nxt is referenced twice below — checkpoint or the plan
         # doubles per iteration (2^iters blowup)
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(iter_checkpoint)
         changed = nxt.where("chg").limit(1).count()
         labels = nxt.select("node", "label")
         # min-label is monotone: once a round changes nothing, every
@@ -891,7 +892,7 @@ def _brandes_forward(
     """
     lvl0 = sources.select(
         F.col("node").alias("src"), F.col("node"), F.lit(1).cast("long").alias("sigma")
-    ).localCheckpoint(eager=True)
+    ).transform(iter_checkpoint)
     srcs_n = lvl0.count()
     all_nodes = sym.select(F.col("dst").alias("node")).distinct()
     nodes_n = all_nodes.count()
@@ -923,7 +924,7 @@ def _brandes_forward(
                 cand.join(fkeys, ["src", "nbr"])
                 .groupBy("src", "node")
                 .agg(F.sum("sigma").alias("sigma"))
-                .localCheckpoint(eager=True)
+                .transform(iter_checkpoint)
             )
         else:
             expanded = cur.join(edges, cur.node == F.col("mid")).select(
@@ -933,13 +934,13 @@ def _brandes_forward(
                 expanded.join(visited, ["src", "node"], "left_anti")
                 .groupBy("src", "node")
                 .agg(F.sum("sigma").alias("sigma"))
-                .localCheckpoint(eager=True)
+                .transform(iter_checkpoint)
             )
         nxt_n = nxt.count()
         if nxt_n == 0:
             break
         frontiers.append(nxt)
-        visited = visited.unionByName(nxt.select("src", "node")).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt.select("src", "node")).transform(iter_checkpoint)
         visited_n += nxt_n
         cur, cur_n = nxt, nxt_n
     return frontiers
@@ -1013,7 +1014,7 @@ def _brandes_backward(sym: DataFrame, frontiers: list[DataFrame]) -> list[DataFr
             .select(
                 "src", "node", "sigma", F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta")
             )
-            .localCheckpoint(eager=True)
+            .transform(iter_checkpoint)
         )
         lv_n = f_n
         out.append(lv)
@@ -1359,7 +1360,7 @@ def g12_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0][0]
     )
     k = (2 * k_med + 2) // 3
-    alive = deg.select("a").localCheckpoint()
+    alive = deg.select("a").transform(iter_checkpoint)
     n_alive = alive.count()
     rounds = 0
     while True:
@@ -1371,7 +1372,7 @@ def g12_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("d") >= k)
             .select("a")
         )
-        surviving = surviving.localCheckpoint()
+        surviving = surviving.transform(iter_checkpoint)
         n_new = surviving.count()
         rounds += 1
         if n_new == n_alive or n_new == 0:

@@ -29,7 +29,7 @@ from reddit_can_bigdata_spark.functions.text import (
     PORTABLE_HASH32_SQL,
     portable_hash32,
 )
-from reddit_can_bigdata_spark.operators.common import spread, tables
+from reddit_can_bigdata_spark.operators.common import iter_checkpoint, spread, tables
 from reddit_can_bigdata_spark.registry import register
 
 CHUNK_TOKENS = 16  # tokens per chunk window
@@ -1414,7 +1414,7 @@ def bpe_learn_merges(
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
     vocab = wc.select("cnt", F.expr(_chars_expr("word")).alias("syms"))
-    vocab = vocab.localCheckpoint()
+    vocab = vocab.transform(iter_checkpoint)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         pairs = vocab.where(F.size("syms") >= 2).select(
@@ -1441,7 +1441,7 @@ def bpe_learn_merges(
         merges.append((l, r, total))
         vocab = vocab.select(
             "cnt", F.expr(_merge_fold_expr("syms", l, r)).alias("syms")
-        ).localCheckpoint()
+        ).transform(iter_checkpoint)
     return merges
 
 
