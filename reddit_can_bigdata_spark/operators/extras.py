@@ -795,6 +795,7 @@ _SCD2_DIM_SQL = """
           OR epoch_us(CAST(e.ts AS TIMESTAMP)) < d.valid_to_us)
     """,
     tags=("warehouse", "scd2", "temporal-join"),
+    bench=True,
 )
 def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (AS OF) join against the SCD2 dimension: every
@@ -859,6 +860,7 @@ TOPK_TIES_K = 3
     WHERE rnk <= {TOPK_TIES_K}
     """,
     tags=("window", "topk", "ties"),
+    bench=True,
 )
 def topk_per_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group WITH ties: rank() keeps every row tying at the
@@ -978,6 +980,7 @@ from reddit_can_bigdata_spark.functions.text import (  # noqa: E402
     )
     """.format(h=_PH32_SQL.format(x="row_repr")),
     tags=("diagnostics", "checksum", "scale"),
+    bench=True,
 )
 def table_checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table checksum — the reconciliation primitive

@@ -232,6 +232,7 @@ _EWMA_WEIGHTS = [repr((1.0 - EWMA_ALPHA) ** k) for k in range(EWMA_TERMS)]
     FROM w
     """,
     tags=("timeseries", "gapfill", "interpolation"),
+    bench=True,
 )
 def gapfill_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill + linear interpolation: regularize each user's sparse
@@ -326,6 +327,7 @@ _EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_sql_terms()
     FROM scored
     """,
     tags=("timeseries", "ewma", "anomaly"),
+    bench=True,
 )
 def ewma_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA smoothing + threshold anomaly flag over the daily value
@@ -483,6 +485,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY a.cohort_wk, a.wk, s.cohort_size
     """,
     tags=("events", "cohort", "retention"),
+    bench=True,
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity week,
