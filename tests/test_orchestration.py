@@ -77,3 +77,35 @@ def test_run_pipeline_both_gates_open_at_sf001(spark, sf001_dir):
     assert run.influencers is not None
     top = run.influencers.collect()
     assert len(top) == 20
+
+
+def test_run_pipeline_ml_gate_skips_on_small_input(spark, sf_dir, tmp_path):
+    """The DAG's `processed_posts < 50 => skip_ml` branch (reference
+    `airflow/dags/reddit_can_complete_pipeline.py:90-118`), exercised
+    for real on a sliced input: documents cut to 10 rows (so the ETL
+    filter can never reach the ML threshold) with every other table
+    intact. Both skip branches must produce a complete report row
+    with zeroed stage outputs — not an error, not a silent run."""
+    from reddit_can_bigdata_spark.tables import TABLE_NAMES, load_tables
+
+    sliced = tmp_path / "sf_sliced"
+    src = load_tables(spark, sf_dir)
+    for name in TABLE_NAMES:
+        df = src[name]
+        if name == "documents":
+            df = df.orderBy("doc_id").limit(10)
+        df.write.parquet(str(sliced / f"{name}.parquet"))
+
+    run = run_pipeline(spark, str(sliced))
+    assert run.gates["processed_posts"] < MIN_POSTS_FOR_ML
+    assert run.gates["ml_branch"] == "skip_ml"
+    assert run.ml is None
+    report = run.report.collect()[0]
+    assert report["sentiment_results"] == 0
+    assert report["ml_coverage_pct"] == 0.0
+    # sf0.001 has 15 unique users, so the network gate also skips —
+    # the all-skip path still yields the full report row
+    assert run.gates["network_branch"] == "skip_network"
+    assert run.influencers is None and report["network_users"] == 0
+    for k in ("posts", "comments", "processed_posts", "unique_users"):
+        assert report[k] == run.gates[k]
