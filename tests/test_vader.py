@@ -320,3 +320,55 @@ def test_published_rule_set_extras():
 
 def test_cincr_constant():
     assert C_INCR == 0.733
+
+
+def test_full_size_lexicon_through_join_path(spark, tmp_path):
+    """The production path at REAL lexicon size: a 7,500-entry
+    synthetic lexicon (the full vader_lexicon.txt's scale, on its
+    rating range and tab-separated format) loaded via
+    load_vader_lexicon and scored through the broadcast-join path,
+    exact-equal to the Python golden on sentences drawing from it.
+    This is the configuration a deployment with the MIT file runs —
+    the CASE-expression path is the one that's size-limited, the join
+    path must not be."""
+    import random
+
+    from reddit_can_bigdata_spark.functions.vader import (
+        load_vader_lexicon,
+        vader_compound_join,
+        vader_compound_py,
+    )
+
+    rng = random.Random(7)
+    words = [f"synthword{i}" for i in range(7_500 - len(LEXICON))]
+    lines = [
+        f"{w}\t{round(rng.uniform(-4.0, 4.0), 1)}\t0.5\t[0]" for w in words
+    ] + [f"{w}\t{v}\t0.5\t[0]" for w, v in LEXICON.items()]
+    p = tmp_path / "vader_lexicon.txt"
+    p.write_text("\n".join(lines), encoding="utf-8")
+    lex = load_vader_lexicon(str(p))
+    assert len(lex) == 7_500
+
+    vocab = words[:400] + list(LEXICON)[:100] + [
+        "not", "very", "but", "never", "so", "the", "a", "kind", "of",
+    ]
+    sentences = []
+    for _ in range(60):
+        n = rng.randint(0, 12)
+        sentences.append(
+            " ".join(rng.choice(vocab) for _ in range(n))
+            + rng.choice(["", "!", "??", "."])
+        )
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sentences)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["compound"]
+        for r in vader_compound_join(df, lexicon=lex).collect()
+    }
+    bad = [
+        (sentences[k], got[k], vader_compound_py(sentences[k], lex))
+        for k in got
+        if abs(got[k] - vader_compound_py(sentences[k], lex)) > 1e-12
+    ]
+    assert not bad, bad[:5]
