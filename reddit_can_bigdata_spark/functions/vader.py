@@ -43,7 +43,10 @@ Published rules implemented (the COMPLETE sentiment_valence rule set):
 - negation flip (x -0.74) checked independently at each of the three
   distances (so stacked negators multiply), with the published NEGATE
   list plus the "n't" substring rule, the "never so/this" x1.25
-  intensification, and the "without doubt" exemption;
+  intensification — including the published source's distance-3
+  precedence quirk, where a bare "so"/"this" right before the word
+  triggers the boost without "never" — and the "without doubt"
+  exemption;
 - multi-word idioms: SPECIAL_CASES n-grams override the valence
   (first match among the five look-back windows, then the look-ahead
   bigram/trigram), and trailing booster idioms ("kind of", "sort of",
@@ -66,7 +69,7 @@ text emoticons like ":)" work through the lexicon as published.
 which mis-targets when two tokens carry the SAME nonzero valence on
 opposite sides of "but" (a known quirk of the implementation); this
 module applies the positional form, identical except on those value
-collisions. ``tests/test_vader.py`` pins exact equality with ten
+collisions. ``tests/test_vader.py`` pins exact equality with twelve
 published README outputs.
 """
 
@@ -197,6 +200,25 @@ SPECIAL_CASES: dict[str, float] = {
 # regex character-class body. "-" last; "]", "\" escaped.
 _PUNCT_CLASS = r"""!"#$%&'()*+,./:;<=>?@\[\\\]^_`{|}~-"""
 _STRIP_RE = rf"^[{_PUNCT_CLASS}]+|[{_PUNCT_CLASS}]+$"
+
+# The published tokenizer splits with str.split() — UNICODE whitespace.
+# Java \s and RE2 \s disagree with it AND with each other (\x0B is \s
+# in Java but not RE2; NBSP/U+2028 are .split() separators in neither),
+# so each engine gets an EXPLICIT class of exactly the characters
+# Python's isspace() accepts — the three paths tokenize identically,
+# including on scraped text full of NBSP/thin-space.
+_WS_CHARS = "".join(chr(c) for c in range(0x3001) if chr(c).isspace())
+
+
+def _ws_split_pattern(engine: str) -> str:
+    """The whitespace class as a regex each engine parses to the same
+    set: Spark (Java) via \\uXXXX escapes (survives the SQL string
+    unescape as regex-level escapes), DuckDB (RE2) via \\x{XXXX}."""
+    if engine == "spark":
+        body = "".join(f"\\\\u{ord(c):04X}" for c in _WS_CHARS)
+    else:
+        body = "".join(f"\\x{{{ord(c):04X}}}" for c in _WS_CHARS)
+    return f"[{body}]+"
 
 
 def _lit(v: float) -> str:
@@ -350,9 +372,15 @@ def _pos_valence(E: _Env) -> str:
                 f"WHEN {G(2)} THEN va{d} * {NS} ELSE va{d} END)"
             )
         else:
+            # published distance-3 condition REPRODUCED WITH ITS
+            # PRECEDENCE QUIRK: the source's `a and b or c` parses as
+            # (never@3 AND so/this@2) OR (so/this@1) — so ANY token
+            # with "so"/"this" directly before it gets the x1.25 here
+            # (given the i>3 + not-in-lexicon gate), never required or
+            # not. Exact-library parity demands the quirk.
             vb = (
-                f"(CASE WHEN {L(3)} = 'never' AND "
-                f"({L(2)} IN ('so', 'this') OR {L(1)} IN ('so', 'this')) "
+                f"(CASE WHEN ({L(3)} = 'never' AND {L(2)} IN ('so', 'this')) "
+                f"OR ({L(1)} IN ('so', 'this')) "
                 f"THEN va{d} * {_lit(NEVER_SO)} "
                 f"WHEN {L(3)} = 'without' AND "
                 f"({L(2)} = 'doubt' OR {L(1)} = 'doubt') THEN va{d} "
@@ -508,7 +536,7 @@ def vader_compound_expr(
     """Compound score as ONE Catalyst expression chain."""
     lexicon = lexicon or LEXICON
     text = f"coalesce({text_col}, '')"
-    rawtoks = f"filter(split({text}, '\\\\s+'), t -> t <> '')"
+    rawtoks = f"filter(split({text}, '{_ws_split_pattern('spark')}'), t -> t <> '')"
     toks = (
         f"transform({rawtoks}, t -> element_at(transform("
         f"array({_strip_sql('t', 'spark')}), st -> "
@@ -549,7 +577,10 @@ def vader_sql(text_col: str, lexicon: dict[str, float] | None = None) -> str:
     Returns a scalar SQL expression over ``text_col``."""
     lexicon = lexicon or LEXICON
     text = f"coalesce({text_col}, '')"
-    rawtoks = f"list_filter(regexp_split_to_array({text}, '\\s+'), t -> t <> '')"
+    rawtoks = (
+        f"list_filter(regexp_split_to_array({text},"
+        f" '{_ws_split_pattern('duck')}'), t -> t <> '')"
+    )
     toks = (
         f"list_transform({rawtoks}, t -> list_transform("
         f"[{_strip_sql('t', 'duck')}], st -> "
@@ -652,8 +683,10 @@ def vader_compound_py(
                     elif negated(low[i - 2]):
                         v *= N_SCALAR
                 else:
-                    if low[i - 3] == "never" and (
-                        low[i - 2] in ("so", "this") or low[i - 1] in ("so", "this")
+                    # published precedence quirk reproduced — see the
+                    # SQL builder's distance-3 comment
+                    if (low[i - 3] == "never" and low[i - 2] in ("so", "this")) or (
+                        low[i - 1] in ("so", "this")
                     ):
                         v *= NEVER_SO
                     elif low[i - 3] == "without" and (
@@ -754,7 +787,7 @@ def vader_compound_join(
         spark.createDataFrame(list(BOOSTER_DICT.items()), "tok string, bval double")
     )
     text = f"coalesce({text_col}, '')"
-    rawtoks = f"filter(split({text}, '\\\\s+'), t -> t <> '')"
+    rawtoks = f"filter(split({text}, '{_ws_split_pattern('spark')}'), t -> t <> '')"
     toks = (
         f"transform({rawtoks}, t -> element_at(transform("
         f"array({_strip_sql('t', 'spark')}), st -> "

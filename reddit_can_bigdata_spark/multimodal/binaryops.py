@@ -100,6 +100,11 @@ def _decode_ppm(payload: bytes) -> DecodedImage:
         if len(vals) < 3 * w * h:
             raise ValueError("truncated P3 pixel data")
         px = bytes(int(v) for v in vals[: 3 * w * h])
+    if maxval != 255:
+        # Netpbm samples are relative to maxval — rescale to 0-255
+        # (round-half-up, the standard sample mapping), else a legal
+        # maxval=15 file would decode to silently dark pixels
+        px = bytes((v * 255 * 2 + maxval) // (2 * maxval) for v in px)
     return DecodedImage(w, h, bytes(px))
 
 
@@ -183,6 +188,10 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
         for pdf in it:
             ids, ws, hs, mr, mg, mb = [], [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # NULL payloads (failed fetches — routine at scale) and
+                # undecodable blobs drop as rows, never fail the batch
+                if payload is None:
+                    continue
                 try:
                     img = decode_image(bytes(payload))
                 except ValueError:

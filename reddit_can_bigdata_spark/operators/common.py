@@ -34,13 +34,24 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     The non-loop ``localCheckpoint`` sites (influencer's shared edge
     cache, scalar barriers) intentionally stay local — they cache a
     finished result for O(seconds) reuse, where recompute-on-loss is
-    the cheaper failure mode."""
+    the cheaper failure mode.
+
+    Retention: reliable checkpoint files are NOT auto-deleted when a
+    round's DataFrame goes out of scope unless the session was built
+    with ``spark.cleaner.referenceTracking.cleanCheckpoints=true``;
+    long-running services should point the conf at a scratch/TTL'd
+    path or enable that cleaner."""
     spark = df.sparkSession
     ckdir = spark.conf.get(ITER_CHECKPOINT_DIR_CONF, None)
     if ckdir:
         sc = spark.sparkContext
-        if sc.getCheckpointDir() != ckdir:
+        # dedup marker: getCheckpointDir() returns a scheme-qualified
+        # UUID SUBDIRECTORY of what was set, so comparing it against
+        # the conf value would re-run setCheckpointDir (one fs.mkdirs
+        # round-trip + a fresh UUID dir) on EVERY loop round
+        if getattr(sc, "_reddit_can_iter_ckdir", None) != ckdir:
             sc.setCheckpointDir(ckdir)
+            sc._reddit_can_iter_ckdir = ckdir
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 

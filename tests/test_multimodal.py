@@ -209,3 +209,29 @@ def test_parse_image_headers_jvm_side(spark):
     assert all(out[i].n_bytes == len(b) for i, b in [(1, png), (2, gif), (3, jpeg), (4, junk)])
     plan = formatted_plan(parse_image_headers(df))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decode_ppm_rescales_small_maxval():
+    """Legal Netpbm with maxval<255 must rescale samples to 0-255
+    (15/15 is white), not pass raw values through."""
+    from reddit_can_bigdata_spark.multimodal.binaryops import decode_image
+
+    img = decode_image(b"P3\n2 1\n15\n15 15 15 0 0 0\n")
+    assert img.pixels == bytes((255, 255, 255, 0, 0, 0))
+    # 16-bit samples stay an explicit unsupported error
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image(b"P3\n1 1\n65535\n0 0 0\n")
+
+
+def test_image_pixel_stats_tolerates_null_payload(spark):
+    """A NULL payload (failed fetch) drops as a row — it must not
+    TypeError the whole Arrow batch."""
+    from reddit_can_bigdata_spark.multimodal.binaryops import image_pixel_stats
+
+    ppm = b"P6\n1 1\n255\n\x09\x14\x1e"
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, None)], "media_id long, payload binary"
+    )
+    got = image_pixel_stats(df).collect()
+    assert [r["media_id"] for r in got] == [1]
+    assert (got[0]["mean_r"], got[0]["mean_g"], got[0]["mean_b"]) == (9, 20, 30)

@@ -288,11 +288,20 @@ def test_published_rule_set_extras():
     assert c("it was just the shit", {**LEXICON, "shit": -2.6}) == pytest.approx(
         norm(3.0)
     )
-    # 'never so good': the 'so' booster applies at distance 1, THEN the
-    # published x1.25 intensification — (g + B) * 1.25, not negation
+    # 'never so good': the 'so' booster applies at distance 1, the
+    # proper distance-2 'never so' x1.25, AND the published distance-3
+    # precedence quirk fires a second x1.25 (bare 'so' at distance 1
+    # satisfies the mis-parenthesized condition) — (g + B) * 1.25^2
     assert c("it is never so good") == pytest.approx(
+        norm((g + B_INCR) * 1.25 * 1.25)
+    )
+    # the quirk in isolation: no 'never' anywhere, yet 'so X' with >=3
+    # prior tokens gets x1.25 (the published source's `a and b or c`)
+    assert c("the movie was so good") == pytest.approx(
         norm((g + B_INCR) * 1.25)
     )
+    # ...but not when the word sits too early for the distance-3 gate
+    assert c("so good") == pytest.approx(norm(g + B_INCR))
     # 'without doubt excellent': negation exemption
     e = LEXICON["excellent"]
     assert c("it is without doubt excellent") == pytest.approx(norm(e))
