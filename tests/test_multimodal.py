@@ -235,3 +235,30 @@ def test_image_pixel_stats_tolerates_null_payload(spark):
     got = image_pixel_stats(df).collect()
     assert [r["media_id"] for r in got] == [1]
     assert (got[0]["mean_r"], got[0]["mean_g"], got[0]["mean_b"]) == (9, 20, 30)
+
+
+def test_decode_roundtrip_property_bmp_and_ppm():
+    """Property: encode->decode is the identity for random dimensions
+    and pixels, across BMP (both row orders) and P6 — the same
+    invariant the oracle query pins on synthesized payloads, here over
+    the full stride/padding space (widths 1..9 hit every pad width)."""
+    import random
+
+    from reddit_can_bigdata_spark.multimodal.binaryops import decode_image
+
+    rng = random.Random(1234)
+    for _ in range(40):
+        w, h = rng.randint(1, 9), rng.randint(1, 6)
+        rows = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+        flat = bytes(c for row in rows for p in row for c in p)
+        for top_down in (False, True):
+            img = decode_image(_bmp24(w, h, rows, top_down=top_down))
+            assert (img.width, img.height) == (w, h)
+            assert img.pixels == flat, (w, h, top_down)
+        p6 = f"P6\n{w} {h}\n255\n".encode() + flat
+        img = decode_image(p6)
+        assert (img.width, img.height, img.pixels) == (w, h, flat)
