@@ -515,3 +515,44 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
     # same result under default confs (AQE split must not change data)
     rows2 = li.join(dim, "k").collect()
     assert (len(rows2), sum(r["payload"] for r in rows2)) == expected
+
+
+def test_vader_join_path_single_exchange(spark, sf_dir):
+    """f13c: the per-doc window and the per-doc groupBy must SHARE one
+    hash(_id) exchange (plus the corpus scan side of the two broadcast
+    lexicon joins) — a second data shuffle would double the only wide
+    stage of the 100 TB text-scoring path."""
+    from reddit_can_bigdata_spark.plans.inspect import count_exchanges
+
+    df = REGISTRY["f13c_vader_join_path"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # lexicon + booster joins broadcast; facts never shuffle for them
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert count_exchanges(df) <= 1, plan
+
+
+def test_decode_pixel_stats_single_python_crossing(spark, sf_dir):
+    """multimodal_decode_pixel_stats: payload synthesis stays JVM-side
+    (Project under the Python node); exactly ONE Arrow crossing, no
+    shuffle at all — decode is a narrow map."""
+    from reddit_can_bigdata_spark.plans.inspect import count_exchanges
+
+    df = REGISTRY["multimodal_decode_pixel_stats"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # count tree NODES ("MapInPandas (n)"), not raw substring hits —
+    # the formatted details section repeats the operator name
+    assert plan.count("MapInPandas (") == 1, plan
+    assert count_exchanges(df) == 0, plan
+
+
+def test_scd2_asof_join_shares_user_partitioning(spark, sf_dir):
+    """scd2_point_in_time_join: the SCD2 window build and the AS-OF
+    join both key on user_id — the plan must not re-shuffle the
+    dimension between them (window exchange reused by the join)."""
+    from reddit_can_bigdata_spark.plans.inspect import count_exchanges
+
+    df = REGISTRY["scd2_point_in_time_join"].fn(spark, sf_dir)
+    # events side + dimension side each shuffle once on user_id; the
+    # window's exchange must serve the join (no third data exchange)
+    assert count_exchanges(df) <= 2, formatted_plan(df)
