@@ -58,6 +58,12 @@ Published rules implemented (the COMPLETE sentiment_valence rule set):
   >3: 0.96) emphasis added along the sign of the sum;
 - compound = x / sqrt(x^2 + 15), labeled at +-0.05.
 
+The published implementation QUIRKS are reproduced deliberately, since
+exact library parity is the goal: the ``_negation_check`` distance-3
+precedence bug (bare "so"/"this" triggers x1.25 — see ``_pos_valence``)
+and the ``_but_check`` ``list.index(value)`` aliasing bug (duplicate
+float values mis-target the rescale — see ``_but_fold``).
+
 Remaining divergences from the vaderSentiment *package* (documented,
 environmental): (1) the vendored unigram lexicon is a subset — the
 container has no network access to fetch the 7,5xx-entry file; the
@@ -65,12 +71,8 @@ full MIT file drops in unmodified via ``load_vader_lexicon`` and both
 scoring paths accept it. (2) The emoji-description preprocessing step
 (which needs the package's emoji_utf8_lexicon.txt) is not applied;
 text emoticons like ":)" work through the lexicon as published.
-(3) The published ``_but_check`` mutates via ``list.index(value)``,
-which mis-targets when two tokens carry the SAME nonzero valence on
-opposite sides of "but" (a known quirk of the implementation); this
-module applies the positional form, identical except on those value
-collisions. ``tests/test_vader.py`` pins exact equality with twelve
-published README outputs.
+``tests/test_vader.py`` pins exact equality with twelve published
+README outputs.
 """
 
 from __future__ import annotations
@@ -433,21 +435,66 @@ def _pos_valence(E: _Env) -> str:
             E.bind("v2", step(2, "v1"), E.bind("v3", step(3, "v2"), least)),
         ),
     )
-    butscale = (
-        f"(CASE WHEN {E.butx} > 0 AND i < {E.butx} THEN {_lit(0.5)} "
-        f"WHEN {E.butx} > 0 AND i > {E.butx} THEN {_lit(1.5)} "
-        f"ELSE {_lit(1.0)} END)"
-    )
     body = (
         f"(CASE WHEN {skip} THEN {Z} WHEN ({v_i}) IS NULL THEN {Z} "
-        f"ELSE {core} END) * {butscale}"
+        f"ELSE {core} END)"
     )
     # the builder emits the position var as literal ``i``; environments
     # whose position lives elsewhere (the join path's _pos column) bind
-    # it via one outer single-element-array lambda
+    # it via one outer single-element-array lambda.  NOTE: the value is
+    # the UNSCALED per-token sentiment — the but-clause reweighting is
+    # a LIST mutation in the published source (with an index() aliasing
+    # quirk), applied afterwards over the whole array by ``_but_fold``.
     if i != "i":
         body = E.bind("i", i, body)
     return body
+
+
+def _but_fold(engine: str, v: str, bx: str) -> str:
+    """The published ``_but_check`` REPRODUCED EXACTLY, including its
+    ``list.index(value)`` aliasing quirk: the source iterates the live
+    sentiments list and scales ``sentiments[sentiments.index(s)]`` —
+    so when two entries carry the SAME float value, the FIRST one is
+    scaled again and the visited one is left untouched. That genuinely
+    fires on real lexicon values (e.g. 2.4 halved == 1.2: "winning but
+    clear"), so exact-library parity requires the quirk, not the
+    positional form.
+
+    Expressed as a sequential fold over positions k = 1..n whose
+    accumulator is the WHOLE array: read s = A[k] (the live value),
+    find si = first index equal to s, rescale that slot (0.5 before
+    the first 'but', 1.5 after), rebuild. O(n^2) per document in
+    sentence-length n — negligible, and embarrassingly parallel
+    across documents. ``v`` is a bound array variable; ``bx`` the
+    1-based index of the first 'but' (0 = absent, fold skipped)."""
+    half, sesq = _lit(0.5), _lit(1.5)
+    if engine == "spark":
+        upd = (
+            f"element_at(transform(array(element_at(A, k)), sk -> "
+            f"element_at(transform(array(array_position(A, sk)), si -> "
+            f"transform(sequence(1, size(A)), j -> "
+            f"CASE WHEN j = si AND si < {bx} THEN sk * {half} "
+            f"WHEN j = si AND si > {bx} THEN sk * {sesq} "
+            f"ELSE element_at(A, cast(j as int)) END)), 1)), 1)"
+        )
+        return (
+            f"(CASE WHEN {bx} = 0 THEN {v} ELSE "
+            f"aggregate(sequence(1, size({v})), {v}, (A, k) -> {upd}) END)"
+        )
+    upd = (
+        f"list_transform([A[CAST(KL[1] AS BIGINT)]], sk -> "
+        f"list_transform([list_position(A, sk)], si -> "
+        f"list_transform(range(1, len(A) + 1), j -> "
+        f"CASE WHEN j = si AND si < {bx} THEN sk * {half} "
+        f"WHEN j = si AND si > {bx} THEN sk * {sesq} "
+        f"ELSE A[j] END))[1])[1]"
+    )
+    return (
+        f"(CASE WHEN {bx} = 0 THEN {v} ELSE "
+        f"list_reduce(list_prepend({v}, list_transform("
+        f"range(1, len({v}) + 1), k -> [CAST(k AS DOUBLE)])), "
+        f"(A, KL) -> {upd}) END)"
+    )
 
 
 def _punct_norm(raw: str, ep: str, qm: str) -> str:
@@ -547,10 +594,12 @@ def vader_compound_expr(
         f"'{k}', {v}" for k, v in fields.items()
     ) + ")"
     val = _pos_valence(_array_env(_SparkElem(), _spark_bind))
+    vals = f"transform(sequence(1, s.n), i -> {val})"
     raw = (
         f"CASE WHEN s.n = 0 THEN {_lit(0.0)} ELSE "
-        f"aggregate(transform(sequence(1, s.n), i -> {val}),"
-        f" cast(0.0 as double), (a, v) -> a + v) END"
+        f"element_at(transform(array({vals}), V -> "
+        f"aggregate({_but_fold('spark', 'V', 's.x')},"
+        f" cast(0.0 as double), (a, v) -> a + v)), 1) END"
     )
     ep, qm = _punct_parts(text)
     body = _punct_norm("raw", ep, qm)
@@ -592,11 +641,14 @@ def vader_sql(text_col: str, lexicon: dict[str, float] | None = None) -> str:
     # list_reduce errors on empty input — prepend the 0.0 accumulator;
     # ((0+v1)+v2)... matches Spark's aggregate fold exactly.
     nn = "struct_extract(s, 'n')"
+    vals = f"list_transform(range(1, {nn} + 1), i -> {val})"
+    bxd = "struct_extract(s, 'x')"
     raw = (
         f"CASE WHEN {nn} = 0 THEN {_lit(0.0)} ELSE "
+        f"list_transform([{vals}], V -> "
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
-        f" list_transform(range(1, {nn} + 1), i -> {val})),"
-        f" (a, v) -> a + v) END"
+        f" {_but_fold('duck', 'V', bxd)}),"
+        f" (a, v) -> a + v))[1] END"
     )
     ep, qm = _punct_parts(text)
     body = _punct_norm("raw_v", ep, qm)
@@ -722,11 +774,16 @@ def vader_compound_py(
             v *= N_SCALAR
         sentiments.append(v)
     if "but" in low:
+        # the published loop VERBATIM, including the index() aliasing
+        # quirk (scales the FIRST slot holding the visited value, which
+        # mis-targets on duplicate floats) — see _but_fold
         bi = low.index("but")
-        sentiments = [
-            s * 0.5 if k < bi else (s * 1.5 if k > bi else s)
-            for k, s in enumerate(sentiments)
-        ]
+        for sentiment in sentiments:
+            si = sentiments.index(sentiment)
+            if si < bi:
+                sentiments[si] = sentiment * 0.5
+            elif si > bi:
+                sentiments[si] = sentiment * 1.5
     total = 0.0
     for s in sentiments:
         total += s
@@ -865,13 +922,21 @@ def vader_compound_join(
         .agg(
             F.first("_ep").alias("_ep"),
             F.first("_qm").alias("_qm"),
-            # deterministic sequential fold: sort by pos, then
-            # left-to-right sum — same association order as aggregate()
+            F.first("_bx").alias("_bxd"),
+            # deterministic sequence: sort by pos — same order as the
+            # expression path's position array
             F.expr(
-                "aggregate(sort_array(collect_list(struct(_pos, _val))),"
-                " cast(0.0 as double), (a, s) -> a + s._val)"
-            ).alias("_raw"),
+                "transform(sort_array(collect_list(struct(_pos, _val))),"
+                " s -> s._val)"
+            ).alias("_vals"),
         )
+    )
+    per_doc = per_doc.withColumn(
+        "_raw",
+        F.expr(
+            f"aggregate({_but_fold('spark', '_vals', '_bxd')},"
+            " cast(0.0 as double), (a, v) -> a + v)"
+        ),
     )
     tot = (
         F.when(F.col("_raw") > 0, F.col("_raw") + (F.col("_ep") + F.col("_qm")))

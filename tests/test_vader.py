@@ -381,3 +381,23 @@ def test_full_size_lexicon_through_join_path(spark, tmp_path):
         if abs(got[k] - vader_compound_py(sentences[k], lex)) > 1e-12
     ]
     assert not bad, bad[:5]
+
+
+def test_but_check_index_aliasing_quirk():
+    """The published _but_check scales sentiments[sentiments.index(s)]
+    — when a pre-'but' value halves into an existing value, the FIRST
+    slot holding it gets rescaled again and the visited slot is left
+    alone. 'winning' (2.4) halves to 1.2 == 'clear': the buggy result
+    is [0.6, 0, 1.2] (sum 1.8), NOT the positional [1.2, 0, 1.8]
+    (sum 3.0). Exact-library parity requires the bug."""
+    c = vader_compound_py
+
+    def norm(x):
+        return x / math.sqrt(x * x + ALPHA)
+
+    assert LEXICON["winning"] * 0.5 == LEXICON["clear"]  # the collision
+    assert c("winning but clear") == pytest.approx(norm(1.8))
+    assert c("winning but clear") != pytest.approx(norm(3.0))
+    # no collision => quirk invisible, plain 0.5/1.5 weighting
+    g, b = LEXICON["good"], LEXICON["bad"]
+    assert c("good but bad") == pytest.approx(norm(0.5 * g + 1.5 * b))
