@@ -258,14 +258,13 @@ class _Env:
     over. Three instances: Spark arrays, DuckDB lists, Spark lag/lead
     columns (the join path) — one builder, three bit-identical plans."""
 
-    def __init__(self, *, cur, back, fwd, bind, n, cap, butx, i="i"):
+    def __init__(self, *, cur, back, fwd, bind, n, cap, i="i"):
         self.cur = cur    # cur(field) -> SQL for token i's field
         self.back = back  # back(field, d) -> SQL, NULL when i <= d
         self.fwd = fwd    # fwd(field, k) -> SQL, NULL when i + k > n
         self.bind = bind  # bind(var, val_sql, body_sql) -> SQL
         self.n = n        # token count SQL
         self.cap = cap    # cap-differential boolean SQL
-        self.butx = butx  # 1-based index of first 'but' (0 absent) SQL
         self.i = i        # 1-based position var
 
 
@@ -287,14 +286,13 @@ def _array_env(elem, bind) -> _Env:
         bind=bind,
         n=elem.n,
         cap=elem.cap,
-        butx=elem.butx,
     )
 
 
 class _SparkElem:
     n = "s.n"
     cap = "s.c"
-    butx = "s.x"
+    butx = "s.x"  # consumed by the callers' _but_fold, not _pos_valence
 
     def __call__(self, field: str, idx: str) -> str:
         return f"element_at(s.{field}, cast({idx} as int))"
@@ -598,7 +596,7 @@ def vader_compound_expr(
     raw = (
         f"CASE WHEN s.n = 0 THEN {_lit(0.0)} ELSE "
         f"element_at(transform(array({vals}), V -> "
-        f"aggregate({_but_fold('spark', 'V', 's.x')},"
+        f"aggregate({_but_fold('spark', 'V', _SparkElem.butx)},"
         f" cast(0.0 as double), (a, v) -> a + v)), 1) END"
     )
     ep, qm = _punct_parts(text)
@@ -642,7 +640,7 @@ def vader_sql(text_col: str, lexicon: dict[str, float] | None = None) -> str:
     # ((0+v1)+v2)... matches Spark's aggregate fold exactly.
     nn = "struct_extract(s, 'n')"
     vals = f"list_transform(range(1, {nn} + 1), i -> {val})"
-    bxd = "struct_extract(s, 'x')"
+    bxd = _DuckElem.butx
     raw = (
         f"CASE WHEN {nn} = 0 THEN {_lit(0.0)} ELSE "
         f"list_transform([{vals}], V -> "
@@ -913,7 +911,6 @@ def vader_compound_join(
         bind=_spark_bind,
         n="_n",
         cap="_cap",
-        butx="_bx",
         i="_pos",
     )
     tok = tok.withColumn("_val", F.expr(_pos_valence(env)))

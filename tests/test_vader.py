@@ -383,13 +383,31 @@ def test_full_size_lexicon_through_join_path(spark, tmp_path):
     assert not bad, bad[:5]
 
 
-def test_but_check_index_aliasing_quirk():
+COLLISION_SENTENCES = [
+    # 'winning' (2.4) halves to 1.2 == 'clear' — the aliasing bite
+    "winning but clear",
+    "winning stuff but clear",
+    "clear but winning",
+    # duplicates on one side
+    "good good but good",
+    "good but good good",
+]
+
+
+def test_but_check_index_aliasing_quirk(spark):
     """The published _but_check scales sentiments[sentiments.index(s)]
     — when a pre-'but' value halves into an existing value, the FIRST
     slot holding it gets rescaled again and the visited slot is left
     alone. 'winning' (2.4) halves to 1.2 == 'clear': the buggy result
     is [0.6, 0, 1.2] (sum 1.8), NOT the positional [1.2, 0, 1.8]
-    (sum 3.0). Exact-library parity requires the bug."""
+    (sum 3.0). Exact-library parity requires the bug — pinned on the
+    Python golden AND every SQL path (the seeded fuzz corpora contain
+    no collision sentences, so without this test a positional
+    regression in _but_fold's SQL would pass the whole suite)."""
+    import duckdb
+
+    from reddit_can_bigdata_spark.functions.vader import vader_sql
+
     c = vader_compound_py
 
     def norm(x):
@@ -401,3 +419,26 @@ def test_but_check_index_aliasing_quirk():
     # no collision => quirk invisible, plain 0.5/1.5 weighting
     g, b = LEXICON["good"], LEXICON["bad"]
     assert c("good but bad") == pytest.approx(norm(0.5 * g + 1.5 * b))
+
+    # every SQL path must reproduce the quirk bit-for-bit
+    golden = {i: c(s) for i, s in enumerate(COLLISION_SENTENCES)}
+    got_expr = _spark_scores(spark, COLLISION_SENTENCES)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(COLLISION_SENTENCES)],
+        "doc_id long, text string",
+    )
+    got_join = {
+        r["doc_id"]: r["compound"] for r in vader_compound_join(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(COLLISION_SENTENCES)))
+        + ") v(i, text)",
+        COLLISION_SENTENCES,
+    )
+    got_duck = dict(con.execute(f"SELECT i, {vader_sql('text')} FROM t").fetchall())
+    for i, s in enumerate(COLLISION_SENTENCES):
+        assert got_expr[i] == pytest.approx(golden[i], abs=1e-15), ("expr", s)
+        assert got_join[i] == got_expr[i], ("join", s)
+        assert got_duck[i] == got_expr[i], ("duck", s)
