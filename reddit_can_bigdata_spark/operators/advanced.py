@@ -17,6 +17,7 @@ from reddit_can_bigdata_spark.operators.common import (
     DSUM_SQL,
     dsum,
     iter_checkpoint,
+    standard_grand_total,
     tables,
 )
 from reddit_can_bigdata_spark.operators.graph import (
@@ -299,10 +300,20 @@ def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in. Partial aggregation covers all grouping sets in a single
     shuffle."""
     t = tables(spark, sf_dir)
-    return (
+    rolled = (
         t["orders"]
         .rollup("o_orderpriority", "o_orderstatus")
         .agg(F.count("*").alias("cnt"), dsum("o_totalprice").alias("total_price"))
+    )
+    return standard_grand_total(
+        rolled,
+        t["orders"],
+        [
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(0).cast("bigint").alias("cnt"),
+            F.lit(None).cast("double").alias("total_price"),
+        ],
     )
 
 

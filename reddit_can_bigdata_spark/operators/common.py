@@ -89,6 +89,32 @@ def dsum(col: Column | str) -> Column:
 DSUM_SQL = "CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE)"
 
 
+def standard_grand_total(
+    result: DataFrame, source: DataFrame, fallback: list[Column]
+) -> DataFrame:
+    """SQL-standard grand-total row for ROLLUP/CUBE on EMPTY input.
+
+    Spark's ``rollup``/``cube`` emit ZERO rows when the input has zero
+    rows, but the SQL standard (and DuckDB/Postgres) still evaluate the
+    ``()`` grouping set — one grand-total row with ``COUNT(*) = 0`` and
+    NULL sums. Those values are fully determined by the aggregate
+    expressions, so the repair is scan-free: build the one-row literal
+    ``fallback`` and anti-join it against ``source LIMIT 1`` — it
+    survives only when the source (hence the rollup output) is empty.
+    The probe costs one first-row peek at the scan, never a second
+    aggregate pass, so it is free at any scale.
+
+    ``fallback`` columns must match ``result``'s schema (name + type).
+    """
+    probe = source.select(F.lit(1).alias("__probe")).limit(1)
+    grand = (
+        result.sparkSession.range(1)
+        .join(probe, F.lit(True), "left_anti")
+        .select(*fallback)
+    )
+    return result.unionByName(grand)
+
+
 def davg(col: Column | str) -> Column:
     """Exact-numerator average: decimal sum cast to double, one double
     division by the count. DuckDB twin:

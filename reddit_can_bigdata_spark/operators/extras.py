@@ -8,7 +8,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from reddit_can_bigdata_spark.operators.common import DSUM_SQL, dsum, tables
+from reddit_can_bigdata_spark.operators.common import (
+    DSUM_SQL,
+    dsum,
+    standard_grand_total,
+    tables,
+)
 from reddit_can_bigdata_spark.registry import register
 
 
@@ -45,10 +50,20 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all 2^2 grouping sets in one pass (complements the
     ROLLUP query)."""
     t = tables(spark, sf_dir)
-    return (
+    cubed = (
         t["orders"]
         .cube("o_orderpriority", "o_orderstatus")
         .agg(F.count("*").alias("cnt"), dsum("o_totalprice").alias("total_price"))
+    )
+    return standard_grand_total(
+        cubed,
+        t["orders"],
+        [
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(0).cast("bigint").alias("cnt"),
+            F.lit(None).cast("double").alias("total_price"),
+        ],
     )
 
 

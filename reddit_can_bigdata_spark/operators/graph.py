@@ -244,7 +244,7 @@ def g2_degree_centrality(
     SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS num_nodes,
            CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS num_edges,
            round(2.0 * (SELECT COUNT(*) FROM e)
-                 / ((SELECT COUNT(*) FROM nodes) * ((SELECT COUNT(*) FROM nodes) - 1.0)), 6)
+                 / NULLIF((SELECT COUNT(*) FROM nodes) * ((SELECT COUNT(*) FROM nodes) - 1.0), 0), 6)
              AS density
     """,
     tags=("graph", "scalar"),
@@ -261,8 +261,13 @@ def g8_graph_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nc.crossJoin(ec).select(
         "num_nodes",
         "num_edges",
+        # try_divide: an empty/one-node graph has no defined density —
+        # NULL on both engines (the oracle NULLIFs the denominator)
         F.round(
-            2.0 * F.col("num_edges") / (F.col("num_nodes") * (F.col("num_nodes") - 1.0)),
+            F.try_divide(
+                2.0 * F.col("num_edges"),
+                F.col("num_nodes") * (F.col("num_nodes") - 1.0),
+            ),
             6,
         ).alias("density"),
     )
@@ -289,7 +294,7 @@ def g8_graph_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS total_triangles,
            round(CAST(SUM(CASE WHEN d.degree >= 2
                       THEN 2.0 * coalesce(t.n_tri, 0) / (d.degree * (d.degree - 1.0))
-                      ELSE 0.0 END) AS DOUBLE) / COUNT(*), 6) AS avg_clustering
+                      ELSE 0.0 END) AS DOUBLE) / NULLIF(COUNT(*), 0), 6) AS avg_clustering
     FROM deg d LEFT JOIN tri_per_node t ON t.node = d.node
     """,
     tags=("graph", "triangles"),
@@ -334,7 +339,7 @@ def g9_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_deg = 2.0 * n_edges / max(n_nodes, 1)
     direct_cost = deg.agg(
         F.sum(F.col("degree") * F.col("degree")).alias("s")
-    ).collect()[0]["s"]  # Σdeg² bounds the wedge join output
+    ).collect()[0]["s"] or 0  # Σdeg² bounds the wedge join output (None on empty)
     if n_missing * avg_deg < direct_cost:
         tpn = _triangles_per_node_complement(e, deg)
     else:
@@ -345,7 +350,9 @@ def g9_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(0.0)
     return deg.join(tpn, "node", "left").agg(
         (F.coalesce(F.sum("n_tri"), F.lit(0)) / 3).cast("long").alias("total_triangles"),
-        F.round((F.sum(local).cast("double") / F.count("*")), 6).alias("avg_clustering"),
+        F.round(F.try_divide(F.sum(local).cast("double"), F.count("*")), 6).alias(
+            "avg_clustering"
+        ),
     )
 
 
@@ -521,6 +528,10 @@ def g6_pagerank(
     )
     nodes = wdeg.select(F.col("src").alias("node"))
     n_nodes = float(nodes.count())
+    if n_nodes == 0:
+        # empty graph: no nodes to rank — return the empty result with
+        # the right schema instead of evaluating 1/N below
+        return nodes.select("node", F.lit(None).cast("double").alias("pagerank"))
     mode = _state_mode(n_nodes, state_mode)
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - PAGERANK_DAMPING) / n_nodes
@@ -1353,12 +1364,20 @@ def g12_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    k_med = int(
+    k_med_row = (
         dcum.crossJoin(F.broadcast(nn))
         .where(F.col("cs") >= F.ceil(0.5 * F.col("n_nodes")).cast("bigint"))
         .agg(F.min("d"))
         .collect()[0][0]
     )
+    if k_med_row is None:
+        # empty backbone: no degree histogram, so no median and no core
+        return deg.select(
+            F.col("a").alias("node"),
+            F.lit(None).cast("bigint").alias("core_degree"),
+            F.lit(None).cast("bigint").alias("k"),
+        )
+    k_med = int(k_med_row)
     k = (2 * k_med + 2) // 3
     alive = deg.select("a").transform(iter_checkpoint)
     n_alive = alive.count()

@@ -11,7 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from reddit_can_bigdata_spark.operators.common import DSUM_SQL, dsum, tables
+from reddit_can_bigdata_spark.operators.common import (
+    DSUM_SQL,
+    dsum,
+    standard_grand_total,
+    tables,
+)
 from reddit_can_bigdata_spark.registry import register
 
 SESSION_GAP_US = 1_800_000_000  # 30 min, matches sessionize_events
@@ -65,7 +70,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("month").isNotNull(), "month")
         .otherwise("all")
     )
-    return (
+    rolled = (
         base.rollup("month", "day", "hour")
         .agg(
             F.count("*").alias("n_events"),
@@ -79,6 +84,16 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
+    )
+    return standard_grand_total(
+        rolled,
+        ev,
+        [
+            F.lit("all").alias("resolution"),
+            F.lit("*").alias("bucket"),
+            F.lit(0).cast("bigint").alias("n_events"),
+            F.lit(None).cast("double").alias("total_value"),
+        ],
     )
 
 
@@ -398,9 +413,9 @@ FUNNEL_STAGES = ("signup", "view", "click", "purchase")
       SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s4
     )
     SELECT stage_no, stage, n_users,
-           round(CAST(n_users AS DOUBLE) / first_value(n_users) OVER
+           round(CAST(n_users AS DOUBLE) / NULLIF(first_value(n_users) OVER
                  (ORDER BY stage_no ROWS BETWEEN UNBOUNDED PRECEDING
-                  AND UNBOUNDED FOLLOWING), 6) AS pct_of_first
+                  AND UNBOUNDED FOLLOWING), 0), 6) AS pct_of_first
     FROM stages
     """,
     tags=("events", "funnel", "window"),
@@ -452,8 +467,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage_no",
         "stage",
         "n_users",
+        # try_divide: with zero stage-1 users the funnel percentages are
+        # undefined — NULL on both engines (oracle NULLIFs the divisor)
         F.round(
-            F.col("n_users").cast("double") / F.first("n_users").over(w), 6
+            F.try_divide(F.col("n_users").cast("double"), F.first("n_users").over(w)), 6
         ).alias("pct_of_first"),
     )
 

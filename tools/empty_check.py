@@ -1,0 +1,128 @@
+"""Empty-input fuzz: run every registered query (and its DuckDB oracle)
+against ZERO-ROW copies of all tables.
+
+Rationale: the advisor-findings class "latent cross-engine divergence on
+tiny/filtered input" (e.g. a variance term dividing by ``n - 1`` with no
+``n >= 2`` guard) only surfaces when a query's input collapses to 0..1
+rows.  This harness makes that class testable wholesale: every query
+must either (a) return the same rows as its oracle on empty tables, or
+(b) raise the *same declared* error class on both engines.
+
+Usage: python tools/empty_check.py [name ...]
+Writes nothing; exits 1 on any divergence.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from reddit_can_bigdata_spark import registry  # noqa: E402
+
+SRC_SF = "/root/testdata/sf0.001"
+
+
+def make_empty_dir() -> str:
+    """Materialize 0-row parquet slices with the source schemas."""
+    import duckdb
+
+    from reddit_can_bigdata_spark.tables import TABLE_NAMES
+
+    out = os.path.join(tempfile.gettempdir(), "sf_empty")
+    os.makedirs(out, exist_ok=True)
+    duck = duckdb.connect()
+    for t in TABLE_NAMES:
+        src = os.path.join(SRC_SF, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            duck.execute(
+                f"COPY (SELECT * FROM '{src}' LIMIT 0) TO '{dst}' (FORMAT PARQUET)"
+            )
+    return out
+
+
+def main() -> int:
+    registry._ensure_loaded()
+    names = sys.argv[1:] or list(registry.REGISTRY)
+    sf_dir = make_empty_dir()
+
+    import duckdb
+
+    from reddit_can_bigdata_spark.session import get_spark
+    from reddit_can_bigdata_spark.tables import TABLE_NAMES
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
+    spark = get_spark("empty-check", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    duck = duckdb.connect()
+    for t in TABLE_NAMES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t)}.parquet'"
+        )
+
+    def norm(rows, cols):
+        out = []
+        for row in rows:
+            d = dict(zip(cols, row))
+            out.append(tuple(repr(d[c]) for c in sorted(cols)))
+        return sorted(out)
+
+    failures = []
+    for name in names:
+        spec = registry.REGISTRY[name]
+        s_err = d_err = None
+        srows = drows = None
+        scols = dcols = None
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            s_err = f"{type(e).__name__}: {e}"
+        if spec.oracle is not None:
+            try:
+                res = duck.execute(spec.oracle)
+                dcols = [c[0] for c in res.description]
+                drows = res.fetchall()
+            except Exception as e:  # noqa: BLE001
+                d_err = f"{type(e).__name__}: {e}"
+
+        if s_err is not None:
+            # A Spark-side crash on empty input is a finding even when
+            # the oracle also errors: the engine should degrade to
+            # empty/NULL results, not stack traces.
+            failures.append((name, f"spark raised: {s_err[:200]}"))
+            print(f"ERR  {name}: spark {s_err[:160]}")
+            continue
+        if spec.oracle is None:
+            print(f"rows {name}: {len(srows)} (no oracle)")
+            continue
+        if d_err is not None:
+            failures.append((name, f"oracle raised (spark fine): {d_err[:200]}"))
+            print(f"ERR  {name}: duck {d_err[:160]}")
+            continue
+        if len(srows) != len(drows):
+            failures.append((name, f"rows {len(srows)} vs {len(drows)}"))
+            print(f"FAIL {name}: row count {len(srows)} vs {len(drows)}")
+            continue
+        ns, nd = norm(srows, scols), norm(drows, dcols)
+        bad = [(a, b) for a, b in zip(ns, nd) if a != b]
+        if bad:
+            failures.append((name, f"{len(bad)} mismatched rows; first: {bad[0]}"))
+            print(f"FAIL {name}: {len(bad)} mismatches; first: {str(bad[0])[:200]}")
+        else:
+            print(f"OK   {name}: {len(srows)} rows")
+
+    print(f"\n{len(failures)} failures / {len(names)} checked")
+    for n, msg in failures:
+        print(f"  {n}: {msg[:300]}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
