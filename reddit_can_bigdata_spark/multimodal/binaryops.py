@@ -88,6 +88,8 @@ def _decode_ppm(payload: bytes) -> DecodedImage:
             pos += 1
         fields.append(int(payload[start:pos]))
     w, h, maxval = fields
+    if w < 0 or h < 0 or maxval <= 0:
+        raise ValueError(f"invalid PPM header (w={w}, h={h}, maxval={maxval})")
     if maxval > 255:
         raise ValueError("PPM maxval > 255 not supported (16-bit samples)")
     if magic == b"P6":
@@ -130,6 +132,8 @@ def _decode_bmp(payload: bytes) -> DecodedImage:
         raise ValueError(f"unsupported BMP bit depth {bpp} (only 24/32)")
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
+    if w < 0:
+        raise ValueError(f"invalid BMP width {w}")
     nch = bpp // 8
     stride = (w * nch + 3) // 4 * 4
     if len(payload) < data_off + stride * h:
@@ -188,9 +192,11 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
         for pdf in it:
             ids, ws, hs, mr, mg, mb = [], [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                # NULL payloads (failed fetches — routine at scale) and
-                # undecodable blobs drop as rows, never fail the batch
-                if payload is None:
+                # NULL payloads/ids (failed fetches — routine at scale)
+                # and undecodable blobs drop as rows, never fail the
+                # batch. A NULL in a bigint column reaches pandas as
+                # float64 NaN, hence pd.isna rather than `is None`.
+                if payload is None or pd.isna(mid):
                     continue
                 try:
                     img = decode_image(bytes(payload))
@@ -200,7 +206,7 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
                 if n == 0:
                     continue
                 px = img.pixels
-                ids.append(mid)
+                ids.append(int(mid))
                 ws.append(img.width)
                 hs.append(img.height)
                 mr.append(sum(px[0::3]) // n)

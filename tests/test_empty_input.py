@@ -23,7 +23,7 @@ import pytest
 
 from reddit_can_bigdata_spark import registry
 from reddit_can_bigdata_spark.tables import TABLE_NAMES
-from tools.empty_check import make_empty_dir
+from tools.empty_check import make_empty_dir, norm as _norm_rows
 
 FIXED = [
     "g8_graph_metadata",
@@ -55,10 +55,7 @@ def duck(empty_dir):
     con.close()
 
 
-def _norm(rows, cols):
-    return sorted(
-        tuple(repr(v) for _, v in sorted(zip(cols, row))) for row in rows
-    )
+_norm = _norm_rows  # one shared normalizer with the whole-registry fuzz tool
 
 
 @pytest.mark.parametrize("name", FIXED)

@@ -237,6 +237,44 @@ def test_image_pixel_stats_tolerates_null_payload(spark):
     assert (got[0]["mean_r"], got[0]["mean_g"], got[0]["mean_b"]) == (9, 20, 30)
 
 
+def test_decode_rejects_adversarial_headers():
+    """Corrupt headers must raise ValueError (the class the batch
+    tolerance contract catches) — never ZeroDivisionError or garbage
+    rows: maxval=0 previously divided by zero in the rescale, and
+    negative dims previously decoded to width=-1 'images' whose 3*w*h
+    matched the slice length."""
+    from reddit_can_bigdata_spark.multimodal.binaryops import decode_image
+
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image(b"P6\n1 1\n0\n\x00\x00\x00")
+    with pytest.raises(ValueError, match="invalid PPM"):
+        decode_image(b"P6\n-1 -1\n255\n\x01\x02\x03")
+    with pytest.raises(ValueError, match="invalid BMP width"):
+        import struct
+
+        hdr = bytearray(b"BM") + bytearray(52)
+        struct.pack_into("<I", hdr, 10, 54)
+        struct.pack_into("<I", hdr, 14, 40)
+        struct.pack_into("<ii", hdr, 18, -2, 1)
+        struct.pack_into("<H", hdr, 28, 24)
+        decode_image(bytes(hdr))
+
+
+def test_image_pixel_stats_tolerates_null_media_id(spark):
+    """A NULL media_id renders as float64 NaN in the Arrow->pandas
+    batch; it must drop as a row, not ValueError the int64 cast for
+    the whole batch."""
+    from reddit_can_bigdata_spark.multimodal.binaryops import image_pixel_stats
+
+    ppm = b"P6\n1 1\n255\n\x09\x14\x1e"
+    df = spark.createDataFrame(
+        [(None, bytearray(ppm)), (7, bytearray(ppm))],
+        "media_id long, payload binary",
+    )
+    got = image_pixel_stats(df).collect()
+    assert [r["media_id"] for r in got] == [7]
+
+
 def test_decode_roundtrip_property_bmp_and_ppm():
     """Property: encode->decode is the identity for random dimensions
     and pixels, across BMP (both row orders) and P6 — the same

@@ -28,12 +28,26 @@ SRC_SF = "/root/testdata/sf0.001"
 
 
 def make_empty_dir() -> str:
-    """Materialize 0-row parquet slices with the source schemas."""
+    """Materialize 0-row parquet slices with the source schemas.
+
+    The cache directory is keyed by a fingerprint of the source
+    schemas, so a column added/renamed in the testdata invalidates the
+    cache instead of silently fuzzing against a stale empty schema."""
+    import hashlib
+
     import duckdb
+    import pyarrow.parquet as pq
 
     from reddit_can_bigdata_spark.tables import TABLE_NAMES
 
-    out = os.path.join(tempfile.gettempdir(), "sf_empty")
+    sig = hashlib.md5()
+    for t in TABLE_NAMES:
+        src = os.path.join(SRC_SF, f"{t}.parquet")
+        sig.update(t.encode())
+        sig.update(str(pq.read_schema(src)).encode())
+    out = os.path.join(
+        tempfile.gettempdir(), f"sf_empty_{sig.hexdigest()[:12]}"
+    )
     os.makedirs(out, exist_ok=True)
     duck = duckdb.connect()
     for t in TABLE_NAMES:
@@ -44,6 +58,17 @@ def make_empty_dir() -> str:
                 f"COPY (SELECT * FROM '{src}' LIMIT 0) TO '{dst}' (FORMAT PARQUET)"
             )
     return out
+
+
+def norm(rows, cols):
+    """Engine-independent row normal form: column-name-sorted reprs.
+    Shared with tests/test_empty_input.py so the fuzz tool and the
+    pinned suite can never disagree on what counts as a divergence."""
+    out = []
+    for row in rows:
+        d = dict(zip(cols, row))
+        out.append(tuple(repr(d[c]) for c in sorted(cols)))
+    return sorted(out)
 
 
 def main() -> int:
@@ -64,13 +89,6 @@ def main() -> int:
         duck.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t)}.parquet'"
         )
-
-    def norm(rows, cols):
-        out = []
-        for row in rows:
-            d = dict(zip(cols, row))
-            out.append(tuple(repr(d[c]) for c in sorted(cols)))
-        return sorted(out)
 
     failures = []
     for name in names:
