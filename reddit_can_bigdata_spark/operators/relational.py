@@ -746,8 +746,8 @@ def w2_influencer_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT m.user_id,
-           round(0.5 * (m.n_events - b.min_n) / (b.max_n - b.min_n)
-               + 0.5 * (m.total_value - b.min_v) / (b.max_v - b.min_v), 6) AS composite_score
+           round(0.5 * (m.n_events - b.min_n) / NULLIF(b.max_n - b.min_n, 0)
+               + 0.5 * (m.total_value - b.min_v) / NULLIF(b.max_v - b.min_v, 0), 6) AS composite_score
     FROM m CROSS JOIN bounds b
     """.format(dsum=DSUM_SQL.format(x="value")),
     tags=("window", "normalize"),
@@ -770,11 +770,15 @@ def w5_w6_normalized_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("total_value").alias("min_v"),
         F.max("total_value").alias("max_v"),
     )
+    # try_divide: a single-user corpus (max == min) must normalize to
+    # NULL on both engines, not ANSI-error the job (NULLIF in the
+    # oracle pins DuckDB to the same rule regardless of its
+    # division-by-zero setting)
     return m.crossJoin(F.broadcast(bounds)).select(
         "user_id",
         F.round(
-            0.5 * (F.col("n_events") - F.col("min_n")) / (F.col("max_n") - F.col("min_n"))
-            + 0.5 * (F.col("total_value") - F.col("min_v")) / (F.col("max_v") - F.col("min_v")),
+            0.5 * F.try_divide(F.col("n_events") - F.col("min_n"), F.col("max_n") - F.col("min_n"))
+            + 0.5 * F.try_divide(F.col("total_value") - F.col("min_v"), F.col("max_v") - F.col("min_v")),
             6,
         ).alias("composite_score"),
     )

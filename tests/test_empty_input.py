@@ -23,7 +23,7 @@ import pytest
 
 from reddit_can_bigdata_spark import registry
 from reddit_can_bigdata_spark.tables import TABLE_NAMES
-from tools.empty_check import make_empty_dir, norm as _norm_rows
+from tools.empty_check import make_empty_dir, make_slice_dir, norm as _norm_rows
 
 FIXED = [
     "g8_graph_metadata",
@@ -67,6 +67,37 @@ def test_empty_input_matches_oracle(spark, empty_dir, duck, name):
     res = duck.execute(spec.oracle)
     dcols = [c[0] for c in res.description]
     drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert _norm(srows, sdf.columns) == _norm(drows, dcols)
+
+
+SINGLE_ROW_FIXED = [
+    # LIMIT-1 fuzz finding: min-max normalization over a single user
+    # (max == min) divided by zero — must yield NULL on both engines
+    "w5_w6_normalized_composite",
+]
+
+
+@pytest.mark.parametrize("name", SINGLE_ROW_FIXED)
+def test_single_row_input_matches_oracle(spark, name):
+    """The n=1 slice exercises the single-sample edge (degenerate
+    normalization ranges, stddev/percentile of one) that neither the
+    empty fuzz nor full-SF parity reaches."""
+    registry._ensure_loaded()
+    one_dir = make_slice_dir(1)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(one_dir, t)}.parquet'"
+        )
+    spec = registry.REGISTRY[name]
+    sdf = spec.fn(spark, one_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(spec.oracle)
+    dcols = [c[0] for c in res.description]
+    drows = res.fetchall()
+    con.close()
     assert sorted(sdf.columns) == sorted(dcols)
     assert _norm(srows, sdf.columns) == _norm(drows, dcols)
 

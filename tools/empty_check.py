@@ -1,14 +1,19 @@
-"""Empty-input fuzz: run every registered query (and its DuckDB oracle)
-against ZERO-ROW copies of all tables.
+"""Tiny-input fuzz: run every registered query (and its DuckDB oracle)
+against LIMIT-n copies of all tables (default n=0: zero rows).
 
 Rationale: the advisor-findings class "latent cross-engine divergence on
 tiny/filtered input" (e.g. a variance term dividing by ``n - 1`` with no
-``n >= 2`` guard) only surfaces when a query's input collapses to 0..1
+``n >= 2`` guard) only surfaces when a query's input collapses to 0..k
 rows.  This harness makes that class testable wholesale: every query
-must either (a) return the same rows as its oracle on empty tables, or
-(b) raise the *same declared* error class on both engines.
+must either (a) return the same rows as its oracle on the sliced
+tables, or (b) raise the *same declared* error class on both engines.
+n=0 exercises the empty-relation identities (grouping sets, outer
+joins, scalar aggregates); n=1 exercises the single-sample edge
+(stddev/variance NULL, percentile-of-one, self-join singletons); small
+n>1 exercises broken-FK sparsity (slices keep the first rows of each
+table, so most joins go dark).
 
-Usage: python tools/empty_check.py [name ...]
+Usage: python tools/empty_check.py [--limit N] [name ...]
 Writes nothing; exits 1 on any divergence.
 """
 
@@ -27,12 +32,14 @@ from reddit_can_bigdata_spark import registry  # noqa: E402
 SRC_SF = "/root/testdata/sf0.001"
 
 
-def make_empty_dir() -> str:
-    """Materialize 0-row parquet slices with the source schemas.
+def make_slice_dir(n: int = 0) -> str:
+    """Materialize LIMIT-n parquet slices with the source schemas.
 
     The cache directory is keyed by a fingerprint of the source
-    schemas, so a column added/renamed in the testdata invalidates the
-    cache instead of silently fuzzing against a stale empty schema."""
+    schemas (plus n), so a column added/renamed in the testdata
+    invalidates the cache instead of silently fuzzing against a stale
+    schema. Both engines read the SAME materialized files, so which
+    rows the LIMIT picked is irrelevant to parity."""
     import hashlib
 
     import duckdb
@@ -46,7 +53,7 @@ def make_empty_dir() -> str:
         sig.update(t.encode())
         sig.update(str(pq.read_schema(src)).encode())
     out = os.path.join(
-        tempfile.gettempdir(), f"sf_empty_{sig.hexdigest()[:12]}"
+        tempfile.gettempdir(), f"sf_slice{n}_{sig.hexdigest()[:12]}"
     )
     os.makedirs(out, exist_ok=True)
     duck = duckdb.connect()
@@ -55,9 +62,16 @@ def make_empty_dir() -> str:
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             duck.execute(
-                f"COPY (SELECT * FROM '{src}' LIMIT 0) TO '{dst}' (FORMAT PARQUET)"
+                f"COPY (SELECT * FROM '{src}' LIMIT {int(n)}) "
+                f"TO '{dst}' (FORMAT PARQUET)"
             )
     return out
+
+
+def make_empty_dir() -> str:
+    """Materialize 0-row parquet slices (the n=0 case of
+    make_slice_dir; kept as the name tests import)."""
+    return make_slice_dir(0)
 
 
 def norm(rows, cols):
@@ -73,8 +87,13 @@ def norm(rows, cols):
 
 def main() -> int:
     registry._ensure_loaded()
-    names = sys.argv[1:] or list(registry.REGISTRY)
-    sf_dir = make_empty_dir()
+    argv = sys.argv[1:]
+    limit = 0
+    if argv and argv[0] == "--limit":
+        limit = int(argv[1])
+        argv = argv[2:]
+    names = argv or list(registry.REGISTRY)
+    sf_dir = make_slice_dir(limit)
 
     import duckdb
 
