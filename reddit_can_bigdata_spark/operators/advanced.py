@@ -245,7 +245,7 @@ def asof_join_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(epoch_us(CAST(ts AS TIMESTAMP)))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id,
            CAST(SUM(new_session) AS BIGINT) AS n_sessions,
@@ -261,8 +261,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps (the lag-then-cumulative-flag pattern), report sessions per
     user. Gap math in integer epoch-microseconds — exact in both
     engines. In streaming mode the same semantics come from
-    ``groupBy(session_window(ts, '30 minutes'))``."""
-    ev = tables(spark, sf_dir)["events"]
+    ``groupBy(session_window(ts, '30 minutes'))``.
+
+    NULL-ts events are excluded on both engines: a gap against an
+    unknown time is undefined, and a NULL ts would otherwise sort
+    differently in the two engines' windows (Spark NULLS FIRST vs
+    DuckDB NULLS LAST), shifting every session boundary."""
+    ev = tables(spark, sf_dir)["events"].where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_us = F.lag(F.unix_micros("ts")).over(w)
     new_session = (
@@ -341,7 +346,7 @@ def except_clickers_without_errors(spark: SparkSession, sf_dir: str) -> DataFram
     WITH daily AS (
       SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM orders GROUP BY order_day
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY order_day
     )
     SELECT order_day, cnt,
            cnt - lag(cnt) OVER (ORDER BY order_day) AS day_over_day
@@ -353,10 +358,13 @@ def w_lag_daily_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-window analytics the reference lacks (SURVEY §2.5 note):
     day-over-day change via lag. The window runs over the *aggregated*
     daily series (|days| rows), so the single-partition global order
-    is safe at any raw-data scale."""
+    is safe at any raw-data scale. NULL order dates are excluded on
+    both engines — a NULL day has no place in a day-over-day chain
+    and would sort differently in the two engines' windows."""
     t = tables(spark, sf_dir)
     daily = (
         t["orders"]
+        .where(F.col("o_orderdate").isNotNull())
         .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
         .agg(F.count("*").alias("cnt"))
     )

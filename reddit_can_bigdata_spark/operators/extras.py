@@ -577,15 +577,17 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
              event_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     changes AS (
       SELECT user_id, event_type, tus,
              row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id)
                AS version
       FROM ordered
-      WHERE prev_type IS NULL OR prev_type <> event_type
+      WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
            CAST(tus AS BIGINT) AS valid_from_us,
@@ -607,14 +609,30 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on user_id serves both windows (same partitioning);
     the output is change-count-sized, not event-count-sized. Exact
-    epoch-micro timestamps; deterministic (ts, event_id) ordering."""
-    ev = tables(spark, sf_dir)["events"].select(
-        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("tus")
+    epoch-micro timestamps; deterministic (ts, event_id) ordering.
+
+    NULL handling, pinned identically in the oracle: NULL-ts events
+    are excluded (an interval can't open at an unknown time, and a
+    NULL ts sorts differently across engines' windows); a NULL
+    event_type is a legitimate dimension VALUE, so change detection
+    is null-safe (IS DISTINCT FROM / eqNullSafe) with an explicit
+    first-row test — `prev IS NULL` alone both misses NULL-valued
+    runs and misreads a NULL-typed predecessor as row one."""
+    ev = (
+        tables(spark, sf_dir)["events"]
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id", "event_type", "event_id", F.unix_micros("ts").alias("tus")
+        )
     )
     w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
-        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            (F.col("rn") == 1)
+            | ~F.col("prev_type").eqNullSafe(F.col("event_type"))
+        )
         .withColumn("version", F.row_number().over(w).cast("bigint"))
     )
     wv = Window.partitionBy("user_id").orderBy("version")
@@ -742,7 +760,7 @@ def w_ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, measure, total
     FROM wide
-    UNPIVOT (total FOR measure IN (qty, price, discount, tax))
+    UNPIVOT INCLUDE NULLS (total FOR measure IN (qty, price, discount, tax))
     """,
     tags=("reshape", "unpivot"),
 )
@@ -753,7 +771,10 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpivot (3 rows x 4 measures, not 600k x 4): unpivoting raw
     lineitem would 4x the shuffle volume for identical results.
     Spark's native unpivot() generates the same Expand node as SQL
-    stack(); no UDF, no driver loop."""
+    stack(); no UDF, no driver loop. Spark's unpivot KEEPS NULL cells
+    while SQL UNPIVOT's default EXCLUDEs them — the oracle pins
+    INCLUDE NULLS so a measure whose inputs are all NULL still melts
+    to an explicit (flag, measure, NULL) row on both engines."""
     li = tables(spark, sf_dir)["lineitem"]
     wide = li.groupBy("l_returnflag").agg(
         dsum("l_quantity").alias("qty"),
@@ -775,15 +796,17 @@ _SCD2_DIM_SQL = """
              epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
              event_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     changes AS (
       SELECT user_id, event_type, tus,
              row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id)
                AS version
       FROM ordered
-      WHERE prev_type IS NULL OR prev_type <> event_type
+      WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
     ),
     dim AS (
       SELECT user_id, event_type, CAST(version AS BIGINT) AS version,

@@ -62,13 +62,28 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+# NULL-embedding rows (failed embedding jobs — routine at 100 TB) are
+# skipped by every distance path. The two engines disagree by default
+# — Spark's `aggregate` over a NULL array yields NULL (the row then
+# sorts last and silently pollutes windows), DuckDB's `list_reduce`
+# raises — so the skip is pinned EXPLICITLY on both sides: `_EMB` is
+# the oracle's embeddings scan, `_embedded` the Spark twin.
+_EMB = "(SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+
+
+def _embedded(emb: DataFrame) -> DataFrame:
+    """The non-null-embedding scan every similarity query starts from
+    (filter pushes down to the parquet scan; see `_EMB` for why)."""
+    return emb.where(F.col("embedding").isNotNull())
+
+
 @register(
     "sim_topk_bruteforce",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    WITH q AS (SELECT embedding AS qv FROM {_EMB} q0 WHERE vec_id = 0)
     SELECT e.vec_id, e.label,
            round({_cos_sql('e.embedding', 'q.qv')}, 6) AS cosine
-    FROM embeddings e CROSS JOIN q
+    FROM {_EMB} e CROSS JOIN q
     WHERE e.vec_id <> 0
     ORDER BY {_cos_sql('e.embedding', 'q.qv')} DESC, e.vec_id
     LIMIT 10
@@ -83,7 +98,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     and finishes with TakeOrderedAndProject (per-partition heaps) —
     exactly the plan you want for exact KNN at any N.
     """
-    emb = tables(spark, sf_dir)["embeddings"]
+    emb = _embedded(tables(spark, sf_dir)["embeddings"])
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cos = cosine_expr("embedding", "qv")
     return (
@@ -171,7 +186,7 @@ def ivf_assign(emb: DataFrame, cents: DataFrame | None = None) -> DataFrame:
     "sim_ivf_cluster_search",
     oracle=f"""
     WITH centroids AS (
-      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+      SELECT vec_id AS cid, embedding AS cv FROM {_EMB} c0 WHERE vec_id < 8
     ),
     assigned AS (
       SELECT e.vec_id, e.label, e.embedding, c.cid,
@@ -179,7 +194,7 @@ def ivf_assign(emb: DataFrame, cents: DataFrame | None = None) -> DataFrame:
                PARTITION BY e.vec_id
                ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid
              ) AS rn
-      FROM embeddings e CROSS JOIN centroids c
+      FROM {_EMB} e CROSS JOIN centroids c
     ),
     clustered AS (SELECT vec_id, label, embedding, cid FROM assigned WHERE rn = 1),
     qc AS (SELECT cid, clustered.embedding AS qv
@@ -202,7 +217,7 @@ def sim_ivf_cluster_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     `plans.layout.write_ivf_index` / `ivf_probe`, partition pruning
     asserted in tests/test_layout.py); recall is tuned by probing the
     closest n_probe centroids instead of 1."""
-    emb = tables(spark, sf_dir)["embeddings"]
+    emb = _embedded(tables(spark, sf_dir)["embeddings"])
     clustered = ivf_assign(emb)
     qc = (
         clustered.where(F.col("vec_id") == 0)
@@ -232,7 +247,7 @@ def sim_ivf_cluster_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN (CAST(1 AS BIGINT) << h) ELSE 0 END
                 for h in range(0, 4)],
                (acc, v) -> acc + v) AS BIGINT) AS bucket
-      FROM embeddings
+      FROM {_EMB} e0
     )
     SELECT s1.vec_id AS vec_a, s2.vec_id AS vec_b,
            round({_cos_sql('s1.embedding', 's2.embedding')}, 6) AS cosine
@@ -252,7 +267,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups (cos ≥ 0.92 pairs almost always share all 4 signs).
     At 100 TB: more planes + multi-probe, same plan shape.
     """
-    emb = tables(spark, sf_dir)["embeddings"]
+    emb = _embedded(tables(spark, sf_dir)["embeddings"])
     # bucket bit h: sign of <w_h, embedding>, w_h[j] = ((17h+3)*j mod 29) - 14
     plane = (
         "aggregate(zip_with(sequence(0, 63), embedding,"
@@ -290,13 +305,13 @@ IVF_NPROBE = 2
     "sim_knn_join",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      SELECT vec_id AS qid, embedding AS qv FROM {_EMB} q0
       WHERE vec_id < {KNN_QUERIES}
     ),
     scored AS (
       SELECT q.qid, e.vec_id, e.label,
              {_cos_sql('e.embedding', 'q.qv')} AS cos_raw
-      FROM embeddings e CROSS JOIN q
+      FROM {_EMB} e CROSS JOIN q
       WHERE e.vec_id >= {KNN_QUERIES}
     )
     SELECT qid, vec_id, label, round(cos_raw, 6) AS cosine
@@ -324,7 +339,7 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept set is deterministic across engines."""
     from pyspark.sql import Window
 
-    emb = tables(spark, sf_dir)["embeddings"]
+    emb = _embedded(tables(spark, sf_dir)["embeddings"])
     q = emb.where(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
@@ -356,7 +371,7 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY e.vec_id
                ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid
              ) AS rn
-      FROM embeddings e CROSS JOIN centroids c
+      FROM {_EMB} e CROSS JOIN centroids c
     ),
     clustered AS (SELECT vec_id, label, embedding, cid FROM assigned WHERE rn = 1),
     qc AS (SELECT cid, clustered.embedding AS qv
@@ -381,7 +396,7 @@ def sim_ivf_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     it carries an EXACT DuckDB oracle over the same fixture. The fit
     itself is pinned separately: recall on planted clusters and
     committed-fixture reproducibility in tests/test_ivf_trained.py."""
-    emb = tables(spark, sf_dir)["embeddings"]
+    emb = _embedded(tables(spark, sf_dir)["embeddings"])
     cents = spark.read.parquet(CODEBOOK_FIXTURE)
     clustered = ivf_assign(emb, cents=cents)
     qc = (
@@ -486,7 +501,7 @@ def sim_sq_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_multiprobe",
     oracle=f"""
     WITH centroids AS (
-      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+      SELECT vec_id AS cid, embedding AS cv FROM {_EMB} c0 WHERE vec_id < 8
     ),
     assigned AS (
       SELECT e.vec_id, e.label, e.embedding, c.cid,
@@ -494,10 +509,10 @@ def sim_sq_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY e.vec_id
                ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid
              ) AS rn
-      FROM embeddings e CROSS JOIN centroids c
+      FROM {_EMB} e CROSS JOIN centroids c
     ),
     clustered AS (SELECT vec_id, label, embedding, cid FROM assigned WHERE rn = 1),
-    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qv AS (SELECT embedding AS qv FROM {_EMB} q0 WHERE vec_id = 0),
     probe AS (
       SELECT c.cid, qv.qv
       FROM centroids c CROSS JOIN qv
@@ -521,7 +536,7 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe=1). Candidate volume is n_probe/K of the corpus; on the
     persisted `write_ivf_index` layout this reads exactly n_probe
     partitions (static pruning, see tests/test_layout.py)."""
-    emb = tables(spark, sf_dir)["embeddings"]
+    emb = _embedded(tables(spark, sf_dir)["embeddings"])
     clustered = ivf_assign(emb)
     qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cents = ivf_centroids(emb)
@@ -561,7 +576,7 @@ SEMDEDUP_TAU = 0.40
                PARTITION BY e.vec_id
                ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid
              ) AS rn
-      FROM embeddings e CROSS JOIN cents c
+      FROM {_EMB} e CROSS JOIN cents c
     ),
     cl AS (SELECT vec_id, embedding, cid FROM assigned WHERE rn = 1),
     pairs AS (
@@ -599,7 +614,7 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. At 100 TB you scale K with N (the paper uses 50k
     clusters for 100M+ docs) to bound cluster sizes, and AQE skew
     handling splits any runaway cluster."""
-    emb = tables(spark, sf_dir)["embeddings"]
+    emb = _embedded(tables(spark, sf_dir)["embeddings"])
     cents = spark.read.parquet(CODEBOOK_FIXTURE)
     assigned = ivf_assign(emb, cents).select("vec_id", "cid", "embedding")
     a = assigned.select(
@@ -781,7 +796,7 @@ IVFPQ_NPROBE = 2
              row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
-      FROM embeddings e CROSS JOIN coarse c
+      FROM {_EMB} e CROSS JOIN coarse c
     ),
     cl AS (SELECT vec_id, embedding, cid, ccv FROM assigned WHERE rn = 1),
     resid AS (
@@ -805,7 +820,7 @@ IVFPQ_NPROBE = 2
       QUALIFY row_number() OVER (
         PARTITION BY vec_id, sub ORDER BY d2, code) = 1
     ),
-    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT embedding FROM {_EMB} q0 WHERE vec_id = 0),
     probes AS (
       SELECT c.cid, c.cv FROM q CROSS JOIN coarse c
       QUALIFY row_number() OVER (
@@ -862,7 +877,7 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED distance + vec_id tiebreak per the float-sum rule."""
     from pyspark.sql import Window
 
-    emb = tables(spark, sf_dir)["embeddings"]
+    emb = _embedded(tables(spark, sf_dir)["embeddings"])
     coarse = spark.read.parquet(CODEBOOK_FIXTURE)
     pq = spark.read.parquet(IVFPQ_FIXTURE).select(
         "sub", F.col("cid").alias("code"), F.col("cv").alias("pcv")

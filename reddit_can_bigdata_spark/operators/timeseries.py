@@ -329,11 +329,12 @@ _EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_sql_terms()
     WITH daily AS (
       SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
              {DSUM_SQL.format(x="value")} AS day_value
-      FROM events GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
     ),
     scored AS (
       SELECT event_type, day, day_value,
-             round(({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}), 6) AS ewma
+             round(({_EWMA_NUM_SQL}) / NULLIF(({_EWMA_DEN_SQL}), 0), 6) AS ewma
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY day)
     )
@@ -359,7 +360,11 @@ def ewma_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines (ewma itself rounds to 6dp, and the
     anomaly comparison reads the rounded value — no boundary flips).
     """
-    ev = tables(spark, sf_dir)["events"]
+    # NULL-ts rows are excluded on both engines: a daily series has no
+    # bucket for an unknown day, and a NULL day would otherwise sort
+    # differently in the two engines' window frames (Spark ASC is
+    # NULLS FIRST, DuckDB's is NULLS LAST), shifting every lag term.
+    ev = tables(spark, sf_dir)["events"].where(F.col("ts").isNotNull())
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         dsum("value").alias("day_value")
     )
@@ -372,7 +377,10 @@ def ewma_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         dterm = F.when(lagged.isNotNull(), F.lit(float(wgt))).otherwise(F.lit(0.0))
         num = term if num is None else num + term
         den = dterm if den is None else den + dterm
-    scored = daily.withColumn("ewma", F.round(num / den, 6))
+    # try_divide: an all-NULL lag window (every visible day_value
+    # NULL) has zero total weight — EWMA is undefined (NULL), not an
+    # ANSI error; NULLIF pins DuckDB to the same rule
+    scored = daily.withColumn("ewma", F.round(F.try_divide(num, den), 6))
     return scored.select(
         "event_type",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -558,7 +566,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(epoch_us(CAST(ts AS TIMESTAMP)))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, tus, value,
@@ -591,8 +599,12 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows per key in a single pass (UpdatingSessionsIterator) —
     state bounded by a user's open session, the same O(active keys)
     story as the streaming sessionizer. The session start is the
-    first event's timestamp, emitted as exact BIGINT micros."""
-    ev = tables(spark, sf_dir)["events"]
+    first event's timestamp, emitted as exact BIGINT micros.
+
+    NULL-ts events: Spark's session_window silently drops rows with
+    no assignable window; the explicit filter pins the oracle's
+    gaps-and-islands twin to the same rule."""
+    ev = tables(spark, sf_dir)["events"].where(F.col("ts").isNotNull())
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(

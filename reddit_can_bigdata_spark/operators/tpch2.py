@@ -673,7 +673,7 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ls AS (
       SELECT l.l_orderkey, l.l_suppkey, MAX(l.l_shipdate) AS smax
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-      WHERE o.o_orderstatus = 'F'
+      WHERE o.o_orderstatus = 'F' AND l.l_shipdate IS NOT NULL
       GROUP BY l.l_orderkey, l.l_suppkey
     )
     SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
@@ -688,7 +688,7 @@ def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l3.smax >= l1.smax
       )
     GROUP BY s.s_name
-    ORDER BY numwait DESC, s.s_name
+    ORDER BY numwait DESC, s.s_name NULLS LAST
     LIMIT 20
     """,
     tags=("tpch", "exists", "self-join"),
@@ -709,8 +709,13 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivative, not lineitem."""
     t = tables(spark, sf_dir)
     fo = t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    # NULL ship dates carry no lateness evidence: without the filter an
+    # all-NULL (order, supplier) group diverges across engines — the
+    # oracle's NOT EXISTS sees no later shipment (3VL NULL) and blames
+    # it, the window's NULL-unsafe smax == omax never does
     ls = (
         t["lineitem"]
+        .where(F.col("l_shipdate").isNotNull())
         .join(F.broadcast(fo), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("smax"))
@@ -736,7 +741,10 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_name")
         .agg(F.count("*").cast("bigint").alias("numwait"))
-        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        # asc_nulls_last: Spark's ASC default is NULLS FIRST, DuckDB's
+        # is NULLS LAST — at the LIMIT boundary that selects different
+        # rows, so the tiebreak is pinned explicitly on both sides
+        .orderBy(F.desc("numwait"), F.asc_nulls_last("s_name"))
         .limit(20)
     )
 

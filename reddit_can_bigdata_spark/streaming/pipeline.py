@@ -202,7 +202,7 @@ def stream_etl_to_parquet(
     SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS event_day,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM events GROUP BY event_day, event_type
+    FROM events WHERE ts IS NOT NULL GROUP BY event_day, event_type
     """,
     tags=("streaming", "window"),
 )
@@ -348,7 +348,7 @@ TREND_TOPK = 3
                AS event_day,
              event_type,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM events GROUP BY event_day, event_type
+      FROM events WHERE ts IS NOT NULL GROUP BY event_day, event_type
     )
     SELECT event_day, event_type, cnt
     FROM counts

@@ -82,11 +82,17 @@ def _sessionize_group(key, pdf_iter: "Iterator[pd.DataFrame]", state: "GroupStat
 def sessionize_stream(events: DataFrame) -> DataFrame:
     """Streaming sessionization over an events stream with columns
     (user_id, ts timestamp, event_id). Returns the closed-session
-    summary stream (append mode)."""
+    summary stream (append mode).
+
+    NULL event times are excluded up front — the standard event-time
+    contract (Spark's own window/session_window operators drop them
+    too); inside the fold a NaT would otherwise coerce to the int64
+    sentinel and fabricate sessions at the epoch boundary."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
         events.select("user_id", "ts", "event_id")
+        .where(F.col("ts").isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_group,
@@ -149,7 +155,7 @@ def run_sessionize_stream(
                   OR lag(epoch_us(CAST(ts AS TIMESTAMP)))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, tus,

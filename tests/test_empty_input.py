@@ -23,7 +23,12 @@ import pytest
 
 from reddit_can_bigdata_spark import registry
 from reddit_can_bigdata_spark.tables import TABLE_NAMES
-from tools.empty_check import make_empty_dir, make_slice_dir, norm as _norm_rows
+from tools.empty_check import (
+    make_empty_dir,
+    make_nulls_dir,
+    make_slice_dir,
+    norm as _norm_rows,
+)
 
 FIXED = [
     "g8_graph_metadata",
@@ -98,6 +103,58 @@ def test_single_row_input_matches_oracle(spark, name):
     dcols = [c[0] for c in res.description]
     drows = res.fetchall()
     con.close()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert _norm(srows, sdf.columns) == _norm(drows, dcols)
+
+
+# NULL-injection fuzz findings (tools/empty_check.py --nulls): the 19
+# queries that ever diverged when every 5th row of each non-key column
+# is NULL. Classes fixed: NULL embeddings (DuckDB list_reduce raises
+# where Spark yields NULL — both sides now filter), NULL event times
+# (engines' window null-ordering defaults differ — both sides now
+# exclude), NULL group names at a LIMIT boundary (explicit NULLS LAST),
+# null-safe SCD2 change detection (IS DISTINCT FROM / eqNullSafe),
+# UNPIVOT INCLUDE NULLS, and a zero-weight EWMA window (try_divide).
+NULLS_FIXED = [
+    "sim_topk_bruteforce",
+    "dedup_embedding_lsh",
+    "sim_knn_join",
+    "sim_semantic_dedup",
+    "ewma_anomaly_daily",
+    "streaming_windowed_counts",
+    "sessionize_events",
+    "session_window_agg",
+    "w_lag_daily_change",
+    "tpch_q21_waiting_suppliers",
+    "scd2_user_event_type",
+    "scd2_point_in_time_join",
+    "unpivot_lineitem_measures",
+]
+
+
+@pytest.fixture(scope="module")
+def nulls_ctx():
+    nulls_dir = make_nulls_dir()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(nulls_dir, t)}.parquet'"
+        )
+    yield nulls_dir, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NULLS_FIXED)
+def test_null_injected_input_matches_oracle(spark, nulls_ctx, name):
+    nulls_dir, con = nulls_ctx
+    registry._ensure_loaded()
+    spec = registry.REGISTRY[name]
+    sdf = spec.fn(spark, nulls_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(spec.oracle)
+    dcols = [c[0] for c in res.description]
+    drows = res.fetchall()
     assert sorted(sdf.columns) == sorted(dcols)
     assert _norm(srows, sdf.columns) == _norm(drows, dcols)
 

@@ -74,6 +74,61 @@ def make_empty_dir() -> str:
     return make_slice_dir(0)
 
 
+# Join/identity keys stay non-null so the injected tables keep their
+# relational structure; every OTHER column gets NULL on every 5th row.
+_KEY_COLS = {
+    "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey",
+    "c_nationkey", "s_suppkey", "s_nationkey", "p_partkey",
+    "o_orderkey", "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "event_id", "user_id", "doc_id", "vec_id",
+}
+
+
+def make_nulls_dir(every: int = 5) -> str:
+    """Materialize copies of the sf0.001 tables with NULLs injected
+    into every ``every``-th row of each non-key column.
+
+    Targets the NULL-semantics divergence class: default null ordering
+    under LIMIT (Spark ASC is NULLS FIRST, DuckDB's is NULLS LAST),
+    NULL group keys, NULL-propagating string/date expressions, and
+    Python-side paths that assume collected scalars are non-None.
+    Both engines read the SAME materialized files."""
+    import hashlib
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from reddit_can_bigdata_spark.tables import TABLE_NAMES
+
+    sig = hashlib.md5()
+    for t in TABLE_NAMES:
+        src = os.path.join(SRC_SF, f"{t}.parquet")
+        sig.update(t.encode())
+        sig.update(str(pq.read_schema(src)).encode())
+    out = os.path.join(
+        tempfile.gettempdir(), f"sf_nulls{every}_{sig.hexdigest()[:12]}"
+    )
+    os.makedirs(out, exist_ok=True)
+    duck = duckdb.connect()
+    for t in TABLE_NAMES:
+        src = os.path.join(SRC_SF, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        cols = [f.name for f in pq.read_schema(src)]
+        exprs = ", ".join(
+            f'"{c}"' if c in _KEY_COLS
+            else f'CASE WHEN __rn % {int(every)} = 0 THEN NULL '
+                 f'ELSE "{c}" END AS "{c}"'
+            for c in cols
+        )
+        duck.execute(
+            f"COPY (SELECT {exprs} FROM (SELECT *, row_number() OVER () "
+            f"AS __rn FROM '{src}')) TO '{dst}' (FORMAT PARQUET)"
+        )
+    return out
+
+
 def norm(rows, cols):
     """Engine-independent row normal form: column-name-sorted reprs.
     Shared with tests/test_empty_input.py so the fuzz tool and the
@@ -89,11 +144,15 @@ def main() -> int:
     registry._ensure_loaded()
     argv = sys.argv[1:]
     limit = 0
+    nulls = False
     if argv and argv[0] == "--limit":
         limit = int(argv[1])
         argv = argv[2:]
+    if argv and argv[0] == "--nulls":
+        nulls = True
+        argv = argv[1:]
     names = argv or list(registry.REGISTRY)
-    sf_dir = make_slice_dir(limit)
+    sf_dir = make_nulls_dir() if nulls else make_slice_dir(limit)
 
     import duckdb
 
