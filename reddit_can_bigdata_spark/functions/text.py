@@ -45,8 +45,16 @@ def clean_text_expr(col: Column) -> Column:
     identically under Java regex (Spark) and RE2 (DuckDB oracle).
     Patterns avoid capture-group backreferences for the same
     cross-dialect reason.
+
+    Combining marks (``\\p{M}``) are DELETED right after lowercasing:
+    Java's full case mapping expands e.g. 'İ' to 'i' + U+0307 while
+    DuckDB's utf8proc maps it to plain 'i' — stripping marks converges
+    the two (and normalizes NFD text) instead of leaving an
+    engine-dependent stray space. Precomposed accents ('é', Ll) are
+    not marks and survive untouched.
     """
     c = F.lower(col)
+    c = F.regexp_replace(c, r"\p{M}", "")
     c = F.regexp_replace(c, r"http\S+|www\S+", " ")
     c = F.regexp_replace(c, r"@\w+", " ")
     c = F.regexp_replace(c, r"#", "")
@@ -58,7 +66,8 @@ def clean_text_expr(col: Column) -> Column:
 # The same chain as DuckDB SQL (RE2, 'g' flag for replace-all).
 CLEAN_TEXT_SQL = (
     "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-    "regexp_replace(lower({x}), 'http\\S+|www\\S+', ' ', 'g'),"
+    "regexp_replace(regexp_replace(lower({x}), '\\p{{M}}', '', 'g'),"
+    " 'http\\S+|www\\S+', ' ', 'g'),"
     " '@\\w+', ' ', 'g'),"
     " '#', '', 'g'),"
     " '[^\\p{{L}}0-9\\s]', ' ', 'g'),"

@@ -267,7 +267,9 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bpeish_token_count",
     oracle="""
     SELECT source,
-           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
+           CAST(SUM(len(regexp_extract_all(
+             regexp_replace(lower(text), '\\p{M}', '', 'g'),
+             '[a-z0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
              AS bpeish_tokens,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
     FROM documents GROUP BY source
@@ -279,10 +281,18 @@ def text_bpeish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word runs + individual punctuation — the pre-tokenization rule
     BPE vocabularies apply). Budgeting pretraining data is done in
     tokens, and the two counts bracket the real tokenizer's output.
-    Pattern restricted to a dialect both Java regex and RE2 agree on.
+    Pattern restricted to a dialect both Java regex and RE2 agree on;
+    combining marks are stripped after lowercasing because Java's full
+    case mapping expands 'İ' to 'i'+U+0307 (two extra tokens) where
+    DuckDB's simple mapping yields plain 'i'.
     """
     d = tables(spark, sf_dir)["documents"]
-    bpeish = F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]', 0)"))
+    bpeish = F.size(
+        F.expr(
+            r"regexp_extract_all(regexp_replace(lower(text), '\\p{M}', ''),"
+            r" '[a-z0-9]+|[^a-z0-9\\s]', 0)"
+        )
+    )
     ws = F.size(F.split("text", " "))
     return d.groupBy("source").agg(
         F.sum(bpeish.cast("long")).alias("bpeish_tokens"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from reddit_can_bigdata_spark.functions.text import CLEAN_TEXT_SQL
 from reddit_can_bigdata_spark.operators.common import DAVG_SQL, DSUM_SQL, davg, dsum, tables
 from reddit_can_bigdata_spark.registry import register
 
@@ -831,14 +832,7 @@ def o6_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(string_split({clean}, ' ')) AS INT) AS word_count
     FROM documents
     WHERE length({clean}) > 20
-    """.format(
-        clean=(
-            "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-            "regexp_replace(lower(text), 'http\\S+|www\\S+', ' ', 'g'),"
-            " '@\\w+', ' ', 'g'), '#', '', 'g'), '[^a-z0-9\\s]', ' ', 'g'),"
-            " '\\s+', ' ', 'g'))"
-        )
-    ),
+    """.format(clean=CLEAN_TEXT_SQL.format(x="text")),
     tags=("text", "etl"),
     bench=True,
 )

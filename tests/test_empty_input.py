@@ -27,6 +27,7 @@ from tools.empty_check import (
     make_empty_dir,
     make_nulls_dir,
     make_slice_dir,
+    make_textfuzz_dir,
     norm as _norm_rows,
 )
 
@@ -155,6 +156,38 @@ def test_null_injected_input_matches_oracle(spark, nulls_ctx, name):
     res = con.execute(spec.oracle)
     dcols = [c[0] for c in res.description]
     drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert _norm(srows, sdf.columns) == _norm(drows, dcols)
+
+
+# Adversarial-Unicode fuzz findings (tools/empty_check.py --textfuzz):
+# the queries that diverged on hostile text. Root cause was the İ/U+0130
+# case mapping (Java's full mapping expands to 'i'+U+0307, DuckDB's
+# simple mapping gives 'i') — both sides now strip combining marks
+# (\p{M}) right after lowercasing, which also normalizes NFD input.
+TEXTFUZZ_FIXED = [
+    "f1_clean_text_etl",
+    "text_bpeish_token_count",
+]
+
+
+@pytest.mark.parametrize("name", TEXTFUZZ_FIXED)
+def test_adversarial_text_matches_oracle(spark, name):
+    registry._ensure_loaded()
+    fuzz_dir = make_textfuzz_dir()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(fuzz_dir, t)}.parquet'"
+        )
+    spec = registry.REGISTRY[name]
+    sdf = spec.fn(spark, fuzz_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(spec.oracle)
+    dcols = [c[0] for c in res.description]
+    drows = res.fetchall()
+    con.close()
     assert sorted(sdf.columns) == sorted(dcols)
     assert _norm(srows, sdf.columns) == _norm(drows, dcols)
 

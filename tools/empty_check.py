@@ -140,6 +140,88 @@ def norm(rows, cols):
     return sorted(out)
 
 
+# Adversarial corpus for the text stack: the Unicode shapes web scrapes
+# actually contain, where Java (Spark) and DuckDB string/regex
+# semantics are most likely to diverge — exotic whitespace, CJK/RTL,
+# emoji (surrogate pairs), combining marks, fullwidth forms, control
+# and NUL bytes, pathological token lengths.
+ADVERSARIAL_TEXTS = [
+    "",
+    " ",
+    "\t\n\r",
+    "\u00a0\u2028\u2029 nbsp and line separators",
+    "héllo wörld café straße",
+    "ｆｕｌｌｗｉｄｔｈ text",
+    "日本語のテキストです。",
+    "مرحبا بالعالم",
+    "\U0001f44d\U0001f525\U0001f4af emoji storm \U0001f680 end",
+    "éclair naïve combining marks",
+    "a" * 5000,
+    "word " * 500,
+    "Mixed123Numbers456 and UPPER lower",
+    "ALL CAPS SHOUTING TEXT HERE",
+    "punct!!! ??? ;;; ,,, ... ---",
+    "tab\tseparated\tvalues here",
+    "quote \"double\" and 'single' marks",
+    "back\\slash and /forward/ slash",
+    "null\x00byte embedded",
+    "control\x01\x02\x03chars",
+    "İstanbul Iı turkish dotted",
+    "<html><b>markup &amp; entities</b></html>",
+]
+
+
+def make_textfuzz_dir() -> str:
+    """Materialize table copies where every SECOND documents.text row
+    is replaced by a deterministic adversarial string (cycling
+    ADVERSARIAL_TEXTS); alternate rows keep real text so df/idf-style
+    statistics stay meaningful. All other tables pass through
+    untouched. Both engines read the SAME files, so any failure is an
+    expression-semantics divergence, not a data difference."""
+    import hashlib
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from reddit_can_bigdata_spark.tables import TABLE_NAMES
+
+    sig = hashlib.md5()
+    for t in TABLE_NAMES:
+        src = os.path.join(SRC_SF, f"{t}.parquet")
+        sig.update(t.encode())
+        sig.update(str(pq.read_schema(src)).encode())
+    sig.update(repr(ADVERSARIAL_TEXTS).encode())
+    out = os.path.join(
+        tempfile.gettempdir(), f"sf_textfuzz_{sig.hexdigest()[:12]}"
+    )
+    os.makedirs(out, exist_ok=True)
+    duck = duckdb.connect()
+    for t in TABLE_NAMES:
+        src = os.path.join(SRC_SF, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        if t != "documents":
+            duck.execute(
+                f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)"
+            )
+            continue
+        import pandas as pd
+        import pyarrow as pa
+
+        tbl = pq.read_table(src)
+        pdf = tbl.to_pandas()
+        texts = list(pdf["text"])
+        for i in range(0, len(texts), 2):
+            texts[i] = ADVERSARIAL_TEXTS[(i // 2) % len(ADVERSARIAL_TEXTS)]
+        pdf["text"] = pd.Series(texts, dtype="object")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=tbl.schema, preserve_index=False),
+            dst,
+        )
+    return out
+
+
 def main() -> int:
     registry._ensure_loaded()
     argv = sys.argv[1:]
@@ -151,8 +233,17 @@ def main() -> int:
     if argv and argv[0] == "--nulls":
         nulls = True
         argv = argv[1:]
+    textfuzz = False
+    if argv and argv[0] == "--textfuzz":
+        textfuzz = True
+        argv = argv[1:]
     names = argv or list(registry.REGISTRY)
-    sf_dir = make_nulls_dir() if nulls else make_slice_dir(limit)
+    if textfuzz:
+        sf_dir = make_textfuzz_dir()
+    elif nulls:
+        sf_dir = make_nulls_dir()
+    else:
+        sf_dir = make_slice_dir(limit)
 
     import duckdb
 
