@@ -556,3 +556,17 @@ def test_scd2_asof_join_shares_user_partitioning(spark, sf_dir):
     # events side + dimension side each shuffle once on user_id; the
     # window's exchange must serve the join (no third data exchange)
     assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_null_guard_filters_push_to_scan(spark, sf_dir):
+    """The NULL-semantics pins (embedding IS NOT NULL on every
+    distance path, ts IS NOT NULL on event-time series) must stay
+    scan-level DataFilters — pushed into the parquet reader, not
+    evaluated post-join where they'd ship NULL rows through the
+    shuffle first."""
+    df = REGISTRY["sim_topk_bruteforce"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isnotnull(embedding" in plan, plan
+    df2 = REGISTRY["sessionize_events"].fn(spark, sf_dir)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "isnotnull(ts" in plan2, plan2
