@@ -4,10 +4,12 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3);
-``queries`` holds per-query MEDIANS (``value`` = sum of medians) and
-``spread`` holds per-query [min, max] so a regression is
-distinguishable from single-run variance (the round-3 lesson: n=1
-made a 27% delta unattributable). Reps of one query run
+``queries`` holds per-query MEDIANS (``value`` = sum of medians).
+Per-query [min, max] spreads — so a regression is distinguishable
+from single-run variance (the round-3 lesson: n=1 made a 27% delta
+unattributable) — are written to BENCH_SPREADS.json and stderr, NOT
+the stdout line, which must stay short enough for tail-capturing
+harnesses (the round-4/5 lesson). Reps of one query run
 back-to-back, so rep 2+ benefit from page cache / codegen caches —
 the median reflects warm steady-state, which is the comparable
 number across rounds.
@@ -66,6 +68,19 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # Spreads go to a SIDE FILE (and stderr), NOT the stdout JSON line:
+    # harnesses that capture only the tail of stdout truncated the
+    # r4/r5 result line once ~50 queries of [min,max] pairs pushed it
+    # past their window, losing the medians entirely. The stdout
+    # contract stays one compact line.
+    spread_path = Path(__file__).resolve().parent / "BENCH_SPREADS.json"
+    try:
+        spread_path.write_text(
+            json.dumps({"sf": sf, "reps": reps, "spread": spread}, indent=1)
+        )
+    except OSError as e:  # read-only checkout: stderr still has it all
+        print(f"# could not write {spread_path}: {e}", file=sys.stderr)
+    print(f"# spread: {json.dumps(spread)}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -75,7 +90,6 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
-                "spread": spread,
             }
         )
     )

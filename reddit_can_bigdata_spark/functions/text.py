@@ -46,19 +46,22 @@ def clean_text_expr(col: Column) -> Column:
     Patterns avoid capture-group backreferences for the same
     cross-dialect reason.
 
-    Combining marks (``\\p{M}``) are DELETED right after lowercasing:
-    Java's full case mapping expands e.g. 'İ' to 'i' + U+0307 while
-    DuckDB's utf8proc maps it to plain 'i' — stripping marks converges
-    the two (and normalizes NFD text) instead of leaving an
-    engine-dependent stray space. Precomposed accents ('é', Ll) are
-    not marks and survive untouched.
+    Case-mapping convergence: Java's full case mapping expands 'İ'
+    (U+0130) to 'i' + U+0307 while DuckDB's utf8proc maps it to plain
+    'i' — Unicode SpecialCasing's ONLY lowercase expansion that emits a
+    combining mark. Deleting exactly that artifact ('i'+U+0307 -> 'i')
+    converges the engines WITHOUT destroying scripts where marks are
+    load-bearing letters (Indic matras, Arabic/Hebrew points, which an
+    earlier blanket ``\\p{M}`` delete silently mangled). Marks are also
+    in the keep-class, so NFD text ('e'+U+0301) survives as-is —
+    identically in both engines, since neither normalizes.
     """
     c = F.lower(col)
-    c = F.regexp_replace(c, r"\p{M}", "")
+    c = F.regexp_replace(c, "i̇", "i")
     c = F.regexp_replace(c, r"http\S+|www\S+", " ")
     c = F.regexp_replace(c, r"@\w+", " ")
     c = F.regexp_replace(c, r"#", "")
-    c = F.regexp_replace(c, r"[^\p{L}0-9\s]", " ")
+    c = F.regexp_replace(c, r"[^\p{L}\p{M}0-9\s]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
 
@@ -66,11 +69,11 @@ def clean_text_expr(col: Column) -> Column:
 # The same chain as DuckDB SQL (RE2, 'g' flag for replace-all).
 CLEAN_TEXT_SQL = (
     "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-    "regexp_replace(regexp_replace(lower({x}), '\\p{{M}}', '', 'g'),"
+    "regexp_replace(regexp_replace(lower({x}), 'i\\x{{0307}}', 'i', 'g'),"
     " 'http\\S+|www\\S+', ' ', 'g'),"
     " '@\\w+', ' ', 'g'),"
     " '#', '', 'g'),"
-    " '[^\\p{{L}}0-9\\s]', ' ', 'g'),"
+    " '[^\\p{{L}}\\p{{M}}0-9\\s]', ' ', 'g'),"
     " '\\s+', ' ', 'g'))"
 )
 

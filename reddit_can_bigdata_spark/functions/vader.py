@@ -575,11 +575,29 @@ def _struct_fields(toks: str, engine: str, lexicon: dict[str, float]) -> dict[st
     }
 
 
+# Above this many lexicon entries the inlined per-token CASE is a
+# multi-MB expression tree: Catalyst planning slows superlinearly and
+# codegen falls back / can exceed the 64KB method limit. The full 7.5k
+# vaderSentiment lexicon belongs on the broadcast-join path.
+EXPR_LEXICON_MAX = 1000
+
+
+def _check_expr_lexicon(lexicon: dict[str, float], fn: str) -> None:
+    if len(lexicon) > EXPR_LEXICON_MAX:
+        raise ValueError(
+            f"{fn}: lexicon has {len(lexicon)} entries; the inline "
+            f"CASE expression path is only sane up to "
+            f"{EXPR_LEXICON_MAX}. Use vader_compound_join (broadcast "
+            f"lexicon join) for full-size lexicons."
+        )
+
+
 def vader_compound_expr(
     text_col: str, lexicon: dict[str, float] | None = None
 ) -> Column:
     """Compound score as ONE Catalyst expression chain."""
     lexicon = lexicon or LEXICON
+    _check_expr_lexicon(lexicon, "vader_compound_expr")
     text = f"coalesce({text_col}, '')"
     rawtoks = f"filter(split({text}, '{_ws_split_pattern('spark')}'), t -> t <> '')"
     toks = (
@@ -623,6 +641,7 @@ def vader_sql(text_col: str, lexicon: dict[str, float] | None = None) -> str:
     constants, same left-to-right summation => bit-identical compound.
     Returns a scalar SQL expression over ``text_col``."""
     lexicon = lexicon or LEXICON
+    _check_expr_lexicon(lexicon, "vader_sql")
     text = f"coalesce({text_col}, '')"
     rawtoks = (
         f"list_filter(regexp_split_to_array({text},"

@@ -93,7 +93,14 @@ def _decode_ppm(payload: bytes) -> DecodedImage:
     if maxval > 255:
         raise ValueError("PPM maxval > 255 not supported (16-bit samples)")
     if magic == b"P6":
-        pos += 1  # exactly one whitespace byte after maxval
+        # one whitespace byte after maxval terminates the header — but
+        # Windows-written files end it with \r\n; treat that pair as a
+        # single separator (common Netpbm reader leniency), else pixel
+        # data mis-frames by one byte
+        if payload[pos : pos + 2] == b"\r\n":
+            pos += 2
+        else:
+            pos += 1
         px = payload[pos : pos + 3 * w * h]
         if len(px) != 3 * w * h:
             raise ValueError("truncated P6 pixel data")

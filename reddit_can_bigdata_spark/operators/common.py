@@ -40,7 +40,12 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     round's DataFrame goes out of scope unless the session was built
     with ``spark.cleaner.referenceTracking.cleanCheckpoints=true``;
     long-running services should point the conf at a scratch/TTL'd
-    path or enable that cleaner."""
+    path or enable that cleaner. When neither is the case this helper
+    warns ONCE per session (a 40-round loop otherwise grows the dir
+    silently and unboundedly). Eager per-round deletion is deliberately
+    NOT done here: loops like Brandes hold several checkpointed frames
+    live at once, and deleting a checkpoint still referenced by a live
+    plan breaks recovery — exactly what reliable mode exists for."""
     spark = df.sparkSession
     ckdir = spark.conf.get(ITER_CHECKPOINT_DIR_CONF, None)
     if ckdir:
@@ -52,6 +57,21 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         if getattr(sc, "_reddit_can_iter_ckdir", None) != ckdir:
             sc.setCheckpointDir(ckdir)
             sc._reddit_can_iter_ckdir = ckdir
+            cleaner = spark.conf.get(
+                "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+            )
+            if str(cleaner).lower() != "true":
+                import warnings
+
+                warnings.warn(
+                    f"{ITER_CHECKPOINT_DIR_CONF}={ckdir}: checkpoint files "
+                    "accumulate per round because "
+                    "spark.cleaner.referenceTracking.cleanCheckpoints is not "
+                    "'true' (it is session-build-time only). Point the dir at "
+                    "a TTL'd scratch path or enable the cleaner when building "
+                    "the session.",
+                    stacklevel=2,
+                )
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 

@@ -153,11 +153,16 @@ TOKEN_BUDGET = 10_000  # total training-token budget to realize
       FROM wts
     ),
     cum AS (
+      -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas renders as
+      -- float64 ("520.0") while Spark's window sum stays BIGINT
+      -- ("520") — a value-hash mismatch with zero actual value
+      -- difference. Every oracle output column must land on the same
+      -- pandas dtype kind as the Spark result (tests/test_dtype_parity.py).
       SELECT t.doc_id, t.source, t.n_tokens, b.src_budget,
-             SUM(t.n_tokens) OVER (
+             CAST(SUM(t.n_tokens) OVER (
                PARTITION BY t.source ORDER BY t.h, t.doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS cum_tokens
+             ) AS BIGINT) AS cum_tokens
       FROM toks t JOIN budgets b USING (source)
     )
     SELECT doc_id, source, n_tokens, cum_tokens

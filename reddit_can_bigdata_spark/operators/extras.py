@@ -268,7 +268,7 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            CAST(SUM(len(regexp_extract_all(
-             regexp_replace(lower(text), '\\p{M}', '', 'g'),
+             regexp_replace(lower(text), 'i\\x{0307}', 'i', 'g'),
              '[a-z0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
              AS bpeish_tokens,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
@@ -282,14 +282,15 @@ def text_bpeish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE vocabularies apply). Budgeting pretraining data is done in
     tokens, and the two counts bracket the real tokenizer's output.
     Pattern restricted to a dialect both Java regex and RE2 agree on;
-    combining marks are stripped after lowercasing because Java's full
-    case mapping expands 'İ' to 'i'+U+0307 (two extra tokens) where
-    DuckDB's simple mapping yields plain 'i'.
+    the 'i'+U+0307 artifact of Java's full İ case mapping is collapsed
+    to 'i' after lowercasing (DuckDB's simple mapping yields plain 'i'
+    directly) — the narrow fix, so genuine combining marks in Indic or
+    Arabic text survive and count identically in both engines.
     """
     d = tables(spark, sf_dir)["documents"]
     bpeish = F.size(
         F.expr(
-            r"regexp_extract_all(regexp_replace(lower(text), '\\p{M}', ''),"
+            r"regexp_extract_all(regexp_replace(lower(text), 'i\\x{0307}', 'i'),"
             r" '[a-z0-9]+|[^a-z0-9\\s]', 0)"
         )
     )
@@ -1016,7 +1017,8 @@ from reddit_can_bigdata_spark.functions.text import (  # noqa: E402
     "table_checksum_lineitem",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST({{h}} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum_sum,
+           CAST(SUM(CAST({{h}} AS DECIMAL(38,0)))
+                % 1000000000000000000 AS BIGINT) AS checksum_sum,
            CAST(bit_xor({{h}}) AS BIGINT) AS checksum_xor
     FROM (
       SELECT concat_ws('|',
@@ -1041,8 +1043,14 @@ def table_checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DECIMAL(38,0): 32-bit hashes summed over >2^32 rows overflow
     int64, and the two engines disagree on overflow (DuckDB errors,
     Spark wraps/throws under ANSI) — decimal keeps the reduction
-    well-defined to ~10^28 rows, i.e. at any real table size. Cost is one scan +
-    a 1-row aggregate; two independent reductions make silent
+    well-defined to ~10^28 rows, i.e. at any real table size. The
+    EMITTED checksum_sum is the accumulator mod 10^18, cast BIGINT:
+    modulo preserves commutativity and the full detection power of a
+    checksum, while a BIGINT output renders identically through every
+    client fetch path — DECIMAL(38,0) came back as float64 from
+    DuckDB's pandas API but as Decimal from Spark's, a representation
+    (not value) mismatch that broke external verification. Cost is one
+    scan + a 1-row aggregate; two independent reductions make silent
     collisions (a pair of compensating errors) vastly less likely
     than either alone. This engine's own oracle harness is the
     use case in miniature: DuckDB computes the same checksum from
@@ -1061,8 +1069,8 @@ def table_checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = portable_hash32(row_repr)
     return li.select(h.alias("h")).agg(
         F.count("*").cast("bigint").alias("n_rows"),
-        F.sum(F.col("h").cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(10**18))
+        .cast("bigint")
         .alias("checksum_sum"),
         F.expr("bit_xor(h)").cast("bigint").alias("checksum_xor"),
     )

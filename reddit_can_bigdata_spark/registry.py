@@ -84,8 +84,8 @@ def all_oracles() -> dict[str, str]:
     }
 
 
-def _driver_check_counts(artifact_dir: str) -> dict[str, int]:
-    """How many driver CORRECTNESS rounds have already verified each query.
+def _driver_check_counts(artifact_dir: str) -> tuple[dict[str, int], set[str]]:
+    """(check counts, names whose LATEST driver check was red) per query.
 
     Driver-facing only (used by ``__spark_entry__.py``): the library API
     (``all_queries``/``all_oracles``) stays in registration order.  Files
@@ -96,12 +96,19 @@ def _driver_check_counts(artifact_dir: str) -> dict[str, int]:
     from pathlib import Path
 
     counts: dict[str, int] = {}
+    failed_last: set[str] = set()
     for path in sorted(Path(artifact_dir).glob("CORRECTNESS_r*.json")):
         rows = json.loads(path.read_text())
         if isinstance(rows, dict):
-            for name in rows:
+            for name, res in rows.items():
                 counts[name] = counts.get(name, 0) + 1
-    return counts
+                ok = isinstance(res, dict) and all(
+                    res.get(k, False)
+                    for k in ("rows_match", "schema_match", "hash_match")
+                )
+                # later rounds overwrite earlier verdicts
+                (failed_last.discard if ok else failed_last.add)(name)
+    return counts, failed_last
 
 
 def rotated_queries(artifact_dir: str) -> dict[str, QueryFn]:
@@ -111,13 +118,19 @@ def rotated_queries(artifact_dir: str) -> dict[str, QueryFn]:
     per round (confirmed: CORRECTNESS_r02.json == registration
     order[0:50]).  With >50 registered queries a static order starves the
     tail forever, so the driver contract file sorts least-checked-first
-    using the CORRECTNESS_r*.json artifacts in ``artifact_dir``.  This
-    coverage-rotation concern lives here, out of the library API.
+    using the CORRECTNESS_r*.json artifacts in ``artifact_dir``.  Queries
+    whose LATEST driver check was red jump the queue entirely: a fixed
+    failure must be re-verified externally in the very next round, not
+    whenever its count comes up again.  This coverage-rotation concern
+    lives here, out of the library API.
     """
     _ensure_loaded()
-    counts = _driver_check_counts(artifact_dir)
+    counts, failed_last = _driver_check_counts(artifact_dir)
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
-    order = sorted(REGISTRY, key=lambda n: (counts.get(n, 0), reg_index[n]))
+    order = sorted(
+        REGISTRY,
+        key=lambda n: (n not in failed_last, counts.get(n, 0), reg_index[n]),
+    )
     return {name: REGISTRY[name].fn for name in order}
 
 

@@ -163,8 +163,9 @@ def test_null_injected_input_matches_oracle(spark, nulls_ctx, name):
 # Adversarial-Unicode fuzz findings (tools/empty_check.py --textfuzz):
 # the queries that diverged on hostile text. Root cause was the İ/U+0130
 # case mapping (Java's full mapping expands to 'i'+U+0307, DuckDB's
-# simple mapping gives 'i') — both sides now strip combining marks
-# (\p{M}) right after lowercasing, which also normalizes NFD input.
+# simple mapping gives 'i') — both sides now collapse exactly that
+# artifact ('i'+U+0307 -> 'i') after lowercasing, leaving genuine
+# combining marks (Indic matras, Arabic points) intact in both engines.
 TEXTFUZZ_FIXED = [
     "f1_clean_text_etl",
     "text_bpeish_token_count",

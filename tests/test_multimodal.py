@@ -74,6 +74,27 @@ def test_decode_image_ppm_p6_p3_and_comments():
     assert (img3.width, img3.height, img3.pixels) == (2, 1, px)
 
 
+def test_decode_image_ppm_crlf_header_terminator():
+    """Windows-written P6 ends the header with \\r\\n; the pair must
+    count as ONE separator or pixel data mis-frames by a byte (usually
+    a spurious 'truncated' error; silently shifted RGB channels when
+    trailing bytes exist)."""
+    from reddit_can_bigdata_spark.multimodal.binaryops import decode_image
+
+    px = bytes((1, 2, 3, 4, 5, 6))
+    img = decode_image(b"P6\r\n2 1\r\n255\r\n" + px)
+    assert (img.width, img.height, img.pixels) == (2, 1, px)
+    # a lone \r separator (classic-Mac style) still counts as one byte
+    img2 = decode_image(b"P6\r2 1\r255\r" + px)
+    assert img2.pixels == px
+    # \r\n followed by pixel data that BEGINS with \n-valued byte must
+    # not be eaten: 0x0a is a legal first sample after a \r\n pair only
+    # when framed correctly — construct via maxval>\n case
+    px3 = bytes((0x0A, 2, 3))
+    img3 = decode_image(b"P6\r\n1 1\r\n255\r\n" + px3)
+    assert img3.pixels == px3
+
+
 def test_decode_image_rejects_unsupported_with_clear_error():
     from reddit_can_bigdata_spark.multimodal.binaryops import decode_image
 

@@ -442,3 +442,20 @@ def test_but_check_index_aliasing_quirk(spark):
         assert got_expr[i] == pytest.approx(golden[i], abs=1e-15), ("expr", s)
         assert got_join[i] == got_expr[i], ("join", s)
         assert got_duck[i] == got_expr[i], ("duck", s)
+
+
+def test_expr_path_rejects_oversized_lexicon():
+    """The inline per-token CASE path becomes a multi-MB expression
+    tree past ~1k entries (planner slowdown, codegen 64KB limit); full
+    7.5k-entry lexicons must go through vader_compound_join."""
+    from reddit_can_bigdata_spark.functions.vader import (
+        EXPR_LEXICON_MAX,
+        vader_compound_expr,
+        vader_sql,
+    )
+
+    big = {f"w{i}": 1.0 for i in range(EXPR_LEXICON_MAX + 1)}
+    with pytest.raises(ValueError, match="vader_compound_join"):
+        vader_compound_expr("text", big)
+    with pytest.raises(ValueError, match="vader_compound_join"):
+        vader_sql("text", big)
