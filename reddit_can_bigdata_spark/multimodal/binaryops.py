@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -231,6 +232,145 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
+
+
+class DecodedAudio:
+    """Minimal decoded-audio carrier: ``samples`` is the interleaved
+    signed sample stream (8-bit PCM is centered to -128..127 so every
+    depth shares one signed convention)."""
+
+    __slots__ = ("sample_rate", "channels", "bits", "samples")
+
+    def __init__(self, sample_rate: int, channels: int, bits: int, samples):
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.bits = bits
+        self.samples = samples
+
+
+def _decode_wav(payload: bytes) -> DecodedAudio:
+    """RIFF/WAVE, uncompressed PCM (format tag 1), 8- or 16-bit.
+    Full chunk walk (word-aligned), so files with LIST/INFO or fact
+    chunks between fmt and data parse correctly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + csz]
+        if len(body) < csz:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated fmt chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV format {audio_format} (only PCM)")
+    if channels < 1 or rate <= 0:
+        raise ValueError(f"invalid WAV header (channels={channels}, rate={rate})")
+    if bits == 8:
+        samples = [b - 128 for b in data]  # unsigned -> centered
+    elif bits == 16:
+        if len(data) % 2:
+            raise ValueError("odd byte count for 16-bit PCM")
+        samples = [
+            int.from_bytes(data[i : i + 2], "little", signed=True)
+            for i in range(0, len(data), 2)
+        ]
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    return DecodedAudio(rate, channels, bits, samples)
+
+
+def decode_audio(payload: bytes) -> DecodedAudio:
+    """Pure-Python audio codec dispatch (today: RIFF/WAVE PCM — the
+    uncompressed format, mirroring the image codec's BMP/PPM scope).
+    A deployment that needs MP3/FLAC/OGG installs soundfile/librosa
+    and swaps only this dispatch; the Arrow plumbing is codec-free."""
+    payload = bytes(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    raise ValueError(
+        f"unsupported audio container (magic {payload[:4]!r}); compressed "
+        "formats (MP3/FLAC/OGG) need an audio library wired in here"
+    )
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def audio_pcm_stats(df: DataFrame) -> DataFrame:
+    """REAL audio decode -> signal statistics over Arrow batches —
+    the audio twin of `image_pixel_stats`: duration, RMS amplitude and
+    peak from decoded PCM. duration_ms and rms are emitted at full
+    double precision; callers round JVM-side (Spark and DuckDB agree
+    on round-half-up for positives; Python's banker's rounding does
+    not). Undecodable blobs and NULL payloads/ids drop as rows, never
+    fail the batch."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rates, chs, bts, ns, durs, rmss, peaks = (
+                [], [], [], [], [], [], [], [],
+            )
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or pd.isna(mid):
+                    continue
+                try:
+                    au = decode_audio(bytes(payload))
+                except ValueError:
+                    continue
+                frames = len(au.samples) // au.channels
+                if frames == 0:
+                    continue
+                ss = sum(s * s for s in au.samples)  # exact int
+                ids.append(int(mid))
+                rates.append(au.sample_rate)
+                chs.append(au.channels)
+                bts.append(au.bits)
+                ns.append(frames)
+                # frames*1000.0 first, then /rate — the oracle's
+                # association, so the doubles are bit-identical
+                durs.append(frames * 1000.0 / au.sample_rate)
+                rmss.append(math.sqrt(float(ss) / len(au.samples)))
+                peaks.append(max(abs(s) for s in au.samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "bits": pd.Series(bts, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "duration_ms": pd.Series(durs, dtype="float64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -569,5 +709,116 @@ def _register_decode_pixel_stats() -> None:
         return image_pixel_stats(media)
 
 
+def _le_hex(col: F.Column, nbytes: int) -> F.Column:
+    """Little-endian hex of an integer column over ``nbytes`` bytes —
+    the RIFF/WAV header convention (the image twin `_be_u32` reads
+    big-endian; this WRITES little-endian). shiftright keeps the
+    arithmetic integer-exact."""
+    return F.concat(
+        *[
+            F.lpad(
+                F.hex(F.shiftright(col.cast("long"), 8 * i) % 256), 2, "0"
+            )
+            for i in range(nbytes)
+        ]
+    )
+
+
+def _register_audio_pcm_stats() -> None:
+    from reddit_can_bigdata_spark.operators.common import tables
+    from reddit_can_bigdata_spark.registry import register
+
+    @register(
+        "multimodal_audio_pcm_stats",
+        oracle="""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate,
+                 CAST(16 + doc_id % 32 AS BIGINT) AS n
+          FROM documents WHERE doc_id % 11 <> 5
+        ),
+        c AS (
+          SELECT doc_id, rate, n,
+                 list_transform(range(0, CAST(n AS INT)),
+                   i -> CAST((doc_id * 7 + i * 11) % 256 AS BIGINT) - 128
+                 ) AS cs
+          FROM s
+        )
+        SELECT doc_id AS media_id,
+               CAST(rate AS INT) AS sample_rate,
+               CAST(1 AS INT) AS channels,
+               CAST(8 AS INT) AS bits,
+               n AS n_samples,
+               round(n * 1000.0 / rate, 6) AS duration_ms,
+               round(sqrt(list_sum(list_transform(cs,
+                 x -> CAST(x * x AS DOUBLE))) / n), 6) AS rms,
+               CAST(list_max(list_transform(cs, x -> abs(x))) AS INT)
+                 AS peak
+        FROM c
+        """,
+        tags=("multimodal", "binary", "audio", "decode"),
+    )
+    def multimodal_audio_pcm_stats(spark, sf_dir: str) -> DataFrame:
+        """The AUDIO modality end-to-end, mirroring
+        `multimodal_decode_pixel_stats`: deterministic 8-bit mono PCM
+        WAV files are SYNTHESIZED from doc_id entirely JVM-side —
+        RIFF/fmt/data chunks as little-endian hex assembly
+        (`_le_hex`), sample bytes from a sequence() transform — every
+        doc_id % 11 == 5 row replaced by a corrupt non-audio blob;
+        then the Arrow-batched Python codec (`decode_audio` via
+        `audio_pcm_stats`) parses the container back and reports
+        sample rate, duration, RMS and peak. The DuckDB oracle states
+        the round-trip identity arithmetically, so a byte-order or
+        chunk-offset mistake in either the writer or the parser
+        breaks the hash; corrupt rows must drop, not crash the batch.
+
+        Scale shape: synthesis/filtering are codegen expressions; only
+        the decode crosses to Python, Arrow-batched, after all
+        relational work. Float discipline: Python emits full-precision
+        doubles with the same association as the oracle
+        (frames*1000.0/rate; sqrt(sum/n) over exactly-representable
+        integer squares), and rounding to 6dp happens JVM-side."""
+        docs = tables(spark, sf_dir)["documents"]
+        rate = (F.lit(8000) + (F.col("doc_id") % 3) * 4000).cast("long")
+        n = (F.lit(16) + F.col("doc_id") % 32).cast("long")
+        data_hex = F.expr(
+            "concat_ws('', transform("
+            "sequence(0, cast(16 + doc_id % 32 as int) - 1),"
+            " i -> lpad(hex((doc_id * 7 + i * 11) % 256), 2, '0')))"
+        )
+        hdr = F.concat(
+            F.lit("52494646"),              # 'RIFF'
+            _le_hex(F.lit(36) + n, 4),      # riff chunk size
+            F.lit("57415645"),              # 'WAVE'
+            F.lit("666D7420"),              # 'fmt '
+            F.lit("10000000"),              # fmt size = 16
+            F.lit("0100"),                  # format tag = 1 (PCM)
+            F.lit("0100"),                  # channels = 1
+            _le_hex(rate, 4),               # sample rate
+            _le_hex(rate, 4),               # byte rate (mono 8-bit)
+            F.lit("0100"),                  # block align = 1
+            F.lit("0800"),                  # bits = 8
+            F.lit("64617461"),              # 'data'
+            _le_hex(n, 4),                  # data size
+        )
+        good = F.unhex(F.concat(hdr, data_hex))
+        corrupt = F.encode(F.lit("NOT-A-WAVE"), "UTF-8")
+        payload = F.when(F.col("doc_id") % 11 == 5, corrupt).otherwise(good)
+        media = docs.select(
+            F.col("doc_id").alias("media_id"), payload.alias("payload")
+        )
+        return audio_pcm_stats(media).select(
+            "media_id",
+            "sample_rate",
+            "channels",
+            "bits",
+            "n_samples",
+            F.round("duration_ms", 6).alias("duration_ms"),
+            F.round("rms", 6).alias("rms"),
+            "peak",
+        )
+
+
 _register_header_sniff()
 _register_decode_pixel_stats()
+_register_audio_pcm_stats()

@@ -395,7 +395,10 @@ BM25_QUERY = ("table", "scan", "fast")
 BM25_TOPK = 20
 
 
-def _bm25_oracle() -> str:
+def bm25_scored_sql_ctes() -> str:
+    """The DuckDB CTE chain ending in ``scored(doc_id, score)`` — the
+    shared lexical arm of `text_bm25_topk` and the RRF fusion oracle
+    (`retrieve_hybrid_rrf` in similarity.py)."""
     from reddit_can_bigdata_spark.operators.pretrain import TOKENS_SQL
 
     tf_cols = ", ".join(
@@ -413,7 +416,7 @@ def _bm25_oracle() -> str:
         for i in range(len(BM25_QUERY))
     )
     return f"""
-    WITH d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+    d AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
     base AS (
       SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
       FROM d WHERE len(toks) > 0
@@ -424,7 +427,12 @@ def _bm25_oracle() -> str:
     scored AS (
       SELECT tfs.doc_id, {terms} AS score
       FROM tfs, dfs, stats
-    )
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {bm25_scored_sql_ctes()}
     SELECT doc_id, round(score, 6) AS bm25
     FROM scored
     ORDER BY score DESC, doc_id
@@ -453,9 +461,22 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales the expression, not the pass count — the same shape an
     inverted-index-free distributed grep-rank uses at any corpus
     size. ln() portability precedent: `pretrain_unigram_logprob`."""
+    docs = tables(spark, sf_dir)["documents"]
+    return (
+        bm25_scored(docs)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
+
+
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, score) for BM25_QUERY over every non-empty document —
+    the shared lexical arm of `text_bm25_topk` and the hybrid RRF
+    fusion (`retrieve_hybrid_rrf`, similarity.py); DuckDB twin:
+    `bm25_scored_sql_ctes`."""
     from reddit_can_bigdata_spark.operators.pretrain import TOKENS_EXPR
 
-    docs = tables(spark, sf_dir)["documents"]
     base = spread(docs).select(
         "doc_id", F.expr(TOKENS_EXPR).alias("toks")
     ).where(F.expr("size(toks) > 0")).select(
@@ -485,9 +506,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.crossJoin(F.broadcast(dfs))
         .crossJoin(F.broadcast(stats))
         .select("doc_id", F.expr(terms).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(BM25_TOPK)
-        .select("doc_id", F.round("score", 6).alias("bm25"))
     )
 
 

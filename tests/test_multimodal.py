@@ -321,3 +321,83 @@ def test_decode_roundtrip_property_bmp_and_ppm():
         p6 = f"P6\n{w} {h}\n255\n".encode() + flat
         img = decode_image(p6)
         assert (img.width, img.height, img.pixels) == (w, h, flat)
+
+
+def _wav(rate=8000, channels=1, bits=8, data=b"\x80\x80", extra_chunk=False):
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # LIST chunk between fmt and data (odd-sized)
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_8bit_centering_and_chunk_walk():
+    from reddit_can_bigdata_spark.multimodal.binaryops import decode_audio
+
+    au = decode_audio(_wav(data=bytes((128, 255, 0, 130)), extra_chunk=True))
+    assert (au.sample_rate, au.channels, au.bits) == (8000, 1, 8)
+    assert au.samples == [0, 127, -128, 2]
+
+
+def test_decode_wav_16bit_signed_le():
+    import struct
+
+    from reddit_can_bigdata_spark.multimodal.binaryops import decode_audio
+
+    data = struct.pack("<4h", 0, 32767, -32768, -1)
+    au = decode_audio(_wav(bits=16, data=data))
+    assert au.bits == 16
+    assert au.samples == [0, 32767, -32768, -1]
+
+
+def test_decode_wav_rejects_with_clear_errors():
+    import struct
+
+    from reddit_can_bigdata_spark.multimodal.binaryops import decode_audio
+
+    with pytest.raises(ValueError, match="audio container"):
+        decode_audio(b"ID3\x04 mp3 tag")
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_audio(b"RIFF\x00\x00\x00\x00AVI LIST")
+    with pytest.raises(ValueError, match="only PCM"):
+        bad = bytearray(_wav())
+        off = bad.index(b"fmt ") + 8
+        bad[off:off + 2] = struct.pack("<H", 3)  # IEEE float format
+        decode_audio(bytes(bad))
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_audio(_wav()[:-1])
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_audio(_wav(bits=24, data=b"\x00" * 6))
+    with pytest.raises(ValueError, match="odd byte count"):
+        decode_audio(_wav(bits=16, data=b"\x00\x01\x02"))
+
+
+def test_audio_pcm_stats_end_to_end(spark):
+    """Arrow path: one good WAV, one corrupt blob, one NULL payload —
+    stats exact for the good row, the others dropped."""
+    from reddit_can_bigdata_spark.multimodal.binaryops import audio_pcm_stats
+
+    good = _wav(rate=16000, data=bytes((128 + 30, 128 - 30, 128, 228)))
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"garbage")), (3, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_pcm_stats(df).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert (r["sample_rate"], r["channels"], r["bits"], r["n_samples"]) == (
+        16000, 1, 8, 4,
+    )
+    assert r["duration_ms"] == pytest.approx(4 * 1000.0 / 16000)
+    import math
+
+    assert r["rms"] == pytest.approx(
+        math.sqrt((30 * 30 + 30 * 30 + 0 + 100 * 100) / 4)
+    )
+    assert r["peak"] == 100

@@ -570,3 +570,20 @@ def test_null_guard_filters_push_to_scan(spark, sf_dir):
     df2 = REGISTRY["sessionize_events"].fn(spark, sf_dir)
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "isnotnull(ts" in plan2, plan2
+
+
+def test_rrf_arms_take_ordered_never_shuffle_corpus(spark, sf_dir):
+    """retrieve_hybrid_rrf: each retrieval arm must finish in
+    per-partition heaps (TakeOrderedAndProject at pool depth) so the
+    corpus is never globally sorted (no rangepartitioning exchange)
+    nor key-shuffled (no hashpartitioning exchange at all — the
+    50-row fusion lists go through SinglePartition exchanges, and
+    the deliberate ``spread()`` round-robins are input balancing,
+    not data movement keyed on corpus columns); the broadcast of the
+    stats/query rows must never degrade to a CartesianProduct."""
+    df = REGISTRY["retrieve_hybrid_rrf"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
