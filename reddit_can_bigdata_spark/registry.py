@@ -126,10 +126,14 @@ def rotated_queries(artifact_dir: str) -> dict[str, QueryFn]:
     """
     _ensure_loaded()
     counts, failed_last = _driver_check_counts(artifact_dir)
-    reg_index = {name: i for i, name in enumerate(REGISTRY)}
+    # Tiebreak on NAME, not registration index: REGISTRY insertion
+    # order depends on which module import fires the @register calls
+    # first (a stray direct `import operators.curation` before
+    # _ensure_loaded reorders it), so index ties are not reproducible
+    # across processes; names are.
     order = sorted(
         REGISTRY,
-        key=lambda n: (n not in failed_last, counts.get(n, 0), reg_index[n]),
+        key=lambda n: (n not in failed_last, counts.get(n, 0), n),
     )
     return {name: REGISTRY[name].fn for name in order}
 

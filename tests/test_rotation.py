@@ -61,11 +61,13 @@ def test_red_then_green_clears_priority(tmp_path):
 
 
 def test_current_repo_rotation_leads_with_r05_reds():
-    """Pin the real state: the two r05 hash mismatches lead round 6."""
+    """Pin the real state: the two r05 hash mismatches lead round 6.
+    (Set comparison, not list: their relative order is a name
+    tiebreak, the leading-position property is what matters.)"""
     order = list(registry.rotated_queries("/root/repo"))
     counts, failed = registry._driver_check_counts("/root/repo")
     if failed == {"table_checksum_lineitem", "curate_token_budget"}:
-        assert order[:2] == ["table_checksum_lineitem", "curate_token_budget"]
+        assert set(order[:2]) == {"table_checksum_lineitem", "curate_token_budget"}
     # whatever the artifact state, the sample always has 50 distinct
     # heads and covers every registered query
     assert len(order) == len(registry.REGISTRY)
