@@ -616,3 +616,140 @@ def _clf_oracle() -> str:
 from reddit_can_bigdata_spark.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["curate_quality_classifier"].oracle = _clf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 6: WebDataset-style tar shard packing
+# ---------------------------------------------------------------------------
+
+TAR_RECORD = 10240  # tar blocking factor (20 x 512) — tarfile default
+
+
+def pack_webdataset_shards(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Pack documents into WebDataset-style TAR SHARDS — the standard
+    container for large-scale (multimodal) training ingest: loaders
+    stream whole shards sequentially instead of issuing per-sample
+    object reads. Shard assignment reuses `curate_shard_manifest`'s
+    deterministic portable-hash rule, so the manifest IS this
+    packer's accounting row.
+
+    The tar bytes are BIT-DETERMINISTIC at any partitioning: entries
+    sort by doc_id inside the shard, names are zero-padded doc_ids,
+    ustar format is pinned, and every nondeterministic header field
+    (mtime/uid/gid/uname/gname) is zeroed — so a re-run, a different
+    executor count, or a different engine produces byte-identical
+    shards (asserted by md5 in tests/test_webdataset.py).
+
+    Plan: one hash shuffle on shard_id, then one Arrow group per
+    shard through applyInPandas. The group materializes in memory —
+    which is exactly WebDataset's own constraint (shards are sized to
+    ~100MB-1GB via maxcount/maxsize); pick n_shards so corpus/n_shards
+    respects that, same as any shard writer."""
+    import hashlib
+    import io
+    import tarfile
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("shard_id", LongType()),
+            StructField("n_entries", LongType()),
+            StructField("payload_bytes", LongType()),
+            StructField("tar_size", LongType()),
+            StructField("tar_md5", StringType()),
+            StructField("tar_bytes", BinaryType()),
+        ]
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        total = 0
+        n = 0
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = str(text).encode("utf-8")
+                ti = tarfile.TarInfo(name=f"{int(doc_id):012d}.txt")
+                ti.size = len(data)
+                ti.mtime = 0
+                ti.uid = 0
+                ti.gid = 0
+                ti.mode = 0o644
+                ti.uname = ""
+                ti.gname = ""
+                tf.addfile(ti, io.BytesIO(data))
+                total += len(data)
+                n += 1
+        tar = buf.getvalue()
+        return pd.DataFrame(
+            {
+                "shard_id": pd.Series([int(key[0])], dtype="int64"),
+                "n_entries": pd.Series([n], dtype="int64"),
+                "payload_bytes": pd.Series([total], dtype="int64"),
+                "tar_size": pd.Series([len(tar)], dtype="int64"),
+                "tar_md5": [hashlib.md5(tar).hexdigest()],
+                "tar_bytes": [tar],
+            }
+        )
+
+    assigned = docs.where(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    ).select(
+        (
+            portable_hash32(
+                F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+            )
+            % n_shards
+        ).alias("shard_id"),
+        "doc_id",
+        "text",
+    )
+    return assigned.groupBy("shard_id").applyInPandas(pack, schema=schema)
+
+
+@register(
+    "curate_pack_tar_shards",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT {PORTABLE_HASH32_SQL.format(x="'shard:' || CAST(doc_id AS VARCHAR)")}
+               % {N_SHARDS} AS shard_id,
+             octet_length(encode(text)) AS sz
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(SUM(sz) AS BIGINT) AS payload_bytes,
+           CAST(((512 * COUNT(*) + SUM((sz + 511) // 512 * 512)
+                  + 1024 + {TAR_RECORD} - 1) // {TAR_RECORD})
+                * {TAR_RECORD} AS BIGINT) AS tar_size
+    FROM assigned GROUP BY shard_id
+    """,
+    tags=("curation", "sharding", "webdataset", "multimodal"),
+)
+def curate_pack_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tar-shard packer's oracle row: the DuckDB twin PREDICTS
+    each shard's exact tar byte size from pure arithmetic — per entry
+    a 512-byte ustar header plus content padded to 512, plus the
+    1024-byte end-of-archive marker, the whole padded to the 10240
+    blocking record — while the Spark side reports the length of the
+    ACTUAL tar bytes built by `pack_webdataset_shards`. Any drift in
+    entry layout, header format, or padding breaks the hash, making
+    this a structural round-trip check in the same spirit as the
+    image/audio identity oracles. (tar_md5 and the bytes themselves
+    are not SQL-expressible; byte-level determinism is pinned in
+    tests/test_webdataset.py instead.)"""
+    docs = tables(spark, sf_dir)["documents"]
+    return pack_webdataset_shards(docs).select(
+        "shard_id", "n_entries", "payload_bytes", "tar_size"
+    )
