@@ -61,6 +61,10 @@ SHOWCASE = {
     "sim_pca_project": "PCA serving path: 4-row basis broadcasts (BroadcastNestedLoopJoin); per-vector score is one fused fold; zero shuffles.",
     "approx_sample_revenue_ci": "Error-bounded estimate: sample membership + both moments + exact total in ONE conditional aggregate over a single scan.",
     "multimodal_header_sniff": "Binary round-trip: hex-assembled payloads parsed back by substring/conv expressions inside codegen — no Python, no shuffle.",
+    "retrieve_hybrid_rrf": "Hybrid RRF: both retrieval arms end in TakeOrderedAndProject at pool depth; zero corpus-keyed exchanges; fusion joins two 50-row lists.",
+    "sim_ivf_recall_at_k": "Recall@k: ground-truth and IVF arms share one broadcast query batch; the intersection joins two (Q x k)-row lists.",
+    "curate_pack_tar_shards": "Tar shard packing: one hash shuffle on shard_id, one Arrow group per shard; tar size verified against pure arithmetic.",
+    "multimodal_audio_pcm_stats": "Audio round-trip: little-endian WAV synthesis in codegen; only the decode crosses to Python, Arrow-batched.",
 }
 
 
