@@ -1507,3 +1507,123 @@ def _register_ivf_recall() -> None:
 
 
 _register_ivf_recall()
+
+
+# ---------------------------------------------------------------------------
+# round 6: Matryoshka truncation — recall@k vs embedding dimension
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32, 64)  # 64 = full dimension (EMB_DIM)
+
+
+def _mrl_oracle() -> str:
+    trunc_cos = _cos_sql("(e.embedding)[1:dims.d]", "(q.qv)[1:dims.d]")
+    rank = (
+        f"row_number() OVER (PARTITION BY dims.d, q.qid "
+        f"ORDER BY {trunc_cos} DESC, e.vec_id)"
+    )
+    dims_values = ", ".join(f"({d})" for d in MRL_DIMS)
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM {_EMB}
+      WHERE vec_id < {RECALL_QUERIES}
+    ),
+    dims AS (SELECT d FROM (VALUES {dims_values}) v(d)),
+    ranked AS (
+      SELECT dims.d, q.qid, e.vec_id
+      FROM {_EMB} e CROSS JOIN q CROSS JOIN dims
+      WHERE e.vec_id >= {RECALL_QUERIES}
+      QUALIFY {rank} <= {RECALL_K}
+    ),
+    truth AS (SELECT qid, vec_id FROM ranked WHERE d = {MRL_DIMS[-1]})
+    SELECT r.d,
+           CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           round(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / ({RECALL_QUERIES} * {RECALL_K}), 6)
+             AS mean_recall_at_k
+    FROM ranked r LEFT JOIN truth t
+      ON r.qid = t.qid AND r.vec_id = t.vec_id
+    GROUP BY r.d
+    """
+
+
+def _register_mrl_recall() -> None:
+    @register(
+        "sim_matryoshka_recall",
+        oracle=_mrl_oracle(),
+        tags=("similarity", "ann", "matryoshka", "diagnostics", "scale"),
+    )
+    def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MATRYOSHKA truncation tradeoff: recall@{k} of cosine search
+        over the FIRST d dimensions vs full-dimension ground truth,
+        for d in {dims} — the serving decision MRL-style embeddings
+        (Kusupati et al. '22; OpenAI/Nomic ship it as the `dimensions`
+        parameter) exist to enable: store/search d dims, rerank or
+        accept the recall loss. One query, one row per d.
+
+        Plan shape: the {q}-query batch and the 4-row dims table both
+        broadcast; the corpus is scanned ONCE with a (d, qid)-
+        partitioned ranking window over sliced-prefix cosines (the
+        slice is a zero-copy prefix fold — cost scales with d, not
+        full dimension); the recall join touches only (dims x Q x k)
+        rows. Note the synthetic embeddings are NOT MRL-trained, so
+        low-d recall here reads as a control baseline — the operator's
+        job is to measure exactly that before anyone truncates in
+        production."""
+        from pyspark.sql import Window
+
+        emb = _embedded(tables(spark, sf_dir)["embeddings"])
+        q = emb.where(F.col("vec_id") < RECALL_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        dims = spark.createDataFrame(
+            [(d,) for d in MRL_DIMS], "d int"
+        )
+        cos = cosine_expr("slice(embedding, 1, d)", "slice(qv, 1, d)")
+        w = Window.partitionBy("d", "qid").orderBy(
+            F.desc("cos_raw"), F.asc("vec_id")
+        )
+        ranked = (
+            emb.where(F.col("vec_id") >= RECALL_QUERIES)
+            .crossJoin(F.broadcast(q))
+            .crossJoin(F.broadcast(dims))
+            .select("d", "qid", "vec_id", cos.alias("cos_raw"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= RECALL_K)
+            .select("d", "qid", "vec_id")
+        )
+        truth = ranked.where(F.col("d") == MRL_DIMS[-1]).select(
+            "qid", F.col("vec_id").alias("t_vec_id")
+        )
+        joined = ranked.join(
+            truth,
+            (ranked["qid"] == truth["qid"])
+            & (ranked["vec_id"] == truth["t_vec_id"]),
+            "left",
+        ).select("d", "t_vec_id")
+        return (
+            joined.groupBy("d")
+            .agg(
+                F.sum(F.when(F.col("t_vec_id").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_overlap")
+            )
+            .select(
+                "d",
+                "n_overlap",
+                F.round(
+                    F.col("n_overlap")
+                    * F.lit(1.0)
+                    / (RECALL_QUERIES * RECALL_K),
+                    6,
+                ).alias("mean_recall_at_k"),
+            )
+        )
+
+    sim_matryoshka_recall.__doc__ = sim_matryoshka_recall.__doc__.format(
+        k=RECALL_K, q=RECALL_QUERIES, dims=MRL_DIMS
+    )
+
+
+_register_mrl_recall()
