@@ -619,3 +619,108 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_match", "near_match").alias("match_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: LSH quality — precision/recall of candidates vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+LSH_QUALITY_TAU = 0.1  # the pair-acceptance threshold both arms share
+
+
+@register(
+    "dedup_lsh_quality",
+    oracle=f"""
+    WITH {_MINHASH_EST_CTES},
+    df AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM shingles GROUP BY shingle
+    ),
+    rare AS (
+      SELECT s.doc_id, s.shingle FROM shingles s
+      JOIN df ON df.shingle = s.shingle AND df.n_docs <= 20
+    ),
+    doc_sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM rare GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT r1.doc_id AS doc_a, r2.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM rare r1 JOIN rare r2
+        ON r1.shingle = r2.shingle AND r1.doc_id < r2.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    exact AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN doc_sizes sa ON sa.doc_id = i.doc_a
+      JOIN doc_sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common)
+            >= {LSH_QUALITY_TAU}
+    ),
+    lsh AS (
+      SELECT doc_a, doc_b FROM est WHERE est_jaccard >= {LSH_QUALITY_TAU}
+    ),
+    flagged AS (
+      SELECT coalesce(l.fl, 0) AS fl, coalesce(e.fe, 0) AS fe
+      FROM (SELECT doc_a, doc_b, 1 AS fl FROM lsh) l
+      FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS fe FROM exact) e
+        ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+    )
+    SELECT CAST(SUM(fe) AS BIGINT) AS n_exact,
+           CAST(SUM(fl) AS BIGINT) AS n_lsh,
+           CAST(SUM(fl * fe) AS BIGINT) AS n_hit,
+           round(CASE WHEN SUM(fl) > 0
+                 THEN SUM(fl * fe) * 1.0 / SUM(fl) END, 6) AS precision,
+           round(CASE WHEN SUM(fe) > 0
+                 THEN SUM(fl * fe) * 1.0 / SUM(fe) END, 6) AS recall
+    FROM flagged
+    """,
+    tags=("dedup", "lsh", "diagnostics", "quality"),
+)
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-QUALITY measurement: precision/recall of the MinHash-LSH
+    candidate pairs (est_jaccard >= {tau}) against exact blocked
+    n-gram Jaccard ground truth (jaccard >= {tau}) — the acceptance
+    metric for the banding config (8 bands x 2 rows). LSH misses pairs
+    whose signatures never collide in any band (recall < 1) and admits
+    pairs whose 16-sample estimate overshoots the true overlap
+    (precision < 1); this query quantifies both from the SAME shingle
+    base, so the numbers attribute to the sketch, not the tokenizer.
+    The diagnostics twin of `sim_ivf_recall_at_k` — measure before
+    retuning bands/rows at 100 TB, where the exact arm runs on a
+    sampled slice instead of the full corpus.
+
+    Plan: both arms are the already-scale-shaped queries they reuse
+    (banded buckets / df-bounded blocking — no all-pairs anywhere);
+    the metric join touches only surviving pairs, and the output is
+    one global-aggregate row."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("fe")
+    )
+    lsh = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("est_jaccard") >= LSH_QUALITY_TAU)
+        .select("doc_a", "doc_b", F.lit(1).alias("fl"))
+    )
+    flagged = lsh.join(exact, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("fl", F.lit(0)).alias("fl"),
+        F.coalesce("fe", F.lit(0)).alias("fe"),
+    )
+    hit = F.sum(F.col("fl") * F.col("fe"))
+    return flagged.agg(
+        F.sum("fe").cast("bigint").alias("n_exact"),
+        F.sum("fl").cast("bigint").alias("n_lsh"),
+        hit.cast("bigint").alias("n_hit"),
+        F.round(
+            F.when(F.sum("fl") > 0, hit * F.lit(1.0) / F.sum("fl")), 6
+        ).alias("precision"),
+        F.round(
+            F.when(F.sum("fe") > 0, hit * F.lit(1.0) / F.sum("fe")), 6
+        ).alias("recall"),
+    )
+
+
+dedup_lsh_quality.__doc__ = dedup_lsh_quality.__doc__.format(
+    tau=LSH_QUALITY_TAU
+)
