@@ -669,7 +669,7 @@ def pack_webdataset_shards(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFra
         ]
     )
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         buf = io.BytesIO()
         total = 0
