@@ -757,6 +757,7 @@ def _register_audio_pcm_stats() -> None:
         FROM c
         """,
         tags=("multimodal", "binary", "audio", "decode"),
+        bench=True,
     )
     def multimodal_audio_pcm_stats(spark, sf_dir: str) -> DataFrame:
         """The AUDIO modality end-to-end, mirroring

@@ -677,6 +677,7 @@ LSH_QUALITY_TAU = 0.1  # the pair-acceptance threshold both arms share
     FROM flagged
     """,
     tags=("dedup", "lsh", "diagnostics", "quality"),
+    bench=True,
 )
 def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEDUP-QUALITY measurement: precision/recall of the MinHash-LSH
