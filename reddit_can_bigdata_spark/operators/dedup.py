@@ -352,7 +352,9 @@ CLUSTER_JACCARD = 0.5
 CLUSTER_ITERS = 4
 
 
-def _clusters_oracle() -> str:
+def _clusters_ctes() -> str:
+    """WITH-body ending in ``canon(doc_id, canonical_id)`` — shared by
+    the dedup_clusters oracle and the cluster-aware split oracle."""
     from reddit_can_bigdata_spark.operators.graph import min_label_rounds_sql
 
     parts = [
@@ -365,15 +367,17 @@ def _clusters_oracle() -> str:
           UNION ALL SELECT doc_b, doc_a FROM pairs
         )""",
         *min_label_rounds_sql("sym", CLUSTER_ITERS),
+        f"""canon AS (
+          SELECT d.doc_id AS doc_id,
+                 CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS canonical_id
+          FROM documents d LEFT JOIN l{CLUSTER_ITERS} l ON l.node = d.doc_id
+        )""",
     ]
-    return (
-        ",\n".join(parts)
-        + f"""
-        SELECT d.doc_id AS doc_id,
-               CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS canonical_id
-        FROM documents d LEFT JOIN l{CLUSTER_ITERS} l ON l.node = d.doc_id
-        """
-    )
+    return ",\n".join(parts)
+
+
+def _clusters_oracle() -> str:
+    return f"{_clusters_ctes()}\nSELECT doc_id, canonical_id FROM canon"
 
 
 @register(
@@ -725,3 +729,74 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_lsh_quality.__doc__ = dedup_lsh_quality.__doc__.format(
     tau=LSH_QUALITY_TAU
 )
+
+
+# ---------------------------------------------------------------------------
+# round 6: cluster-aware (leakage-safe) train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def _cluster_split_oracle() -> str:
+    from reddit_can_bigdata_spark.operators.curation import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+    )
+    from reddit_can_bigdata_spark.functions.text import PORTABLE_HASH32_SQL
+
+    h = PORTABLE_HASH32_SQL.format(
+        x="'split:' || CAST(canonical_id AS VARCHAR)"
+    )
+    return f"""{_clusters_ctes()}
+    SELECT doc_id, canonical_id,
+           CASE WHEN {h} % 100 < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN {h} % 100 < {SPLIT_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM canon
+    """
+
+
+def _register_cluster_split() -> None:
+    @register(
+        "dedup_cluster_split",
+        oracle=_cluster_split_oracle(),
+        tags=("dedup", "curation", "split", "decontamination"),
+    )
+    def dedup_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """LEAKAGE-SAFE train/val/test split: the split hash is taken
+        on the near-dup CLUSTER's canonical_id, not the doc_id, so two
+        near-duplicate documents can never land on opposite sides of
+        the train/test boundary — the cross-split contamination that
+        per-document hashing (`curate_stratified_split`) silently
+        allows and that inflates eval scores on any corpus with
+        near-dups. Same 80/10/10 hash rule and constants as the
+        per-document split; what changes is only the hash KEY.
+
+        Composition: `dedup_clusters`' canonical mapping (LSH pairs ->
+        min-label components, candidate-graph-sized loop) + one hash
+        expression — corpus-linear, no new shuffle beyond the cluster
+        build. The invariant (every cluster wholly inside one split)
+        is pinned in tests/test_dedup_clusters.py."""
+        from reddit_can_bigdata_spark.operators.curation import (
+            SPLIT_TRAIN_LT,
+            SPLIT_VAL_LT,
+        )
+        from reddit_can_bigdata_spark.functions.text import portable_hash32
+
+        canon = dedup_clusters(spark, sf_dir)
+        h = (
+            portable_hash32(
+                F.concat(
+                    F.lit("split:"), F.col("canonical_id").cast("string")
+                )
+            )
+            % 100
+        )
+        split = (
+            F.when(h < SPLIT_TRAIN_LT, "train")
+            .when(h < SPLIT_VAL_LT, "val")
+            .otherwise("test")
+        )
+        return canon.select("doc_id", "canonical_id", split.alias("split"))
+
+
+_register_cluster_split()

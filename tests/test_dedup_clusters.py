@@ -40,3 +40,21 @@ def test_clusters_consistent_with_pairs(spark, sf_dir):
     for doc, canon in mapping.items():
         if doc not in paired:
             assert canon == doc
+
+
+def test_cluster_split_never_straddles_clusters(spark, sf_dir):
+    """The leakage-safety invariant: every near-dup cluster lands
+    wholly inside ONE split — the property per-document hashing lacks
+    by construction."""
+    from reddit_can_bigdata_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["dedup_cluster_split"].fn(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["canonical_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # and the rule actually exercises all three splits on the fixture
+    assert {s for ss in by_cluster.values() for s in ss} == {
+        "train", "val", "test"
+    }
