@@ -710,3 +710,83 @@ def stat_zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("ly", "lx"), 6).alias("r2"),
         F.round(F.corr("ly", "lx"), 6).alias("corr_yx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: readability scoring (Flesch reading ease, heuristic syllables)
+# ---------------------------------------------------------------------------
+
+
+def _register_readability() -> None:
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_SQL
+
+    @register(
+        "text_readability",
+        oracle=f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len({TOKENS_SQL}) AS BIGINT) AS n_words,
+                 CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                      AS BIGINT) AS n_sentences,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      AS BIGINT) AS n_syllables
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               round(206.835e0
+                     - 1.015e0 * (n_words * 1.0e0 / n_sentences)
+                     - 84.6e0 * (n_syllables * 1.0e0 / n_words), 6)
+                 AS flesch
+        FROM base WHERE n_words > 0
+        """,
+        tags=("text", "quality", "readability"),
+    )
+    def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """READABILITY scoring — Flesch reading ease with the standard
+        cheap heuristics (sentences = runs of [.!?], syllables = vowel
+        groups [aeiouy]+ in lowercased text): a corpus-quality signal
+        complementary to the Gopher-style rules in
+        `pretrain_quality_rules` — filters targeting too-hard /
+        too-degenerate text bucket on exactly this score in classic
+        curation stacks (C4-era heuristics, textstat's flesch).
+
+        Single-stage expression chain, corpus-linear, no shuffle; the
+        three counts are regex extractions shared verbatim (same
+        character classes parse identically under Java regex and RE2),
+        and the score is one literal-for-literal float expression —
+        bit-identical cross-engine, rounded to 6dp. Zero-word docs are
+        excluded on both sides; the sentence count floors at 1 so the
+        ratio is total."""
+        from reddit_can_bigdata_spark.operators.pretrain import TOKENS_EXPR
+
+        docs = tables(spark, sf_dir)["documents"]
+        base = docs.where(F.col("text").isNotNull()).select(
+            "doc_id",
+            F.size(F.expr(TOKENS_EXPR)).cast("bigint").alias("n_words"),
+            F.greatest(
+                F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+                F.lit(1),
+            )
+            .cast("bigint")
+            .alias("n_sentences"),
+            F.size(
+                F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+            )
+            .cast("bigint")
+            .alias("n_syllables"),
+        )
+        flesch = (
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words") * F.lit(1.0) / F.col("n_sentences"))
+            - F.lit(84.6) * (F.col("n_syllables") * F.lit(1.0) / F.col("n_words"))
+        )
+        return base.where(F.col("n_words") > 0).select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.round(flesch, 6).alias("flesch"),
+        )
+
+
+_register_readability()

@@ -618,3 +618,113 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: CUSUM changepoint / drift detection over daily counts
+# ---------------------------------------------------------------------------
+
+
+def _register_cusum() -> None:
+    @register(
+        "cusum_changepoint_daily",
+        oracle="""
+        WITH daily AS (
+          SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        ),
+        seq AS (
+          SELECT event_type, day, x,
+                 CAST(SUM(x) OVER w AS BIGINT) AS cum,
+                 CAST(row_number() OVER w AS BIGINT) AS i,
+                 CAST(SUM(x) OVER p AS BIGINT) AS total,
+                 CAST(COUNT(*) OVER p AS BIGINT) AS n
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 p AS (PARTITION BY event_type)
+        ),
+        drifted AS (
+          SELECT event_type, day, x,
+                 cum - CAST(i * total AS DOUBLE) / n AS drift,
+                 sqrt(CAST(total AS DOUBLE) / n) AS sigma
+          FROM seq
+        ),
+        scored AS (
+          SELECT event_type, day, x, sigma,
+                 drift - min(drift) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cusum
+          FROM drifted
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+               round(cusum, 6) AS cusum,
+               cusum > 3.0e0 * sigma AS is_change
+        FROM scored
+        """,
+        tags=("timeseries", "changepoint", "cusum", "anomaly"),
+    )
+    def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CUSUM CHANGEPOINT detection over each event type's daily
+        count series — the classic drift monitor (Page 1954) a data
+        pipeline runs on its own ingest volumes: a sustained rate
+        shift accumulates where a one-day spike does not (the
+        complement of `ewma_anomaly_daily`'s point-anomaly flag).
+
+        The recursion s_i = max(0, s_{i-1} + (x_i - mean)) is not
+        window-expressible directly; the prefix-sum identity is:
+        s_i = drift_i - min_{j<=i} drift_j with drift_i = cum_i -
+        i*mean. That is two ordered-frame window passes over a
+        days-sized table — one shuffle on event_type, no iteration.
+        Threshold h = 3*sqrt(mean) (the Poisson-scale rule of thumb).
+
+        Float discipline: x and cum are exact BIGINTs; i*mean is
+        computed as CAST(i*total AS DOUBLE)/n — one exact integer
+        product, one division — so every double is produced by the
+        same literal expression in both engines and the running min /
+        threshold comparison cannot flip. NULL-ts rows are excluded on
+        both sides (same rationale as the EWMA query)."""
+        ev = tables(spark, sf_dir)["events"].where(F.col("ts").isNotNull())
+        daily = ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.count("*").cast("bigint").alias("x"))
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        p = Window.partitionBy("event_type")
+        seq = daily.select(
+            "event_type",
+            "day",
+            "x",
+            F.sum("x").over(w).cast("bigint").alias("cum"),
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("day"))
+            .cast("bigint")
+            .alias("i"),
+            F.sum("x").over(p).cast("bigint").alias("total"),
+            F.count("*").over(p).cast("bigint").alias("n"),
+        )
+        drift = F.col("cum") - (F.col("i") * F.col("total")).cast(
+            "double"
+        ) / F.col("n")
+        sigma = F.sqrt(F.col("total").cast("double") / F.col("n"))
+        drifted = seq.select(
+            "event_type", "day", "x",
+            drift.alias("drift"), sigma.alias("sigma"),
+        )
+        cusum = F.col("drift") - F.min("drift").over(w)
+        return drifted.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "x",
+            F.round(cusum, 6).alias("cusum"),
+            (cusum > F.lit(3.0) * F.col("sigma")).alias("is_change"),
+        )
+
+
+_register_cusum()
