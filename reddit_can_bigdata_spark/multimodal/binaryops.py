@@ -97,8 +97,16 @@ def _decode_ppm(payload: bytes) -> DecodedImage:
         # one whitespace byte after maxval terminates the header — but
         # Windows-written files end it with \r\n; treat that pair as a
         # single separator (common Netpbm reader leniency), else pixel
-        # data mis-frames by one byte
-        if payload[pos : pos + 2] == b"\r\n":
+        # data mis-frames by one byte. The pair-skip is AMBIGUOUS with
+        # a spec-valid lone-\r header whose first sample is 0x0A — so
+        # only take it when enough bytes remain for the pixel block
+        # afterward; when they don't, the 0x0A must be pixel data.
+        # (Both interpretations fitting is genuinely undecidable; we
+        # bias to the far-more-common CRLF file.)
+        if (
+            payload[pos : pos + 2] == b"\r\n"
+            and len(payload) - (pos + 2) >= 3 * w * h
+        ):
             pos += 2
         else:
             pos += 1

@@ -272,17 +272,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH shingles AS ({_SHINGLES_SQL}),
-    df AS (
+# Exact-Jaccard parameters — shared by dedup_ngram_jaccard and the
+# dedup_lsh_quality ground truth so the two can never drift apart.
+NGRAM_DF_BOUND = 20  # rare-shingle blocking bound
+NGRAM_JACCARD_TAU = 0.1  # pair-acceptance threshold
+
+# df/rare/doc_sizes/inter CTE chain (assumes a `shingles` CTE is
+# already in scope) + the jaccard expression over its output — the
+# single source of truth for the exact arm.
+_NGRAM_JACCARD_CTES = f"""df AS (
       SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM shingles GROUP BY shingle
     ),
     rare AS (
       SELECT s.doc_id, s.shingle FROM shingles s
-      JOIN df ON df.shingle = s.shingle AND df.n_docs <= 20
+      JOIN df ON df.shingle = s.shingle AND df.n_docs <= {NGRAM_DF_BOUND}
     ),
     doc_sizes AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM rare GROUP BY doc_id
@@ -292,13 +296,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rare r1 JOIN rare r2
         ON r1.shingle = r2.shingle AND r1.doc_id < r2.doc_id
       GROUP BY doc_a, doc_b
-    )
+    )"""
+
+_NGRAM_JACCARD_EXPR = "CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common)"
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    {_NGRAM_JACCARD_CTES}
     SELECT i.doc_a, i.doc_b,
-           round(CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+           round({_NGRAM_JACCARD_EXPR}, 6) AS jaccard
     FROM inter i
     JOIN doc_sizes sa ON sa.doc_id = i.doc_a
     JOIN doc_sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.1
+    WHERE {_NGRAM_JACCARD_EXPR} >= {NGRAM_JACCARD_TAU}
     """,
     tags=("dedup", "jaccard"),
 )
@@ -311,9 +324,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs with jaccard ≥ 0.1 survive."""
     sh = _shingles(spark, sf_dir)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
-    rare = sh.join(dfreq.where(F.col("n_docs") <= 20), "shingle").select(
-        "doc_id", "shingle"
-    )
+    rare = sh.join(
+        dfreq.where(F.col("n_docs") <= NGRAM_DF_BOUND), "shingle"
+    ).select("doc_id", "shingle")
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     r1, r2 = rare.alias("r1"), rare.alias("r2")
     inter = (
@@ -335,7 +348,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .where(jac >= 0.1)
+        .where(jac >= NGRAM_JACCARD_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -629,38 +642,23 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 6: LSH quality — precision/recall of candidates vs exact Jaccard
 # ---------------------------------------------------------------------------
 
-LSH_QUALITY_TAU = 0.1  # the pair-acceptance threshold both arms share
+# The quality metric's pair-acceptance threshold IS the exact arm's
+# threshold — one constant, so retuning dedup_ngram_jaccard can never
+# leave the metric measuring a stale ground truth.
+LSH_QUALITY_TAU = NGRAM_JACCARD_TAU
 
 
 @register(
     "dedup_lsh_quality",
     oracle=f"""
     WITH {_MINHASH_EST_CTES},
-    df AS (
-      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
-      FROM shingles GROUP BY shingle
-    ),
-    rare AS (
-      SELECT s.doc_id, s.shingle FROM shingles s
-      JOIN df ON df.shingle = s.shingle AND df.n_docs <= 20
-    ),
-    doc_sizes AS (
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM rare GROUP BY doc_id
-    ),
-    inter AS (
-      SELECT r1.doc_id AS doc_a, r2.doc_id AS doc_b,
-             CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM rare r1 JOIN rare r2
-        ON r1.shingle = r2.shingle AND r1.doc_id < r2.doc_id
-      GROUP BY doc_a, doc_b
-    ),
+    {_NGRAM_JACCARD_CTES},
     exact AS (
       SELECT i.doc_a, i.doc_b
       FROM inter i
       JOIN doc_sizes sa ON sa.doc_id = i.doc_a
       JOIN doc_sizes sb ON sb.doc_id = i.doc_b
-      WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common)
-            >= {LSH_QUALITY_TAU}
+      WHERE {_NGRAM_JACCARD_EXPR} >= {NGRAM_JACCARD_TAU}
     ),
     lsh AS (
       SELECT doc_a, doc_b FROM est WHERE est_jaccard >= {LSH_QUALITY_TAU}

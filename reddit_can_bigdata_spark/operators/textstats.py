@@ -728,8 +728,9 @@ def _register_readability() -> None:
                  CAST(len({TOKENS_SQL}) AS BIGINT) AS n_words,
                  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
                       AS BIGINT) AS n_sentences,
-                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
-                      AS BIGINT) AS n_syllables
+                 CAST(len(regexp_extract_all(
+                        regexp_replace(lower(text), 'i\\x{{0307}}', 'i', 'g'),
+                        '[aeiouy]+')) AS BIGINT) AS n_syllables
           FROM documents WHERE text IS NOT NULL
         )
         SELECT doc_id, n_words, n_sentences, n_syllables,
@@ -756,7 +757,10 @@ def _register_readability() -> None:
         and the score is one literal-for-literal float expression —
         bit-identical cross-engine, rounded to 6dp. Zero-word docs are
         excluded on both sides; the sentence count floors at 1 so the
-        ratio is total."""
+        ratio is total. The syllable count collapses Java's 'İ' full
+        case-mapping artifact ('i'+U+0307 -> 'i') after lowercasing,
+        same as clean_text_expr — without it U+0307 splits a vowel run
+        in Spark but not in DuckDB."""
         from reddit_can_bigdata_spark.operators.pretrain import TOKENS_EXPR
 
         docs = tables(spark, sf_dir)["documents"]
@@ -770,7 +774,10 @@ def _register_readability() -> None:
             .cast("bigint")
             .alias("n_sentences"),
             F.size(
-                F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+                F.expr(
+                    r"regexp_extract_all(regexp_replace(lower(text),"
+                    r" 'i\\x{0307}', 'i'), '[aeiouy]+', 0)"
+                )
             )
             .cast("bigint")
             .alias("n_syllables"),

@@ -653,11 +653,15 @@ def _register_cusum() -> None:
           FROM seq
         ),
         scored AS (
+          -- least(0, ...): the running min must include the EMPTY
+          -- prefix (drift_0 = 0), else the statistic clamps to 0
+          -- whenever every prefix drift is positive and a changepoint
+          -- at the start of the series is masked
           SELECT event_type, day, x, sigma,
-                 drift - min(drift) OVER (
+                 drift - least(0.0e0, min(drift) OVER (
                    PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) AS cusum
+                 )) AS cusum
           FROM drifted
         )
         SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
@@ -676,10 +680,14 @@ def _register_cusum() -> None:
 
         The recursion s_i = max(0, s_{i-1} + (x_i - mean)) is not
         window-expressible directly; the prefix-sum identity is:
-        s_i = drift_i - min_{j<=i} drift_j with drift_i = cum_i -
-        i*mean. That is two ordered-frame window passes over a
-        days-sized table — one shuffle on event_type, no iteration.
-        Threshold h = 3*sqrt(mean) (the Poisson-scale rule of thumb).
+        s_i = drift_i - min_{0<=j<=i} drift_j with drift_i = cum_i -
+        i*mean and the EMPTY prefix drift_0 = 0 included via
+        least(0, min(...)) — omitting it clamps the statistic to 0
+        whenever all prefix drifts are positive, masking changepoints
+        at the start of a series (found in review, pinned by test).
+        That is two ordered-frame window passes over a days-sized
+        table — one shuffle on event_type, no iteration. Threshold
+        h = 3*sqrt(mean) (the Poisson-scale rule of thumb).
 
         Float discipline: x and cum are exact BIGINTs; i*mean is
         computed as CAST(i*total AS DOUBLE)/n — one exact integer
@@ -717,7 +725,9 @@ def _register_cusum() -> None:
             "event_type", "day", "x",
             drift.alias("drift"), sigma.alias("sigma"),
         )
-        cusum = F.col("drift") - F.min("drift").over(w)
+        cusum = F.col("drift") - F.least(
+            F.lit(0.0), F.min("drift").over(w)
+        )
         return drifted.select(
             "event_type",
             F.date_format("day", "yyyy-MM-dd").alias("day"),

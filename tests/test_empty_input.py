@@ -169,6 +169,8 @@ def test_null_injected_input_matches_oracle(spark, nulls_ctx, name):
 TEXTFUZZ_FIXED = [
     "f1_clean_text_etl",
     "text_bpeish_token_count",
+    # round 6: syllable runs would split on 'i'+U+0307 in Spark only
+    "text_readability",
 ]
 
 

@@ -93,6 +93,11 @@ def test_decode_image_ppm_crlf_header_terminator():
     px3 = bytes((0x0A, 2, 3))
     img3 = decode_image(b"P6\r\n1 1\r\n255\r\n" + px3)
     assert img3.pixels == px3
+    # spec-valid LONE-\r terminator whose first pixel byte is 0x0A:
+    # the pair-skip would eat a real sample; the exact-byte-count
+    # check must fall back to the single-byte skip (review finding)
+    img4 = decode_image(b"P6\r1 1\r255\r" + px3)
+    assert img4.pixels == px3
 
 
 def test_decode_image_rejects_unsupported_with_clear_error():

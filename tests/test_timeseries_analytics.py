@@ -145,3 +145,54 @@ def test_scd2_intervals_tile_and_single_current(spark, sf_dir):
     for r in audit.values():
         assert r.n_violations == 0, f"fixture violates {r.rule}"
         assert r.n_checked > 0
+
+
+def test_cusum_detects_front_changepoint(spark, tmp_path, sf_dir):
+    """The empty-prefix term (drift_0 = 0): daily counts [9,1,1,1]
+    have every prefix drift positive, so a running min WITHOUT the
+    virtual zero clamps the statistic to 0 on every row and the day-1
+    rate shift is never flagged. True CUSUM: [6, 4, 2, 0] with
+    threshold 3*sqrt(3) = 5.196 -> day 1 is a changepoint."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from reddit_can_bigdata_spark.registry import REGISTRY, _ensure_loaded
+    from reddit_can_bigdata_spark.tables import TABLE_NAMES
+
+    _ensure_loaded()
+    fix = tmp_path / "cusum_fix"
+    fix.mkdir()
+    for t in TABLE_NAMES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if t != "events" and os.path.exists(src):
+            shutil.copy(src, fix / f"{t}.parquet")
+    con = duckdb.connect()
+    rows = []
+    eid = 0
+    for day, n in enumerate([9, 1, 1, 1], start=1):
+        for _ in range(n):
+            eid += 1
+            rows.append(f"({eid}, TIMESTAMP '2024-01-0{day} 12:00:00', 1, 'click', 1.0, NULL)")
+    con.execute(
+        "COPY (SELECT * FROM (VALUES " + ", ".join(rows) + ") "
+        "v(event_id, ts, user_id, event_type, value, props)) "
+        f"TO '{fix}/events.parquet' (FORMAT PARQUET)"
+    )
+    got = {
+        r["day"]: r
+        for r in REGISTRY["cusum_changepoint_daily"].fn(spark, str(fix)).collect()
+    }
+    assert [got[d]["cusum"] for d in sorted(got)] == [6.0, 4.0, 2.0, 0.0]
+    assert got["2024-01-01"]["is_change"] is True
+    assert all(not got[d]["is_change"] for d in sorted(got)[1:])
+    # and the oracle agrees on the same crafted input
+    for t in TABLE_NAMES:
+        p = fix / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+    drows = con.execute(REGISTRY["cusum_changepoint_daily"].oracle).fetchall()
+    assert sorted((r[1], r[3], r[4]) for r in drows) == sorted(
+        (r["day"], r["cusum"], r["is_change"]) for r in got.values()
+    )
