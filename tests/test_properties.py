@@ -36,13 +36,23 @@ def test_portable_hash_always_matches_hashlib(spark, strings):
 def test_clean_text_output_is_normalized(spark, strings):
     from reddit_can_bigdata_spark.functions.text import clean_text_expr
 
+    import unicodedata
+
     df = spark.createDataFrame([(s,) for s in strings], "s string")
     for r in df.select(clean_text_expr(F.col("s")).alias("c")).collect():
         c = r["c"]
         assert c == c.lower()
-        # keep class is unicode letters + digits + single spaces
+        # keep class is unicode letters + COMBINING MARKS (load-bearing
+        # in Indic/Arabic scripts — kept since the round-6 İ-only
+        # case-fold fix; a bare mark can therefore survive alone) +
+        # digits + single spaces
         for ch in c:
-            assert ch == " " or ch.isdigit() or ch.isalpha(), repr(c)
+            assert (
+                ch == " "
+                or ch.isdigit()
+                or ch.isalpha()
+                or unicodedata.category(ch).startswith("M")
+            ), repr(c)
         assert "  " not in c
         assert c == c.strip()
 
