@@ -65,6 +65,10 @@ SHOWCASE = {
     "sim_ivf_recall_at_k": "Recall@k: ground-truth and IVF arms share one broadcast query batch; the intersection joins two (Q x k)-row lists.",
     "curate_pack_tar_shards": "Tar shard packing: one hash shuffle on shard_id, one Arrow group per shard; tar size verified against pure arithmetic.",
     "multimodal_audio_pcm_stats": "Audio round-trip: little-endian WAV synthesis in codegen; only the decode crosses to Python, Arrow-batched.",
+    "dedup_lsh_quality": "LSH quality metric: both arms are the scale-shaped dedup queries; the precision/recall join touches only surviving pairs.",
+    "dedup_cluster_split": "Leakage-safe split: canonical-id hash on top of the cluster build — no new shuffle beyond dedup_clusters.",
+    "cusum_changepoint_daily": "CUSUM via the prefix-sum identity: two ordered-frame window passes over a days-sized aggregate, no recursion.",
+    "text_readability": "Flesch scoring: single codegen stage, zero Exchange nodes — corpus-linear quality signal.",
 }
 
 
