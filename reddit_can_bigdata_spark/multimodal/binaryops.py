@@ -98,16 +98,23 @@ def _decode_ppm(payload: bytes) -> DecodedImage:
         # Windows-written files end it with \r\n; treat that pair as a
         # single separator (common Netpbm reader leniency), else pixel
         # data mis-frames by one byte. The pair-skip is AMBIGUOUS with
-        # a spec-valid lone-\r header whose first sample is 0x0A — so
-        # only take it when enough bytes remain for the pixel block
-        # afterward; when they don't, the 0x0A must be pixel data.
-        # (Both interpretations fitting is genuinely undecidable; we
-        # bias to the far-more-common CRLF file.)
-        if (
-            payload[pos : pos + 2] == b"\r\n"
-            and len(payload) - (pos + 2) >= 3 * w * h
-        ):
-            pos += 2
+        # a spec-valid lone-\r header whose first sample is 0x0A.
+        # Disambiguate by EXACT length fit first (round-6 advice): if
+        # exactly one of the two skips leaves precisely 3*w*h bytes,
+        # that interpretation is the spec-exact file and wins; only
+        # when both or neither fit exactly fall back to the CRLF bias
+        # (the far-more-common file kind), provided enough bytes
+        # remain for the pixel block.
+        if payload[pos : pos + 2] == b"\r\n":
+            need = 3 * w * h
+            single_exact = len(payload) - (pos + 1) == need
+            pair_exact = len(payload) - (pos + 2) == need
+            if single_exact and not pair_exact:
+                pos += 1
+            elif pair_exact or len(payload) - (pos + 2) >= need:
+                pos += 2
+            else:
+                pos += 1
         else:
             pos += 1
         px = payload[pos : pos + 3 * w * h]

@@ -765,6 +765,8 @@ def min_label_components(
     iters: int,
     state_mode: str | None = None,
     until_converged: bool = False,
+    shortcut: bool = False,
+    require_converged: bool = False,
 ) -> DataFrame:
     """Min-label propagation over a symmetric edge list (src, dst):
     every node repeatedly adopts the smallest label among itself and
@@ -774,26 +776,54 @@ def min_label_components(
     Each round = one state join (broadcast under the `_state_mode`
     ceiling, co-partitioned shuffle above) + one hash aggregate —
     linear in |E|. The caller should pass a cached, dst-partitioned
-    ``sym``. Shared by G7 components and the dedup clusterer."""
+    ``sym``. Shared by G7 components and the dedup clusterer.
+
+    ``shortcut=True`` adds a pointer-doubling step per round
+    (label ← min(label, label[label]), one extra |V|-sized state
+    join): path lengths halve each round, so convergence takes
+    O(log diameter) rounds instead of O(diameter) — the 100 TB shape
+    for long near-dup chains. ``require_converged=True`` raises if the
+    loop exhausts its round budget without reaching the provable fixed
+    point (a round that changes no label) — callers whose CORRECTNESS
+    depends on full components (the leakage-safe cluster split) must
+    set it, because a silently-truncated propagation leaves two linked
+    docs with different canonical ids."""
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     mode = _state_mode(labels.count(), state_mode)
     rounds = UNTIL_CONVERGED_MAX_ROUNDS if until_converged else iters
+    converged = False
     for _ in range(rounds):
         neigh = (
             _join_state(sym, labels, sym.dst == labels.node, mode)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        nxt = labels.join(neigh, "node", "left").select(
+        step = labels.join(neigh, "node", "left").select(
             "node",
+            F.col("label").alias("label0"),
             F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                "label"
+                "label1"
             ),
-            (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
-                "chg"
-            ),
+        )
+        if shortcut:
+            # label1 values are node ids present in `step` (every label
+            # is some node's id), so a self-lookup resolves label[label]
+            lk = step.select(
+                F.col("node").alias("pnode"), F.col("label1").alias("plabel")
+            )
+            step = _join_state(step, lk, step.label1 == lk.pnode, mode).select(
+                "node",
+                "label0",
+                F.least(
+                    F.col("label1"), F.coalesce(F.col("plabel"), F.col("label1"))
+                ).alias("label1"),
+            )
+        nxt = step.select(
+            "node",
+            F.col("label1").alias("label"),
+            (F.col("label1") < F.col("label0")).alias("chg"),
         )
         # nxt is referenced twice below — checkpoint or the plan
         # doubles per iteration (2^iters blowup)
@@ -803,9 +833,18 @@ def min_label_components(
         # min-label is monotone: once a round changes nothing, every
         # further round is a provable no-op — the fixed-round oracle
         # stays bit-identical while the dense test graph converges in
-        # 2-3 of the 8 budgeted rounds.
+        # 2-3 of the 8 budgeted rounds. (With shortcut, a no-change
+        # round additionally certifies label[label] ≥ label, i.e. the
+        # label table is fully path-compressed.)
         if changed == 0:
+            converged = True
             break
+    if require_converged and not converged:
+        raise RuntimeError(
+            f"min_label_components: no fixed point within {rounds} rounds"
+            " — component labels may be truncated (diameter > budget);"
+            " rerun with until_converged=True or shortcut=True"
+        )
     return labels
 
 

@@ -98,6 +98,17 @@ def test_decode_image_ppm_crlf_header_terminator():
     # check must fall back to the single-byte skip (review finding)
     img4 = decode_image(b"P6\r1 1\r255\r" + px3)
     assert img4.pixels == px3
+    # EXACT-fit preference (round-6 advice): when the pair-skip leaves
+    # exactly 3*w*h bytes it wins even though the single-skip also has
+    # enough bytes (one spare); and vice versa the single-skip wins on
+    # its exact fit (img4 above). With trailing garbage making NEITHER
+    # fit exact, the documented CRLF bias applies — that residual case
+    # (e.g. b"P6\r1 1\r255\r" + b"\n\x02\x03zz") is genuinely
+    # undecidable and stays biased to the far-more-common CRLF file.
+    img5 = decode_image(b"P6\r\n1 1\r\n255\r\n" + bytes((9, 8, 7)))
+    assert img5.pixels == bytes((9, 8, 7))
+    amb = decode_image(b"P6\r1 1\r255\r" + b"\n\x02\x03zz")
+    assert amb.pixels == b"\x02\x03z"  # pinned bias, not an accident
 
 
 def test_decode_image_rejects_unsupported_with_clear_error():
