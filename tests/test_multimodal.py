@@ -115,7 +115,9 @@ def test_decode_image_rejects_unsupported_with_clear_error():
     from reddit_can_bigdata_spark.multimodal.binaryops import decode_image
 
     with pytest.raises(ValueError, match="unsupported image container"):
-        decode_image(b"\x89PNG\r\n\x1a\n")
+        decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG still needs a library
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_image(b"\x89PNG\r\n\x1a\n")  # signature-only PNG
     with pytest.raises(ValueError, match="truncated"):
         decode_image(b"P6\n2 2\n255\n\x00")
     with pytest.raises(ValueError, match="compression"):
@@ -337,6 +339,136 @@ def test_decode_roundtrip_property_bmp_and_ppm():
         p6 = f"P6\n{w} {h}\n255\n".encode() + flat
         img = decode_image(p6)
         assert (img.width, img.height, img.pixels) == (w, h, flat)
+
+
+def _png(w, h, flat, color=2, filters=None, palette=None):
+    """Spec-VALID PNG encoder (real zlib stream, real CRC32s) used
+    only as the decoder's adversary: ``flat`` is the raw sample bytes
+    per color type; ``filters`` optionally applies a per-row filter
+    type by FORWARD-filtering the scanlines so the decoder must
+    reverse them."""
+    import struct
+    import zlib
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = w * nch
+    assert len(flat) == stride * h
+    raws = bytearray()
+    prev = bytes(stride)
+    for row in range(h):
+        line = flat[row * stride : (row + 1) * stride]
+        ft = (filters or [0] * h)[row]
+        raws.append(ft)
+        if ft == 0:
+            raws += line
+        elif ft == 1:  # Sub
+            raws += bytes(
+                (line[i] - (line[i - nch] if i >= nch else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            raws += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            out = bytearray()
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                out.append((line[i] - (a + prev[i]) // 2) & 0xFF)
+            raws += out
+        elif ft == 4:  # Paeth
+            out = bytearray()
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((line[i] - pred) & 0xFF)
+            raws += out
+        prev = line
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    out += chunk(b"IDAT", zlib.compress(bytes(raws)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_decode_png_all_color_types_and_filters():
+    """PNG decode: 8-bit RGB/RGBA/gray/gray+alpha/palette against a
+    spec-valid encoder, every filter type exercised, alpha dropped and
+    gray replicated per the documented conversion."""
+    import random
+
+    from reddit_can_bigdata_spark.multimodal.binaryops import decode_image
+
+    rng = random.Random(99)
+    for _ in range(25):
+        w, h = rng.randint(1, 9), rng.randint(1, 6)
+        rgb = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        filters = [rng.randint(0, 4) for _ in range(h)]
+        img = decode_image(_png(w, h, rgb, color=2, filters=filters))
+        assert (img.width, img.height, img.pixels) == (w, h, rgb), (w, h, filters)
+    # RGBA: alpha dropped
+    rgba = bytes(range(16))  # 2x2
+    img = decode_image(_png(2, 2, rgba, color=6, filters=[4, 3]))
+    want = bytes(rgba[i] for i in range(16) if i % 4 != 3)
+    assert img.pixels == want
+    # gray replicates; gray+alpha replicates and drops alpha
+    gray = bytes((10, 200, 30, 140, 250, 0))  # 3x2
+    img = decode_image(_png(3, 2, gray, color=0, filters=[1, 2]))
+    assert img.pixels == bytes(c for g in gray for c in (g, g, g))
+    ga = bytes((10, 255, 200, 128, 30, 0, 99, 7))  # 2x2 gray+alpha
+    img = decode_image(_png(2, 2, ga, color=4))
+    assert img.pixels == bytes(c for g in ga[::2] for c in (g, g, g))
+    # palette resolves through PLTE
+    pal = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))
+    idx = bytes((2, 0, 1, 1))  # 2x2
+    img = decode_image(_png(2, 2, idx, color=3, palette=pal))
+    assert img.pixels == bytes(
+        (0, 0, 255, 255, 0, 0, 0, 255, 0, 0, 255, 0)
+    )
+
+
+def test_decode_png_rejections_and_golden():
+    """Unsupported PNG shapes fail loud; the committed golden fixture
+    (fixtures/golden_4x2.png, real encoder output) pins the
+    compressed-path identity across refactors."""
+    from pathlib import Path
+
+    from reddit_can_bigdata_spark.multimodal.binaryops import decode_image
+
+    base = _png(2, 1, bytes(6))
+    with pytest.raises(ValueError, match="interlaced"):
+        bad = bytearray(base)
+        bad[28] = 1  # IHDR interlace byte
+        decode_image(bytes(bad))
+    with pytest.raises(ValueError, match="bit depth"):
+        bad = bytearray(base)
+        bad[24] = 16
+        decode_image(bytes(bad))
+    with pytest.raises(ValueError, match="color type"):
+        bad = bytearray(base)
+        bad[25] = 5
+        decode_image(bytes(bad))
+    with pytest.raises(Exception):  # garbled deflate stream must raise
+        decode_image(base[:41] + b"\x00" * 8 + base[49:])
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_image(_png(1, 1, b"\x00", color=3, palette=None))
+
+    golden = Path(__file__).resolve().parents[1] / "fixtures" / "golden_4x2.png"
+    img = decode_image(golden.read_bytes())
+    flat = bytes((17 * i) % 256 for i in range(3 * 4 * 2))
+    assert (img.width, img.height, img.pixels) == (4, 2, flat)
 
 
 def _wav(rate=8000, channels=1, bits=8, data=b"\x80\x80", extra_chunk=False):
