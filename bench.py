@@ -106,7 +106,8 @@ def main() -> None:
     for name, spec in sorted(bench_queries().items()):
         runs: list[float] = []
         cpu_runs: list[float] = []
-        for _ in range(reps):
+        reps_q = min(reps, spec.bench_reps) if spec.bench_reps else reps
+        for _ in range(reps_q):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             # noop sink materializes every column of every row (a bare
@@ -122,7 +123,7 @@ def main() -> None:
             cpu[name] = round(statistics.median(cpu_runs), 3)
         print(
             f"# {name}: median {timings[name]:.3f}s"
-            f" (min {spread[name][0]:.3f} / max {spread[name][1]:.3f}, n={reps},"
+            f" (min {spread[name][0]:.3f} / max {spread[name][1]:.3f}, n={reps_q},"
             f" cpu {cpu.get(name, float('nan')):.3f}s)",
             file=sys.stderr,
         )

@@ -38,6 +38,12 @@ class QuerySpec:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    # Override bench.py's rep count for this query (None = harness
+    # default). The end-to-end pipeline trains an ML model per run;
+    # one rep is the honest wall-clock number and three would triple
+    # the whole suite's runtime for a query whose variance the cpu_s
+    # column already disambiguates.
+    bench_reps: int | None = None
     # Largest SF at which the ORACLE is tractable (None = any).  The
     # Spark side has no such limit — oracles are single-node
     # correctness mirrors written in the naive correlated/recursive
@@ -55,6 +61,7 @@ def register(
     tags: tuple[str, ...] = (),
     bench: bool = False,
     oracle_max_sf: float | None = None,
+    bench_reps: int | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query under ``name`` with its oracle SQL."""
 
@@ -63,7 +70,7 @@ def register(
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags,
-            bench=bench, oracle_max_sf=oracle_max_sf,
+            bench=bench, oracle_max_sf=oracle_max_sf, bench_reps=bench_reps,
         )
         return fn
 

@@ -109,3 +109,18 @@ def test_run_pipeline_ml_gate_skips_on_small_input(spark, sf_dir, tmp_path):
     assert run.influencers is None and report["network_users"] == 0
     for k in ("posts", "comments", "processed_posts", "unique_users"):
         assert report[k] == run.gates[k]
+
+
+def test_pipeline_e2e_registered_as_single_rep_bench():
+    """The whole-DAG query is the bench unit for the reference's only
+    published envelope (stage timeouts); one rep per bench run is the
+    honest wall number, and the driver check is rows-only (it trains a
+    Spark-ML model, so no SQL oracle can mirror it)."""
+    from reddit_can_bigdata_spark.registry import REGISTRY, bench_queries
+
+    spec = REGISTRY["pipeline_e2e"]
+    assert spec.bench and spec.bench_reps == 1 and spec.oracle is None
+    assert "pipeline_e2e" in bench_queries()
+    # bench.py's rep clamp: harness default of 3 collapses to 1 here
+    reps = 3
+    assert min(reps, spec.bench_reps) == 1
