@@ -1,0 +1,401 @@
+"""Independent-definition ground truth for the formula-heavy queries.
+
+The oracle-parity harness compares two implementations WE wrote (Spark
+builder + DuckDB twin); a formula bug implemented identically in both
+stays green (the round-6 CUSUM empty-prefix incident). This battery is
+the systematic defense: each test recomputes a query's result with a
+THIRD implementation written in plain Python **directly from the
+published definition** (Okapi BM25, Rae et al. Gopher §A1.1, Schleimer
+et al. winnowing, Charikar SimHash, Church & Hanks PMI, Flesch, OLS) —
+no SQL, no Spark, no shared expression text — over the raw parquet
+bytes via pandas. Agreement now requires the same bug in three
+independently-phrased programs.
+
+Shared *policy* choices (tokenizer = split on ' ', hash =
+md5-first-8-hex, documented tie rules) are part of each operator's
+contract and are mirrored here; the *formulas* are re-derived."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from reddit_can_bigdata_spark.registry import REGISTRY
+
+
+def _docs(sf_dir: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+
+
+def _toks(text: str) -> list[str]:
+    # the registry-wide tokenization policy (pretrain.TOKENS_EXPR)
+    return [t for t in text.split(" ") if t]
+
+
+def _h32(s: str) -> int:
+    # portable_hash32 policy: first 8 hex digits of md5
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def _run(name: str, spark, sf_dir: str) -> pd.DataFrame:
+    from reddit_can_bigdata_spark import registry
+
+    registry._ensure_loaded()
+    return REGISTRY[name].fn(spark, sf_dir).toPandas()
+
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 (Robertson et al.): sum_t idf(t) * tf*(k1+1) /
+# (tf + k1*(1 - b + b*dl/avgdl)), idf = ln((N-df+0.5)/(df+0.5)+1)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_okapi_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.textstats import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOPK,
+    )
+
+    corpus = {
+        r.doc_id: _toks(r.text)
+        for r in _docs(sf_dir).itertuples()
+        if _toks(r.text)
+    }
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    df = {
+        q: sum(1 for t in corpus.values() if q in t) for q in BM25_QUERY
+    }
+    scores = {}
+    for doc_id, toks in corpus.items():
+        dl = len(toks)
+        s = 0.0
+        for q in BM25_QUERY:
+            tf = toks.count(q)
+            idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1)
+            s += idf * (tf * (BM25_K1 + 1)) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+            )
+        scores[doc_id] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOPK]
+
+    got = _run("text_bm25_topk", spark, sf_dir)
+    assert list(got["doc_id"]) == [d for d, _ in want]
+    for g, (_, w) in zip(got["bm25"], want):
+        assert abs(g - w) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition (Rae et al. 2021 §A1.1): fraction of characters in
+# the most-frequent n-gram (n=2,3,4) / in repeated occurrences of
+# duplicated n-grams (n=5,8); thresholds 0.20/0.18/0.16/0.15/0.12
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_repetition_matches_published_definition(spark, sf_dir):
+    got = _run("pretrain_gopher_repetition", spark, sf_dir).set_index(
+        "doc_id"
+    )
+    checked = 0
+    for r in _docs(sf_dir).itertuples():
+        toks = _toks(r.text)
+        if len(toks) < 2:
+            assert r.doc_id not in got.index
+            continue
+        total = len(" ".join(toks))
+        fracs = {}
+        for nn in (2, 3, 4, 5, 8):
+            grams = Counter(
+                " ".join(toks[i : i + nn])
+                for i in range(len(toks) - nn + 1)
+            )
+            if not grams:
+                top, dup = 0, 0
+            else:
+                # "top" = max coverage: occurrences x gram char length
+                top = max(c * len(g) for g, c in grams.items())
+                # "dup" = chars in repeat occurrences of duplicated grams
+                dup = sum(
+                    (c - 1) * len(g) for g, c in grams.items() if c > 1
+                )
+            fracs[nn] = (top if nn in (2, 3, 4) else dup) / total
+        row = got.loc[r.doc_id]
+        assert row["total_chars"] == total
+        for nn, col in [(2, "top2_frac"), (3, "top3_frac"),
+                        (4, "top4_frac"), (5, "dup5_frac"),
+                        (8, "dup8_frac")]:
+            # engine output is 6dp (half-up); Python round() is
+            # half-even, so compare against the UNROUNDED definition
+            # with a half-ulp-of-6dp envelope
+            assert abs(row[col] - fracs[nn]) <= 5.01e-7, (r.doc_id, col)
+        keep = (
+            fracs[2] <= 0.20
+            and fracs[3] <= 0.18
+            and fracs[4] <= 0.16
+            and fracs[5] <= 0.15
+            and fracs[8] <= 0.12
+        )
+        assert bool(row["keep"]) == keep, r.doc_id
+        checked += 1
+    assert checked == len(got)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (Schleimer/Wilkerson/Aiken 2003): k-gram hashes, window of
+# w, keep each window's minimum (contract tie rule: leftmost, realised
+# by packing hash*2^31 + 1-based-pos), dedupe selections
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_matches_published_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        WINNOW_K,
+        WINNOW_POS_MOD,
+        WINNOW_W,
+    )
+
+    want: set[tuple[int, int, int]] = set()
+    for r in _docs(sf_dir).itertuples():
+        toks = _toks(r.text)
+        nk = len(toks) - WINNOW_K + 1
+        if nk < 1:
+            continue
+        enc = [
+            _h32(" ".join(toks[i : i + WINNOW_K])) * WINNOW_POS_MOD
+            + (i + 1)
+            for i in range(nk)
+        ]
+        for start in range(nk - WINNOW_W + 1):
+            pick = min(enc[start : start + WINNOW_W])
+            want.add(
+                (r.doc_id, pick % WINNOW_POS_MOD, pick // WINNOW_POS_MOD)
+            )
+
+    got = _run("pretrain_winnowing", spark, sf_dir)
+    assert (
+        set(zip(got["doc_id"], got["pos"], got["khash"])) == want
+    )
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark, sf_dir):
+    """The paper's correctness property, independent of any hash
+    choice: two docs sharing a run of >= w+k-1 tokens share at least
+    one fingerprint (same khash; pos may differ)."""
+    from pyspark.sql import Row
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        WINNOW_K,
+        WINNOW_W,
+        pretrain_winnowing,
+    )
+    import reddit_can_bigdata_spark.operators.pretrain as P
+
+    shared = " ".join(f"s{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha beta {shared} gamma"),
+            Row(doc_id=2, text=f"{shared} delta epsilon zeta"),
+        ]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        fps = P.pretrain_winnowing(spark, d).toPandas()
+    by_doc = {
+        doc: set(g["khash"]) for doc, g in fps.groupby("doc_id")
+    }
+    assert by_doc[1] & by_doc[2]
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Charikar 2002): per-token signed bit votes weighted by term
+# count; fingerprint bit i set iff the vote sum is non-negative.
+# Contract tokenization: raw split on ' ' (empties kept).
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_matches_charikar_definition(spark, sf_dir):
+    want = {}
+    for r in _docs(sf_dir).itertuples():
+        votes = [0] * 32
+        for tok, cnt in Counter(r.text.split(" ")).items():
+            h = _h32(tok)
+            for i in range(32):
+                votes[i] += cnt if (h >> i) & 1 else -cnt
+        want[r.doc_id] = sum(
+            1 << i for i in range(32) if votes[i] >= 0
+        )
+    got = _run("dedup_simhash", spark, sf_dir)
+    assert dict(zip(got["doc_id"], got["simhash"])) == want
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (Church & Hanks 1990): ln(p(xy) / (p(x)p(y))) with
+# p(xy) over adjacent-pair events and p(x) over token events
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_matches_church_hanks_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.textstats import (
+        PMI_MIN_COUNT,
+        PMI_TOPK,
+    )
+
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    for r in _docs(sf_dir).itertuples():
+        toks = _toks(r.text)
+        uni.update(toks)
+        pairs.update(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        )
+    t_toks = sum(uni.values())
+    t_pairs = sum(pairs.values())
+    scored = []
+    for bg, c in pairs.items():
+        if c < PMI_MIN_COUNT:
+            continue
+        w1, w2 = bg.split(" ")
+        pmi = math.log(
+            (c / t_pairs) / ((uni[w1] / t_toks) * (uni[w2] / t_toks))
+        )
+        scored.append((bg, c, uni[w1], uni[w2], pmi))
+    # the query's determinism contract orders on the 6dp-ROUNDED pmi
+    # (its output column) with the bigram as tie-break
+    scored.sort(key=lambda t: (-round(t[4], 6), t[0]))
+    want = scored[:PMI_TOPK]
+
+    got = _run("text_pmi_collocations", spark, sf_dir)
+    assert len(got) == len(want)
+    for row, w in zip(got.itertuples(), want):
+        assert (row.bigram, row.pair_cnt, row.c1, row.c2) == w[:4]
+        assert abs(row.pmi - w[4]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading ease: 206.835 - 1.015*(words/sentences) -
+# 84.6*(syllables/words); heuristic sentences = [.!?]+ runs,
+# syllables = [aeiouy]+ vowel groups in lowercased text
+# ---------------------------------------------------------------------------
+
+
+def test_readability_matches_flesch_definition(spark, sf_dir):
+    got = _run("text_readability", spark, sf_dir).set_index("doc_id")
+    checked = 0
+    for r in _docs(sf_dir).itertuples():
+        if r.text is None:
+            continue
+        n_words = len(_toks(r.text))
+        if n_words == 0:
+            assert r.doc_id not in got.index
+            continue
+        n_sent = max(len(re.findall(r"[.!?]+", r.text)), 1)
+        # contract fold: Python lower() expands 'İ' to 'i'+U+0307 too;
+        # the combining dot is collapsed so it can't split a vowel run
+        low = r.text.lower().replace("i̇", "i")
+        n_syl = len(re.findall(r"[aeiouy]+", low))
+        flesch = (
+            206.835 - 1.015 * (n_words / n_sent) - 84.6 * (n_syl / n_words)
+        )
+        row = got.loc[r.doc_id]
+        assert (row["n_words"], row["n_sentences"], row["n_syllables"]) == (
+            n_words,
+            n_sent,
+            n_syl,
+        ), r.doc_id
+        assert abs(row["flesch"] - flesch) <= 5.01e-7  # 6dp half-ulp
+        checked += 1
+    assert checked == len(got)
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit: ordinary least squares of ln(freq) on ln(rank) — slope,
+# intercept, r^2, Pearson corr recomputed from the closed forms
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_matches_ols_closed_form(spark, sf_dir):
+    counts: Counter = Counter()
+    for r in _docs(sf_dir).itertuples():
+        counts.update(_toks(r.text))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    syy = sum((y - my) ** 2 for y in ys)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    slope = sxy / sxx
+    intercept = my - slope * mx
+    r2 = sxy * sxy / (sxx * syy)
+    corr = sxy / math.sqrt(sxx * syy)
+
+    got = _run("stat_zipf_token_fit", spark, sf_dir).iloc[0]
+    assert got["n_vocab"] == n
+    # float reductions accumulate in different orders across engines;
+    # 1e-5 abs on 6dp-rounded outputs is the documented envelope
+    assert abs(got["slope"] - slope) < 1e-5
+    assert abs(got["intercept"] - intercept) < 1e-5
+    assert abs(got["r2"] - r2) < 1e-5
+    assert abs(got["corr_yx"] - corr) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard with df-bound blocking: |A ∩ B| / |A ∪ B| over
+# each doc's *rare-shingle* set (df <= bound), pairs >= tau
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_matches_set_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.dedup import (
+        NGRAM_DF_BOUND,
+        NGRAM_JACCARD_TAU,
+    )
+
+    # contract shingling: raw split(' ') (empties kept), 3-word
+    # shingles, set semantics per doc
+    sets = {}
+    for r in _docs(sf_dir).itertuples():
+        w = r.text.split(" ")
+        if len(w) < 3:
+            continue
+        sets[r.doc_id] = {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        }
+    dfc: Counter = Counter()
+    for s in sets.values():
+        dfc.update(s)
+    rare = {
+        d: {g for g in s if dfc[g] <= NGRAM_DF_BOUND}
+        for d, s in sets.items()
+    }
+    by_shingle: dict[str, list[int]] = {}
+    for d, s in rare.items():
+        for g in s:
+            by_shingle.setdefault(g, []).append(d)
+    cand = {
+        (a, b)
+        for docs in by_shingle.values()
+        for a in docs
+        for b in docs
+        if a < b
+    }
+    want = {}
+    for a, b in cand:
+        inter = len(rare[a] & rare[b])
+        j = inter / (len(rare[a]) + len(rare[b]) - inter)
+        if j >= NGRAM_JACCARD_TAU:
+            want[(a, b)] = round(j, 6)
+
+    got = _run("dedup_ngram_jaccard", spark, sf_dir)
+    assert {
+        (r.doc_a, r.doc_b): r.jaccard for r in got.itertuples()
+    } == pytest.approx(want, abs=1e-9)
