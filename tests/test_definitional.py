@@ -6,7 +6,9 @@ stays green (the round-6 CUSUM empty-prefix incident). This battery is
 the systematic defense: each test recomputes a query's result with a
 THIRD implementation written in plain Python **directly from the
 published definition** (Okapi BM25, Rae et al. Gopher §A1.1, Schleimer
-et al. winnowing, Charikar SimHash, Church & Hanks PMI, Flesch, OLS) —
+et al. winnowing, Charikar SimHash, Church & Hanks PMI, Flesch, OLS,
+Broder MinHash + banded LSH, Sparck Jones TF-IDF, unigram LM scoring,
+Wenzek et al. CCNet bucketing, Xie et al. DSIR) —
 no SQL, no Spark, no shared expression text — over the raw parquet
 bytes via pandas. Agreement now requires the same bug in three
 independently-phrased programs.
@@ -399,3 +401,204 @@ def test_ngram_jaccard_matches_set_definition(spark, sf_dir):
     assert {
         (r.doc_a, r.doc_b): r.jaccard for r in got.itertuples()
     } == pytest.approx(want, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (Broder 1997; Leskovec et al. ch.3): universal-hash
+# permutations min((a_i*h + b_i) mod p) over the distinct-shingle set,
+# banded bucketing for candidates, signature overlap as the estimate
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_lsh_matches_broder_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_K,
+        MINHASH_P,
+        MINHASH_ROWS,
+    )
+
+    sigs = {}
+    for r in _docs(sf_dir).itertuples():
+        w = r.text.split(" ")  # contract shingling: raw split
+        if len(w) < 3:
+            continue
+        hs = {_h32(" ".join(w[i : i + 3])) for i in range(len(w) - 2)}
+        sigs[r.doc_id] = [
+            min(((2 * i + 1) * h + 7919 * i + 1) % MINHASH_P for h in hs)
+            for i in range(MINHASH_K)
+        ]
+    buckets: dict[tuple, list[int]] = {}
+    for d, sig in sigs.items():
+        for b in range(MINHASH_BANDS):
+            key = (b, tuple(sig[b * MINHASH_ROWS : (b + 1) * MINHASH_ROWS]))
+            buckets.setdefault(key, []).append(d)
+    cand = {
+        (a, b)
+        for docs in buckets.values()
+        for a in docs
+        for b in docs
+        if a < b
+    }
+    want = {
+        (a, b): sum(x == y for x, y in zip(sigs[a], sigs[b])) / MINHASH_K
+        for a, b in cand
+    }
+
+    got = _run("dedup_minhash_lsh", spark, sf_dir)
+    got_m = {(r.doc_a, r.doc_b): r.est_jaccard for r in got.itertuples()}
+    assert set(got_m) == set(want)
+    for k, v in want.items():
+        assert abs(got_m[k] - v) <= 5.01e-7, k
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (Sparck Jones idf): tf * ln(N/df), per-doc top-k on the
+# rounded score with term tie-break
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_topk_matches_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.pretrain import TFIDF_TOPK
+
+    docs = _docs(sf_dir)
+    n_docs = len(docs)
+    tfs = {
+        r.doc_id: Counter(_toks(r.text)) for r in docs.itertuples()
+    }
+    dfc: Counter = Counter()
+    for tf in tfs.values():
+        dfc.update(tf.keys())
+    want = {}
+    for d, tf in tfs.items():
+        scored = sorted(
+            (
+                (round(c * math.log(n_docs / dfc[t]), 6), t)
+                for t, c in tf.items()
+            ),
+            key=lambda st: (-st[0], st[1]),
+        )[:TFIDF_TOPK]
+        for s, t in scored:
+            want[(d, t)] = s
+
+    got = _run("pretrain_tfidf_topk", spark, sf_dir)
+    got_m = {(r.doc_id, r.term): r.tfidf for r in got.itertuples()}
+    assert set(got_m) == set(want)
+    for k in want:
+        assert abs(got_m[k] - want[k]) <= 1e-6, k
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM score: avg over token occurrences of ln p(t) under the
+# corpus MLE unigram model, = avg(ln cnt) - ln(total)
+# ---------------------------------------------------------------------------
+
+
+def _naive_unigram_scores(sf_dir: str) -> dict[int, tuple[int, float]]:
+    occs = {
+        r.doc_id: _toks(r.text) for r in _docs(sf_dir).itertuples()
+    }
+    cnt: Counter = Counter()
+    for t in occs.values():
+        cnt.update(t)
+    total = sum(cnt.values())
+    return {
+        d: (
+            len(toks),
+            sum(math.log(cnt[t] / total) for t in toks) / len(toks),
+        )
+        for d, toks in occs.items()
+        if toks
+    }
+
+
+def test_unigram_logprob_matches_lm_definition(spark, sf_dir):
+    want = _naive_unigram_scores(sf_dir)
+    got = _run("pretrain_unigram_logprob", spark, sf_dir)
+    got_m = {
+        r.doc_id: (r.n_tokens, r.avg_logprob) for r in got.itertuples()
+    }
+    assert set(got_m) == set(want)
+    for d, (n, lp) in want.items():
+        assert got_m[d][0] == n
+        assert abs(got_m[d][1] - lp) <= 5.01e-7, d
+
+
+# ---------------------------------------------------------------------------
+# CCNet bucketing (Wenzek et al. 2020 §4.3): per-shard sort by LM
+# score, split in thirds head/middle/tail via ntile(3) on the rounded
+# score with doc_id tie-break
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_match_wenzek_definition(spark, sf_dir):
+    scores = _naive_unigram_scores(sf_dir)
+    src = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "source"]
+    ]
+    by_source: dict[str, list[int]] = {}
+    for r in src.itertuples():
+        if r.doc_id in scores:
+            by_source.setdefault(r.source, []).append(r.doc_id)
+    want = {}
+    for source, ds in by_source.items():
+        ds.sort(key=lambda d: (-round(scores[d][1], 6), d))
+        n = len(ds)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if i < extra else 0) for i in range(3)]
+        labels = ["head", "middle", "tail"]
+        pos = 0
+        for lbl, sz in zip(labels, sizes):
+            for d in ds[pos : pos + sz]:
+                want[d] = lbl
+            pos += sz
+
+    got = _run("pretrain_ccnet_buckets", spark, sf_dir)
+    assert dict(zip(got["doc_id"], got["ppl_bucket"])) == want
+
+
+# ---------------------------------------------------------------------------
+# DSIR (Xie et al. 2023 §3): importance log-weight = sum over hashed
+# bigram occurrences of ln(p_target(bucket)/p_raw(bucket)), both
+# Laplace-smoothed: (count+1)/(total+B)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_logweight_matches_xie_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_EVAL_MOD,
+    )
+
+    doc_buckets = {}
+    for r in _docs(sf_dir).itertuples():
+        toks = _toks(r.text)
+        doc_buckets[r.doc_id] = [
+            _h32("ds:" + " ".join(toks[i : i + 2])) % DSIR_BUCKETS
+            for i in range(len(toks) - 1)
+        ]
+    tc: Counter = Counter()
+    rc: Counter = Counter()
+    for d, bs in doc_buckets.items():
+        (tc if d % DSIR_EVAL_MOD == 0 else rc).update(bs)
+    tt, rt = sum(tc.values()), sum(rc.values())
+    want = {}
+    for d, bs in doc_buckets.items():
+        if d % DSIR_EVAL_MOD == 0 or not bs:
+            continue
+        lw = sum(
+            math.log((tc[b] + 1) / (tt + DSIR_BUCKETS))
+            - math.log((rc[b] + 1) / (rt + DSIR_BUCKETS))
+            for b in bs
+        )
+        want[d] = (len(bs), lw)
+
+    got = _run("curate_dsir_logweight", spark, sf_dir)
+    got_m = {
+        r.doc_id: (r.n_grams, r.log_weight) for r in got.itertuples()
+    }
+    assert set(got_m) == set(want)
+    for d, (n, lw) in want.items():
+        assert got_m[d][0] == n
+        # per-doc sums of ~n_grams ln-ratios: allow accumulation slack
+        assert abs(got_m[d][1] - lw) <= 1e-5, d
