@@ -602,3 +602,243 @@ def test_dsir_logweight_matches_xie_definition(spark, sf_dir):
         assert got_m[d][0] == n
         # per-doc sums of ~n_grams ln-ratios: allow accumulation slack
         assert abs(got_m[d][1] - lw) <= 1e-5, d
+
+
+# ---------------------------------------------------------------------------
+# CUSUM (Page 1954): THE incident query — round 6 found the same bug
+# in the Spark builder and its oracle twin. The naive mirror uses the
+# textbook RECURSION s_i = max(0, s_{i-1} + (x_i - mean)) directly,
+# independently validating the windowed prefix-sum identity both
+# engine twins share.
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_matches_page_recursion(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_type", "ts"]
+    ].dropna(subset=["ts"])
+    ev["day"] = ev["ts"].dt.date
+    daily = (
+        ev.groupby(["event_type", "day"]).size().rename("x").reset_index()
+    )
+    want = {}
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        xs = list(g["x"])
+        mean = sum(xs) / len(xs)
+        sigma = math.sqrt(mean)
+        s = 0.0
+        for day, x in zip(g["day"], xs):
+            s = max(0.0, s + (x - mean))
+            want[(et, str(day))] = (x, s, s > 3 * sigma)
+
+    got = _run("cusum_changepoint_daily", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        x, s, chg = want[(r.event_type, r.day)]
+        assert r.x == x
+        # the identity telescopes ~n float adds; small slack
+        assert abs(r.cusum - s) <= 1e-5, (r.event_type, r.day)
+        assert bool(r.is_change) == chg, (r.event_type, r.day)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: lay docs end-to-end per shard in doc_id order,
+# 256-token training sequences, boundary-straddle flag
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_packing_matches_layout_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.pretrain import PACK_BUDGET
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "source", "text"]
+    ]
+    want = {}
+    for source, g in docs.groupby("source"):
+        off = 0
+        for r in g.sort_values("doc_id").itertuples():
+            n = len(_toks(r.text))
+            seq = off // PACK_BUDGET
+            want[r.doc_id] = (
+                source,
+                n,
+                off,
+                seq,
+                seq != (off + n - 1) // PACK_BUDGET,
+            )
+            off += n
+
+    got = _run("pretrain_sequence_packing", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert (
+            r.source,
+            r.n_tokens,
+            r.start_offset,
+            r.seq_id,
+            bool(r.crosses_boundary),
+        ) == want[r.doc_id], r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# Passage dedup (Lee et al. 2022): non-overlapping 16-token passages,
+# globally-first occurrence (min (doc_id, pos)) survives, docs
+# reassembled from surviving passages in order
+# ---------------------------------------------------------------------------
+
+
+def test_passage_dedup_matches_first_occurrence_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.dedup import PASSAGE_W
+
+    first: dict[str, tuple[int, int]] = {}
+    per_doc: dict[int, list[tuple[int, str]]] = {}
+    n_passages = {}
+    for r in _docs(sf_dir).sort_values("doc_id").itertuples():
+        toks = _toks(r.text)
+        ps = [
+            " ".join(toks[i : i + PASSAGE_W])
+            for i in range(0, len(toks), PASSAGE_W)
+        ]
+        n_passages[r.doc_id] = len(ps)
+        per_doc[r.doc_id] = list(enumerate(ps))
+        for pos, p in enumerate(ps):
+            if p not in first or (r.doc_id, pos) < first[p]:
+                first[p] = (r.doc_id, pos)
+    want = {}
+    for d, ps in per_doc.items():
+        kept = [p for pos, p in ps if first[p] == (d, pos)]
+        want[d] = (n_passages[d], len(kept), " ".join(kept))
+
+    got = _run("dedup_passages", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert (r.n_passages, r.n_kept, r.text_deduped) == want[
+            r.doc_id
+        ], r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (Bloom 1970): k=4 independent hash
+# positions per eval 5-gram OR-ed into a 65536-bit filter; a corpus
+# gram is flagged iff ALL its k bits are set
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontaminate_matches_bloom_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        BLOOM_BITS,
+        BLOOM_K,
+        DECONTAM_EVAL_MOD,
+        DECONTAM_N,
+    )
+
+    def positions(gram: str) -> list[int]:
+        return [
+            _h32(f"b{i}:{gram}") % BLOOM_BITS for i in range(BLOOM_K)
+        ]
+
+    grams_by_doc = {}
+    for r in _docs(sf_dir).itertuples():
+        toks = _toks(r.text)
+        grams_by_doc[r.doc_id] = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + DECONTAM_N])
+                for i in range(len(toks) - DECONTAM_N + 1)
+            )
+        )
+    bloom: set[int] = set()
+    for d, gs in grams_by_doc.items():
+        if d % DECONTAM_EVAL_MOD == 0:
+            for g in gs:
+                bloom.update(positions(g))
+    want = {}
+    for d, gs in grams_by_doc.items():
+        if d % DECONTAM_EVAL_MOD == 0:
+            continue
+        flagged = sum(
+            1 for g in gs if all(p in bloom for p in positions(g))
+        )
+        want[d] = (len(gs), flagged, flagged >= 1)
+
+    got = _run("pretrain_bloom_decontaminate", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert (
+            r.n_grams,
+            r.n_flagged,
+            bool(r.maybe_contaminated),
+        ) == want[r.doc_id], r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# Jelinek-Mercer interpolated bigram LM: p(cur|prev) =
+# λ·c(prev cur)/c(prev) + (1-λ)·c(cur)/T, doc score = avg ln p
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_matches_jelinek_mercer_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.pretrain import BIGRAM_LAMBDA
+
+    uni: Counter = Counter()
+    doc_bigrams = {}
+    for r in _docs(sf_dir).itertuples():
+        toks = _toks(r.text)
+        uni.update(toks)
+        doc_bigrams[r.doc_id] = [
+            (toks[i], toks[i + 1]) for i in range(len(toks) - 1)
+        ]
+    total = sum(uni.values())
+    bcnt: Counter = Counter()
+    for bs in doc_bigrams.values():
+        bcnt.update(bs)
+    want = {}
+    for d, bs in doc_bigrams.items():
+        if not bs:
+            continue
+        lps = [
+            math.log(
+                BIGRAM_LAMBDA * bcnt[(p, c)] / uni[p]
+                + (1 - BIGRAM_LAMBDA) * uni[c] / total
+            )
+            for p, c in bs
+        ]
+        want[d] = (len(bs), sum(lps) / len(lps))
+
+    got = _run("pretrain_bigram_logprob", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, lp = want[r.doc_id]
+        assert r.n_bigrams == n
+        assert abs(r.avg_logprob2 - lp) <= 1e-5, r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: split each user's stream at >30-min gaps; compare
+# in epoch-microseconds (force the unit — pandas may read the parquet
+# column as datetime64[us] or [ns] depending on version)
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_matches_gap_definition(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "event_id", "ts"]
+    ].dropna(subset=["ts"])
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    want = {}
+    for user, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        sessions = 0
+        prev = None
+        for us in g["us"]:
+            if prev is None or us - prev > 1_800_000_000:
+                sessions += 1
+            prev = us
+        want[user] = (sessions, len(g), len(g) / sessions)
+
+    got = _run("sessionize_events", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        s, n, eps = want[r.user_id]
+        assert (r.n_sessions, r.n_events) == (s, n)
+        assert abs(r.events_per_session - eps) <= 5.01e-7
