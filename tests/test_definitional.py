@@ -842,3 +842,505 @@ def test_sessionize_matches_gap_definition(spark, sf_dir):
         s, n, eps = want[r.user_id]
         assert (r.n_sessions, r.n_events) == (s, n)
         assert abs(r.events_per_session - eps) <= 5.01e-7
+
+
+# ---------------------------------------------------------------------------
+# Batch 4 shared helpers: the registry's exact-accumulation policies,
+# re-derived. _dsum mirrors DECIMAL(18,4) quantize-then-sum (Spark's
+# double->decimal cast goes through the shortest-repr string, i.e.
+# BigDecimal.valueOf == Python repr(), then HALF_UP); _round6 mirrors
+# F.round's HALF_UP on the same repr; _dot folds left-to-right like
+# both engines' sequential aggregate/list_reduce.
+# ---------------------------------------------------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+
+
+def _dsum(values) -> float:
+    q = Decimal("0.0001")
+    acc = Decimal(0)
+    for v in values:
+        acc += Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP)
+    return float(acc)
+
+
+def _round6(x: float) -> float:
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _cos(a, b) -> float:
+    return _dot(a, b) / (math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b)))
+
+
+def _emb_rows(sf_dir: str):
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return [(int(r.vec_id), int(r.label), list(r.embedding)) for r in df.itertuples()]
+
+
+# ---------------------------------------------------------------------------
+# Truncated EWMA (the standard recursion s_i = a*x_i + (1-a)*s_{i-1},
+# truncated at 7 terms): ewma_i = sum_k w_k * x_{i-k} / sum_k w_k over
+# the PRESENT lags, w_k = 0.5^k. Anomaly: x outside [0.8, 1.2]*ewma.
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_truncated_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.timeseries import (
+        EWMA_ALPHA,
+        EWMA_TERMS,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_type", "ts", "value"]
+    ].dropna(subset=["ts"])
+    ev["day"] = ev["ts"].dt.date
+    weights = [(1.0 - EWMA_ALPHA) ** k for k in range(EWMA_TERMS)]
+    want = {}
+    for et, g in ev.groupby("event_type"):
+        daily = sorted(
+            (day, _dsum(gg["value"]))
+            for day, gg in g.groupby("day")
+        )
+        for i, (day, dv) in enumerate(daily):
+            num = 0.0
+            den = 0.0
+            for k, w in enumerate(weights):
+                if i - k >= 0:
+                    num = num + daily[i - k][1] * w
+                    den = den + w
+                else:
+                    num = num + 0.0
+            want[(et, str(day))] = (dv, num / den)
+
+    got = _run("ewma_anomaly_daily", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        dv, ewma = want[(r.event_type, r.day)]
+        assert r.day_value == dv, (r.event_type, r.day)
+        assert abs(r.ewma - ewma) <= 5.01e-7, (r.event_type, r.day)
+        # the flag reads the ROUNDED ewma (pinned by the builder):
+        # validate the rule against the emitted value
+        assert bool(r.is_anomaly) == (
+            r.day_value > 1.2 * r.ewma or r.day_value < 0.8 * r.ewma
+        ), (r.event_type, r.day)
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill + linear interpolation: dense per-user day spine
+# (min..max observed day), missing days get
+# pv + (nv - pv) * (day - pd) / (nd - pd) between nearest neighbors
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_matches_linear_interpolation_definition(spark, sf_dir):
+    import datetime as dt
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].dropna(subset=["ts"])
+    ev["day"] = ev["ts"].dt.date
+    want = {}
+    for user, g in ev.groupby("user_id"):
+        daily = {day: _dsum(gg["value"]) for day, gg in g.groupby("day")}
+        days = sorted(daily)
+        d, d1 = days[0], days[-1]
+        while d <= d1:
+            if d in daily:
+                want[(user, str(d))] = (daily[d], False)
+            else:
+                pd_ = max(x for x in days if x < d)
+                nd = min(x for x in days if x > d)
+                pv, nv = daily[pd_], daily[nd]
+                interp = pv + (nv - pv) * (d - pd_).days / (nd - pd_).days
+                want[(user, str(d))] = (interp, True)
+            d += dt.timedelta(days=1)
+
+    got = _run("gapfill_interpolate_daily", spark, sf_dir)
+    assert len(got) == len(want)
+    n_gaps = 0
+    for r in got.itertuples():
+        v, is_gap = want[(r.user_id, r.day)]
+        assert bool(r.is_gap) == is_gap, (r.user_id, r.day)
+        if is_gap:
+            n_gaps += 1
+            assert abs(r.value_filled - v) <= 5.01e-7, (r.user_id, r.day)
+        else:
+            assert r.value_filled == v, (r.user_id, r.day)
+    assert n_gaps > 0  # the battery must actually exercise interpolation
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (strictly-after semantics): stage N counts users whose
+# earliest stage-N event is strictly later than their stage-(N-1) time
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_matches_ordered_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.timeseries import FUNNEL_STAGES
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "event_type", "ts"]
+    ].dropna(subset=["ts"])
+    ev["tus"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    by_user = {
+        u: {et: sorted(gg["tus"]) for et, gg in g.groupby("event_type")}
+        for u, g in ev.groupby("user_id")
+    }
+    counts = []
+    survivors = {}
+    for u, stages in by_user.items():
+        if FUNNEL_STAGES[0] in stages:
+            survivors[u] = stages[FUNNEL_STAGES[0]][0]
+    counts.append(len(survivors))
+    for stage in FUNNEL_STAGES[1:]:
+        nxt = {}
+        for u, t_prev in survivors.items():
+            later = [t for t in by_user[u].get(stage, ()) if t > t_prev]
+            if later:
+                nxt[u] = later[0]
+        survivors = nxt
+        counts.append(len(survivors))
+
+    got = _run("funnel_conversion", spark, sf_dir).sort_values("stage_no")
+    assert list(got["stage"]) == list(FUNNEL_STAGES)
+    assert list(got["n_users"]) == counts
+    # non-trivial and monotone non-increasing (at tiny SF every signup
+    # user may survive the whole funnel, so strict drop isn't required)
+    assert counts[0] > 0
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    for n, pct in zip(got["n_users"], got["pct_of_first"]):
+        assert abs(pct - n / counts[0]) <= 5.01e-7
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: cohort = Monday-truncated first-activity week;
+# retention(cohort, offset) = |active in week| / |cohort|
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_matches_definition(spark, sf_dir):
+    import datetime as dt
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "ts"]
+    ].dropna(subset=["ts"])
+
+    def monday(ts) -> dt.date:
+        d = ts.date()
+        return d - dt.timedelta(days=d.weekday())
+
+    ev["wk"] = ev["ts"].map(monday)
+    cohort = ev.groupby("user_id")["wk"].min()
+    sizes = cohort.value_counts()
+    active = ev.assign(cohort_wk=ev["user_id"].map(cohort))[
+        ["user_id", "cohort_wk", "wk"]
+    ].drop_duplicates()
+    want = {}
+    for (cw, wk), g in active.groupby(["cohort_wk", "wk"]):
+        off = (wk - cw).days // 7
+        key = (str(cw), off)
+        assert key not in want  # one (cohort, week) cell per pair
+        want[key] = (len(g), int(sizes[cw]), len(g) / sizes[cw])
+
+    got = _run("cohort_retention", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, size, ret = want[(r.cohort_week, r.week_offset)]
+        assert (r.n_active, r.cohort_size) == (n, size)
+        assert abs(r.retention - ret) <= 5.01e-7
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal rank fusion (Cormack et al., SIGIR'09):
+# RRF(d) = sum over arms 1/(60 + rank_arm(d)); arms = Okapi BM25
+# lexical top-50 and cosine vector top-50
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_matches_cormack_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.similarity import (
+        RRF_K,
+        RRF_POOL,
+        RRF_TOPK,
+    )
+    from reddit_can_bigdata_spark.operators.textstats import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+    )
+
+    corpus = {
+        r.doc_id: _toks(r.text)
+        for r in _docs(sf_dir).itertuples()
+        if _toks(r.text)
+    }
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    dfreq = {q: sum(1 for t in corpus.values() if q in t) for q in BM25_QUERY}
+    bm25 = {}
+    for doc_id, toks in corpus.items():
+        dl = len(toks)
+        s = 0.0
+        for q in BM25_QUERY:
+            tf = toks.count(q)
+            idf = math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1)
+            s += idf * (tf * (BM25_K1 + 1)) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+            )
+        bm25[doc_id] = s
+    lex_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(bm25.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_POOL]
+        )
+    }
+
+    rows = _emb_rows(sf_dir)
+    qv = next(e for vid, _, e in rows if vid == 0)
+    cos = {vid: _cos(e, qv) for vid, _, e in rows if vid != 0}
+    vec_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_POOL]
+        )
+    }
+
+    fused = {}
+    for d in set(lex_rank) | set(vec_rank):
+        fused[d] = (1.0 / (RRF_K + lex_rank[d]) if d in lex_rank else 0.0) + (
+            1.0 / (RRF_K + vec_rank[d]) if d in vec_rank else 0.0
+        )
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOPK]
+
+    got = _run("retrieve_hybrid_rrf", spark, sf_dir)
+    assert list(got["doc_id"]) == [d for d, _ in want]
+    for r in got.itertuples():
+        assert (None if pd.isna(r.rank_lex) else int(r.rank_lex)) == lex_rank.get(
+            r.doc_id
+        )
+        assert (None if pd.isna(r.rank_vec) else int(r.rank_vec)) == vec_rank.get(
+            r.doc_id
+        )
+        assert abs(r.rrf_score - fused[r.doc_id]) <= 5.01e-7
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein (Wagner-Fischer DP) near-dup on 30-char prefixes,
+# blocked by (lang, n_chars//100), threshold 10
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_prefix_matches_dp_definition(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "lang", "n_chars", "text"]
+    ]
+    docs["bucket"] = docs["n_chars"] // 100
+    docs["prefix"] = docs["text"].str[:30]
+    want = {}
+    for _, g in docs.groupby(["lang", "bucket"]):
+        recs = sorted(g[["doc_id", "prefix"]].itertuples(index=False))
+        for i, (da, pa) in enumerate(recs):
+            for db, pb in recs[i + 1 :]:
+                d = _levenshtein(pa, pb)
+                if d <= 10:
+                    want[(da, db)] = d
+
+    got = _run("dedup_levenshtein_prefix", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[(r.doc_a, r.doc_b)] == r.edit_distance
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance (Jegou et al. 2011):
+# code = per-subspace argmin_c ||x_sub - c||^2; ADC(q, x) =
+# sum_sub d2_table[sub, code_sub(x)] with d2 precomputed from q
+# ---------------------------------------------------------------------------
+
+
+def test_pq_adc_matches_jegou_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.similarity import (
+        PQ_FIXTURE,
+        PQ_M,
+        PQ_SUB_D,
+        PQ_TOPK,
+    )
+
+    cents = {}  # (sub, cid) -> centroid
+    for r in pd.read_parquet(PQ_FIXTURE).itertuples():
+        cents[(int(r.sub), int(r.cid))] = list(r.cv)
+
+    def sq_l2(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+        return acc
+
+    rows = _emb_rows(sf_dir)
+    qv = next(e for vid, _, e in rows if vid == 0)
+    dtab = {}
+    for (sub, cid), cv in cents.items():
+        dtab[(sub, cid)] = sq_l2(qv[sub * PQ_SUB_D : (sub + 1) * PQ_SUB_D], cv)
+
+    adc = {}
+    for vid, _, e in rows:
+        if vid == 0:
+            continue
+        total = 0.0
+        for sub in range(PQ_M):
+            sv = e[sub * PQ_SUB_D : (sub + 1) * PQ_SUB_D]
+            code = min(
+                (cid for s, cid in cents if s == sub),
+                key=lambda cid: (sq_l2(sv, cents[(sub, cid)]), cid),
+            )
+            total += dtab[(sub, code)]
+        adc[vid] = total
+    want = sorted(adc.items(), key=lambda kv: (_round6(kv[1]), kv[0]))[:PQ_TOPK]
+
+    got = _run("sim_pq_adc_topk", spark, sf_dir)
+    assert list(got["vec_id"]) == [v for v, _ in want]
+    for r in got.itertuples():
+        assert abs(r.adc_dist2 - adc[r.vec_id]) <= 1.01e-5
+
+
+# ---------------------------------------------------------------------------
+# PCA projection: score(x, pc) = <x, axis_pc> - <mean, axis_pc>
+# (the offset is precomputed in the committed basis fixture)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_projection_matches_basis_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.similarity import PCA_FIXTURE
+
+    basis = [
+        (int(r.pc), list(r.axis), float(r.offset))
+        for r in pd.read_parquet(PCA_FIXTURE).itertuples()
+    ]
+    rows = _emb_rows(sf_dir)
+    want = {
+        (vid, pc): _dot(e, axis) - off
+        for vid, _, e in rows
+        for pc, axis, off in basis
+    }
+
+    got = _run("sim_pca_project", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert abs(r.score - want[(r.vec_id, r.pc)]) <= 5.01e-7
+
+
+# ---------------------------------------------------------------------------
+# MAD (Hampel): mad = median(|x - median(x)|), interpolated medians;
+# outlier iff |x - median| > 3 * 1.4826 * mad
+# ---------------------------------------------------------------------------
+
+
+def test_mad_matches_definition(spark, sf_dir):
+    import numpy as np
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "value"]]
+    want = {}
+    for et, g in ev.groupby("event_type"):
+        vals = g["value"].to_numpy(dtype="float64")
+        med = float(np.percentile(vals, 50, method="linear"))
+        adev = np.abs(vals - med)
+        mad = float(np.percentile(adev, 50, method="linear"))
+        n_out = int((adev > 3.0 * 1.4826 * mad).sum())
+        want[et] = (med, mad, n_out)
+
+    got = _run("robust_mad_by_type", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        med, mad, n_out = want[r.event_type]
+        assert abs(r.median_value - med) <= 5.01e-7
+        assert abs(r.mad - mad) <= 5.01e-7
+        assert r.n_outliers == n_out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): depth x width
+# counter matrix, row i increments bucket h_i(key); h_i = salted
+# md5-first-8-hex mod width (the registry's portable hash policy)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_matches_cormode_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.approx import CMS_DEPTH, CMS_WIDTH
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type"]]
+    want = Counter()
+    for et in ev["event_type"]:
+        for i in range(CMS_DEPTH):
+            want[(i, _h32(f"{i}:{et}") % CMS_WIDTH)] += 1
+
+    got = _run("cms_event_type_sketch", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[(r.row_i, r.bucket)] == r.cnt
+    # CMS guarantee on the recomputed table: every point estimate
+    # (min over rows) bounds the true count from above
+    true = Counter(ev["event_type"])
+    for et, tc in true.items():
+        est = min(want[(i, _h32(f"{i}:{et}") % CMS_WIDTH)] for i in range(CMS_DEPTH))
+        assert est >= tc
+
+
+# ---------------------------------------------------------------------------
+# Binary sign-bit codes + Hamming candidates + exact cosine rerank:
+# pack sign(x_i) into 2x32-bit words, candidates = 50 nearest by
+# popcount(xor), final 10 by true cosine
+# ---------------------------------------------------------------------------
+
+
+def test_binary_rerank_matches_sign_hamming_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.similarity import (
+        HAMMING_CANDIDATES,
+        HAMMING_FINAL_K,
+    )
+
+    rows = _emb_rows(sf_dir)
+
+    def pack(e, word: int) -> int:
+        lo = word * 32
+        return sum(1 << i for i in range(32) if float(e[lo + i]) > 0)
+
+    packed = {vid: (pack(e, 0), pack(e, 1)) for vid, _, e in rows}
+    labels = {vid: lab for vid, lab, _ in rows}
+    embs = {vid: e for vid, _, e in rows}
+    qw0, qw1 = packed[0]
+    ham = {
+        vid: ((w0 ^ qw0).bit_count() + (w1 ^ qw1).bit_count())
+        for vid, (w0, w1) in packed.items()
+        if vid != 0
+    }
+    cand = sorted(ham.items(), key=lambda kv: (kv[1], kv[0]))[:HAMMING_CANDIDATES]
+    reranked = sorted(
+        cand, key=lambda kv: (-_cos(embs[kv[0]], embs[0]), kv[0])
+    )[:HAMMING_FINAL_K]
+
+    got = _run("sim_binary_rerank_topk", spark, sf_dir)
+    assert list(got["vec_id"]) == [v for v, _ in reranked]
+    for r in got.itertuples():
+        assert r.hamming == ham[r.vec_id]
+        assert r.label == labels[r.vec_id]
+        assert abs(r.cosine - _cos(embs[r.vec_id], embs[0])) <= 5.01e-7
