@@ -1344,3 +1344,278 @@ def test_binary_rerank_matches_sign_hamming_definition(spark, sf_dir):
         assert r.hamming == ham[r.vec_id]
         assert r.label == labels[r.vec_id]
         assert abs(r.cosine - _cos(embs[r.vec_id], embs[0])) <= 5.01e-7
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: brute-force cosine, scalar quantization, sign-LSH buckets,
+# rolling fingerprint, stopword langid, hash sampling, SRS confidence
+# interval, as-of join, rollup hierarchy, BPE pair counts
+# ---------------------------------------------------------------------------
+
+
+def test_topk_bruteforce_matches_cosine_definition(spark, sf_dir):
+    rows = _emb_rows(sf_dir)
+    qv = next(e for vid, _, e in rows if vid == 0)
+    labels = {vid: lab for vid, lab, _ in rows}
+    cos = {vid: _cos(e, qv) for vid, _, e in rows if vid != 0}
+    want = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = _run("sim_topk_bruteforce", spark, sf_dir)
+    assert list(got["vec_id"]) == [v for v, _ in want]
+    for r in got.itertuples():
+        assert r.label == labels[r.vec_id]
+        assert abs(r.cosine - cos[r.vec_id]) <= 5.01e-7
+
+
+def test_sq_quantization_matches_definition(spark, sf_dir):
+    """Symmetric int8 scalar quantization (FAISS SQ8): per-dim scale
+    s_i = maxabs_i / 127, code = round(x/s) (half away from zero),
+    similarity on the reconstructed code*s values."""
+    from reddit_can_bigdata_spark.operators.similarity import EMB_DIM
+
+    rows = _emb_rows(sf_dir)
+    scales = [
+        max(abs(float(e[i])) for _, _, e in rows) / 127.0
+        for i in range(EMB_DIM)
+    ]
+
+    def recon(e):
+        out = []
+        for x, s in zip(e, scales):
+            if s > 0.0:
+                code = float(
+                    Decimal(repr(float(x) / s)).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+                out.append(code * s)
+            else:
+                out.append(0.0)
+        return out
+
+    dq = {vid: recon(e) for vid, _, e in rows}
+    labels = {vid: lab for vid, lab, _ in rows}
+    dots = {vid: _dot(v, dq[0]) for vid, v in dq.items() if vid != 0}
+    want = sorted(dots.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = _run("sim_sq_quantized_topk", spark, sf_dir)
+    assert list(got["vec_id"]) == [v for v, _ in want]
+    for r in got.itertuples():
+        assert r.label == labels[r.vec_id]
+        assert abs(r.quant_dot - dots[r.vec_id]) <= 5.01e-7
+
+
+def test_embedding_lsh_matches_hyperplane_definition(spark, sf_dir):
+    """Sign-LSH (Charikar random-hyperplane family, deterministic
+    integer planes): bucket bit h = [<w_h, x> >= 0] with
+    w_h[j] = ((17h+3)*(j+1)) mod 29 - 14; candidate pairs share the
+    4-bit bucket; survivors have cosine >= 0.92."""
+    rows = _emb_rows(sf_dir)
+
+    def bucket(e) -> int:
+        b = 0
+        for h in range(4):
+            acc = 0.0
+            for j, x in enumerate(e):
+                w = ((17 * h + 3) * (j + 1)) % 29 - 14
+                acc = acc + float(w) * float(x)
+            if acc >= 0:
+                b |= 1 << h
+        return b
+
+    by_bucket = {}
+    embs = {}
+    for vid, _, e in rows:
+        embs[vid] = e
+        by_bucket.setdefault(bucket(e), []).append(vid)
+    want = {}
+    for vids in by_bucket.values():
+        vids = sorted(vids)
+        for i, a in enumerate(vids):
+            for b in vids[i + 1 :]:
+                c = _cos(embs[a], embs[b])
+                if c >= 0.92:
+                    want[(a, b)] = c
+
+    got = _run("dedup_embedding_lsh", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert abs(r.cosine - want[(r.vec_a, r.vec_b)]) <= 5.01e-7
+    # non-vacuity: the blocking stage must have produced real
+    # candidate pairs; if no pair survived, that must be because the
+    # best same-bucket cosine genuinely sits below the threshold
+    cand = [
+        (a, b)
+        for vids in by_bucket.values()
+        for i, a in enumerate(sorted(vids))
+        for b in sorted(vids)[i + 1 :]
+    ]
+    assert cand
+    if not want:
+        assert max(_cos(embs[a], embs[b]) for a, b in cand) < 0.92
+
+
+def test_fingerprint_matches_min_rolling_hash_definition(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    want = {}
+    for r in docs.itertuples():
+        w = r.text.split(" ")  # split keeps empty tokens, mirroring both engines
+        if len(w) < 5:
+            continue
+        grams = {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+        want[r.doc_id] = (min(_h32(g) for g in grams), len(grams))
+
+    got = _run("text_fingerprint", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.doc_id] == (r.fingerprint, r.n_grams)
+
+
+def test_langid_matches_stopword_vote_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.textstats import _EN_STOP, _FR_STOP
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "lang", "text"]]
+    want = Counter()
+    for r in docs.itertuples():
+        toks = r.text.lower().split(" ")
+        en = sum(1 for t in toks if t in _EN_STOP)
+        fr = sum(1 for t in toks if t in _FR_STOP)
+        pred = "en" if en > fr else ("fr" if fr > en else "und")
+        want[(pred, r.lang)] += 1
+
+    got = _run("text_langid", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[(r.predicted_lang, r.actual_lang)] == r.cnt
+    # the matrix covers every document exactly once (a property of the
+    # operator, not of the synthetic corpus's separability)
+    assert sum(want.values()) == len(docs)
+
+
+def test_deterministic_sample_matches_hash_rule(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.curation import SAMPLE_PCT
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "lang"]]
+    want = {
+        int(r.doc_id): r.lang
+        for r in docs.itertuples()
+        if _h32(str(int(r.doc_id))) % 100 < SAMPLE_PCT
+    }
+
+    got = _run("curate_deterministic_sample", spark, sf_dir)
+    assert {int(v): l for v, l in zip(got["doc_id"], got["lang"])} == want
+    assert 0 < len(want) < len(docs)
+
+
+def test_sample_ci_matches_srs_estimator(spark, sf_dir):
+    """Finite-population SRS total estimator (Cochran): est = N*s/n,
+    se = N * sqrt(var/n * (1 - n/N)), 95% z-interval. Sample = rows
+    whose portable hash of (orderkey_linenumber) % 16 == 0."""
+    from reddit_can_bigdata_spark.operators.approx import SAMPLE_MOD
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"]
+    ]
+    q4 = Decimal("0.0001")
+    n_total = len(li)
+    n_sample = 0
+    exact = Decimal(0)
+    s = Decimal(0)
+    s2 = Decimal(0)
+    for r in li.itertuples():
+        rev = Decimal(repr(float(r.l_extendedprice))).quantize(
+            q4, rounding=ROUND_HALF_UP
+        ) * Decimal(repr(1.0 - float(r.l_discount))).quantize(
+            q4, rounding=ROUND_HALF_UP
+        )
+        exact += rev
+        if _h32(f"{int(r.l_orderkey)}_{int(r.l_linenumber)}") % SAMPLE_MOD == 0:
+            n_sample += 1
+            s += rev
+            s2 += rev.quantize(q4, rounding=ROUND_HALF_UP) ** 2
+    sf, s2f = float(s), float(s2)
+    est = sf / n_sample * n_total
+    var = (s2f - sf * sf / n_sample) / (n_sample - 1)
+    se = math.sqrt(var / n_sample * (1.0 - n_sample / n_total)) * n_total
+
+    got = _run("approx_sample_revenue_ci", spark, sf_dir)
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["n_total"], r["n_sample"]) == (n_total, n_sample)
+    assert abs(r["exact_total"] - float(exact)) <= 0.00501
+    assert abs(r["est_total"] - est) <= 0.00501
+    assert abs(r["se_total"] - se) <= 0.00501
+    assert abs(r["ci95_lo"] - (est - 1.96 * se)) <= 0.0101
+    assert abs(r["ci95_hi"] - (est + 1.96 * se)) <= 0.0101
+    # the estimator's point: the exact total falls inside the interval
+    assert r["ci95_lo"] <= r["exact_total"] <= r["ci95_hi"]
+
+
+def test_asof_join_matches_latest_predecessor_definition(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_id", "user_id", "event_type", "ts"]
+    ]
+    ev = ev[ev["event_type"].isin(["view", "click"])]
+    want = {}
+    for user, g in ev.groupby("user_id"):
+        recs = sorted(
+            g.itertuples(),
+            key=lambda r: (r.ts, 0 if r.event_type == "view" else 1, r.event_id),
+        )
+        last_view = None
+        for r in recs:
+            if r.event_type == "view":
+                last_view = r.event_id
+            else:
+                want[r.event_id] = (user, last_view)
+
+    got = _run("asof_join_latest_view", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        user, view = want[r.click_id]
+        assert r.user_id == user
+        assert (
+            None if pd.isna(r.matched_view_id) else int(r.matched_view_id)
+        ) == view
+
+
+def test_hypertable_rollup_matches_hierarchy_definition(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["ts", "value"]]
+    q6 = Decimal("0.000001")
+    want = {}
+    for r in ev.itertuples():
+        month = r.ts.strftime("%Y-%m")
+        day = r.ts.strftime("%Y-%m-%d")
+        hour = r.ts.strftime("%Y-%m-%d %H")
+        v = Decimal(repr(float(r.value))).quantize(q6, rounding=ROUND_HALF_UP)
+        for res, bucket in [
+            ("hour", hour), ("day", day), ("month", month), ("all", "*"),
+        ]:
+            n, t = want.get((res, bucket), (0, Decimal(0)))
+            want[(res, bucket)] = (n + 1, t + v)
+
+    got = _run("hypertable_rollup", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, t = want[(r.resolution, r.bucket)]
+        assert r.n_events == n, (r.resolution, r.bucket)
+        assert r.total_value == float(t), (r.resolution, r.bucket)
+
+
+def test_bpe_pair_counts_match_definition(spark, sf_dir):
+    """BPE training iteration 0 (Sennrich et al. 2016): adjacent
+    character-pair frequencies weighted by word count, over the
+    corpus vocabulary."""
+    from reddit_can_bigdata_spark.operators.pretrain import BPE_TOPK_PAIRS
+
+    wc = Counter()
+    for r in _docs(sf_dir).itertuples():
+        wc.update(_toks(r.text))
+    pairs = Counter()
+    for word, cnt in wc.items():
+        for i in range(len(word) - 1):
+            pairs[(word[i], word[i + 1])] += cnt
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOPK_PAIRS]
+
+    got = _run("pretrain_bpe_pair_counts", spark, sf_dir)
+    assert [((r.l, r.r), r.pair_total) for r in got.itertuples()] == want
