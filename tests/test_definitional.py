@@ -1619,3 +1619,350 @@ def test_bpe_pair_counts_match_definition(spark, sf_dir):
 
     got = _run("pretrain_bpe_pair_counts", spark, sf_dir)
     assert [((r.l, r.r), r.pair_total) for r in got.itertuples()] == want
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: diagnostics + curation formulas — Newman modularity,
+# SemDeDup, matryoshka recall, IVF recall@k, LSH precision/recall,
+# temperature token budget, Efraimidis-Spirakis weighted sample,
+# grouped SRS standard error
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_matches_newman_definition(spark, sf_dir):
+    """Newman (2004) weighted modularity of a GIVEN partition:
+    Q = sum_c [w_in(c)/m - (deg(c)/2m)^2]. The partition comes from
+    the engine's label propagation (it carries its own oracle); the
+    Q FORMULA over edges + partition is recomputed from scratch."""
+    from reddit_can_bigdata_spark.operators.graph import _label_prop
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ].drop_duplicates()
+    weights = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        supps = sorted(set(g["l_suppkey"]))
+        for i, u in enumerate(supps):
+            for v in supps[i + 1 :]:
+                weights[(u, v)] += 1
+
+    _, comm = _label_prop(spark, sf_dir)
+    label = {int(r.node): int(r.label) for r in comm.toPandas().itertuples()}
+
+    two_m = 2.0 * sum(weights.values())
+    w_in2 = Counter()
+    deg = Counter()
+    for (u, v), w in weights.items():
+        deg[label[u]] += w
+        deg[label[v]] += w
+        if label[u] == label[v]:
+            w_in2[label[u]] += 2 * w
+    q = sum(
+        w_in2.get(c, 0) / two_m - (dc / two_m) ** 2 for c, dc in deg.items()
+    )
+
+    got = _run("g7c_modularity", spark, sf_dir)
+    assert len(got) == 1
+    assert got.iloc[0]["n_communities"] == len(set(label.values()))
+    assert abs(got.iloc[0]["modularity"] - q) <= 5.01e-7
+    assert -0.5 <= q <= 1.0  # the formula's own range
+
+
+def _codebook():
+    from reddit_can_bigdata_spark.operators.similarity import CODEBOOK_FIXTURE
+
+    return [
+        (int(r.cid), list(r.cv))
+        for r in pd.read_parquet(CODEBOOK_FIXTURE).itertuples()
+    ]
+
+
+def _assign(rows, cents):
+    """Nearest-centroid-by-cosine assignment (tie -> smallest cid)."""
+    out = {}
+    for vid, _, e in rows:
+        out[vid] = max(cents, key=lambda c: (_cos(e, c[1]), -c[0]))[0]
+    return out
+
+
+def test_semantic_dedup_matches_semdedup_rule(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): within each cluster, a vector is
+    dropped when an EARLIER (smaller id) vector has cosine >= tau."""
+    from reddit_can_bigdata_spark.operators.similarity import SEMDEDUP_TAU
+
+    rows = _emb_rows(sf_dir)
+    cents = _codebook()
+    cid = _assign(rows, cents)
+    embs = {vid: e for vid, _, e in rows}
+    by_cluster = {}
+    for vid in embs:
+        by_cluster.setdefault(cid[vid], []).append(vid)
+    dup_stats = {}
+    for vids in by_cluster.values():
+        vids = sorted(vids)
+        for i, b in enumerate(vids):
+            sims = [
+                _cos(embs[a], embs[b])
+                for a in vids[:i]
+                if _cos(embs[a], embs[b]) >= SEMDEDUP_TAU
+            ]
+            if sims:
+                dup_stats[b] = (len(sims), max(sims))
+
+    got = _run("sim_semantic_dedup", spark, sf_dir)
+    assert len(got) == len(rows)
+    n_dropped = 0
+    for r in got.itertuples():
+        assert r.cid == cid[r.vec_id]
+        if r.vec_id in dup_stats:
+            n, mx = dup_stats[r.vec_id]
+            assert not r.kept
+            assert r.n_earlier_dups == n
+            assert abs(r.max_sim_earlier - mx) <= 5.01e-7
+            n_dropped += 1
+        else:
+            assert r.kept and r.n_earlier_dups == 0
+            assert pd.isna(r.max_sim_earlier)
+    assert 0 < n_dropped < len(rows)  # the fixture has near-dups
+
+
+def test_matryoshka_recall_matches_definition(spark, sf_dir):
+    """MRL truncation recall (Kusupati et al. 2022 evaluation):
+    recall@k of prefix-d cosine ranking vs the full-dimension top-k."""
+    from reddit_can_bigdata_spark.operators.similarity import (
+        MRL_DIMS,
+        RECALL_K,
+        RECALL_QUERIES,
+    )
+
+    rows = _emb_rows(sf_dir)
+    queries = {vid: e for vid, _, e in rows if vid < RECALL_QUERIES}
+    corpus = {vid: e for vid, _, e in rows if vid >= RECALL_QUERIES}
+    topk = {}
+    for d in MRL_DIMS:
+        for qid, qv in queries.items():
+            ranked = sorted(
+                corpus,
+                key=lambda v: (-_cos(corpus[v][:d], qv[:d]), v),
+            )[:RECALL_K]
+            topk[(d, qid)] = set(ranked)
+    want = {}
+    for d in MRL_DIMS:
+        overlap = sum(
+            len(topk[(d, qid)] & topk[(MRL_DIMS[-1], qid)])
+            for qid in queries
+        )
+        want[d] = (overlap, overlap / (RECALL_QUERIES * RECALL_K))
+
+    got = _run("sim_matryoshka_recall", spark, sf_dir)
+    assert len(got) == len(MRL_DIMS)
+    for r in got.itertuples():
+        n, rec = want[r.d]
+        assert r.n_overlap == n, r.d
+        assert abs(r.mean_recall_at_k - rec) <= 5.01e-7
+    assert want[MRL_DIMS[-1]][1] == 1.0  # truth vs itself
+
+
+def test_ivf_recall_matches_definition(spark, sf_dir):
+    """Index-quality recall@k: per query, |exact top-k  ∩  single-probe
+    IVF top-k| / k, IVF arm restricted to the query's own cluster."""
+    from reddit_can_bigdata_spark.operators.similarity import (
+        RECALL_K,
+        RECALL_QUERIES,
+    )
+
+    rows = _emb_rows(sf_dir)
+    cents = _codebook()
+    cid = _assign(rows, cents)
+    queries = {vid: e for vid, _, e in rows if vid < RECALL_QUERIES}
+    corpus = {vid: e for vid, _, e in rows if vid >= RECALL_QUERIES}
+    want = {}
+    for qid, qv in queries.items():
+        exact = sorted(corpus, key=lambda v: (-_cos(corpus[v], qv), v))[:RECALL_K]
+        probe = [v for v in corpus if cid[v] == cid[qid]]
+        ivf = sorted(probe, key=lambda v: (-_cos(corpus[v], qv), v))[:RECALL_K]
+        hit = len(set(exact) & set(ivf))
+        want[qid] = (len(exact), len(ivf), hit, hit / RECALL_K)
+
+    got = _run("sim_ivf_recall_at_k", spark, sf_dir)
+    assert len(got) == len(queries)
+    for r in got.itertuples():
+        ne, ni, nh, rec = want[r.qid]
+        assert (r.n_exact, r.n_ivf, r.n_overlap) == (ne, ni, nh)
+        assert abs(r.recall_at_k - rec) <= 5.01e-7
+
+
+def test_lsh_quality_matches_precision_recall_definition(spark, sf_dir):
+    """Precision/recall of the banded-LSH candidate set against exact
+    blocked Jaccard ground truth, both arms recomputed naively from
+    the Broder definitions (the arms' own mirrors live in batch 2)."""
+    from reddit_can_bigdata_spark.operators.dedup import (
+        LSH_QUALITY_TAU,
+        MINHASH_BANDS,
+        MINHASH_K,
+        MINHASH_P,
+        MINHASH_ROWS,
+        NGRAM_DF_BOUND,
+        NGRAM_JACCARD_TAU,
+    )
+
+    sigs, sets = {}, {}
+    for r in _docs(sf_dir).itertuples():
+        w = r.text.split(" ")
+        if len(w) < 3:
+            continue
+        grams = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        sets[r.doc_id] = grams
+        hs = {_h32(g) for g in grams}
+        sigs[r.doc_id] = [
+            min(((2 * i + 1) * h + 7919 * i + 1) % MINHASH_P for h in hs)
+            for i in range(MINHASH_K)
+        ]
+    # LSH arm
+    buckets: dict[tuple, list[int]] = {}
+    for d, sig in sigs.items():
+        for b in range(MINHASH_BANDS):
+            key = (b, tuple(sig[b * MINHASH_ROWS : (b + 1) * MINHASH_ROWS]))
+            buckets.setdefault(key, []).append(d)
+    lsh_pairs = set()
+    for docs in buckets.values():
+        for a in docs:
+            for b in docs:
+                if a < b:
+                    est = (
+                        sum(x == y for x, y in zip(sigs[a], sigs[b]))
+                        / MINHASH_K
+                    )
+                    if est >= LSH_QUALITY_TAU:
+                        lsh_pairs.add((a, b))
+    # exact arm (df-bounded blocking)
+    dfc: Counter = Counter()
+    for s in sets.values():
+        dfc.update(s)
+    rare = {d: {g for g in s if dfc[g] <= NGRAM_DF_BOUND} for d, s in sets.items()}
+    by_shingle: dict[str, list[int]] = {}
+    for d, s in rare.items():
+        for g in s:
+            by_shingle.setdefault(g, []).append(d)
+    exact_pairs = set()
+    for docs in by_shingle.values():
+        for a in docs:
+            for b in docs:
+                if a < b and (a, b) not in exact_pairs:
+                    inter = len(rare[a] & rare[b])
+                    if inter / (len(rare[a]) + len(rare[b]) - inter) >= NGRAM_JACCARD_TAU:
+                        exact_pairs.add((a, b))
+
+    hit = len(lsh_pairs & exact_pairs)
+    got = _run("dedup_lsh_quality", spark, sf_dir)
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["n_exact"], r["n_lsh"], r["n_hit"]) == (
+        len(exact_pairs), len(lsh_pairs), hit,
+    )
+    assert abs(r["precision"] - hit / len(lsh_pairs)) <= 5.01e-7
+    assert abs(r["recall"] - hit / len(exact_pairs)) <= 5.01e-7
+
+
+def test_token_budget_matches_temperature_mixture_definition(spark, sf_dir):
+    """Temperature-weighted mixture realization: per-source budget =
+    floor((T_s^alpha / sum T^alpha) * BUDGET), docs taken in
+    deterministic hash order while the running token count fits."""
+    from reddit_can_bigdata_spark.operators.curation import (
+        MIX_ALPHA_X10,
+        TOKEN_BUDGET,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "source", "text"]
+    ]
+    docs["n_tokens"] = docs["text"].map(lambda t: len(_toks(t)))
+    totals = docs.groupby("source")["n_tokens"].sum()
+    raw_w = {s: float(t) ** (MIX_ALPHA_X10 / 10) for s, t in totals.items()}
+    denom = sum(raw_w.values())
+    budget = {s: math.floor(w / denom * TOKEN_BUDGET) for s, w in raw_w.items()}
+    want = {}
+    for s, g in docs.groupby("source"):
+        recs = sorted(
+            g.itertuples(), key=lambda r: (_h32(str(int(r.doc_id))), r.doc_id)
+        )
+        cum = 0
+        for r in recs:
+            cum += r.n_tokens
+            if cum > budget[s]:
+                break
+            want[r.doc_id] = (s, r.n_tokens, cum)
+
+    got = _run("curate_token_budget", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.doc_id] == (r.source, r.n_tokens, r.cum_tokens)
+    # every source's kept tokens fit its budget
+    kept = {}
+    for s, _, c in want.values():
+        kept[s] = max(kept.get(s, 0), c)
+    for s, c in kept.items():
+        assert c <= budget[s]
+
+
+def test_weighted_sample_matches_efraimidis_spirakis(spark, sf_dir):
+    """A-ES weighted sampling without replacement: key = ln(u)/w with
+    u = (hash + 0.5)/2^32, w = n_chars; global top-k by key."""
+    from reddit_can_bigdata_spark.operators.curation import U32_SPAN, WSAMPLE_K
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "n_chars"]]
+    keys = {}
+    for r in docs.itertuples():
+        u = (_h32(str(int(r.doc_id))) + 0.5) / U32_SPAN
+        keys[int(r.doc_id)] = (math.log(u) / r.n_chars, int(r.n_chars))
+    # the contract sorts on the 6dp-ROUNDED key (stable cutoff rule),
+    # ties -> doc_id
+    want = sorted(
+        keys.items(), key=lambda kv: (-_round6(kv[1][0]), kv[0])
+    )[:WSAMPLE_K]
+
+    got = _run("curate_weighted_sample", spark, sf_dir)
+    assert list(got["doc_id"]) == [d for d, _ in want]
+    for r in got.itertuples():
+        k, nc = keys[r.doc_id]
+        assert r.n_chars == nc
+        assert abs(r.samp_key - k) <= 5.01e-7
+
+
+def test_group_ci_matches_srs_estimator(spark, sf_dir):
+    """Per-group finite-population SRS total + standard error from the
+    1-in-16 hash sample; groups with n_sample < 2 are withheld."""
+    from reddit_can_bigdata_spark.operators.approx import SAMPLE_MOD
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_id", "event_type", "value"]
+    ]
+    q4 = Decimal("0.0001")
+    want = {}
+    for et, g in ev.groupby("event_type"):
+        n_total = len(g)
+        s = Decimal(0)
+        s2 = Decimal(0)
+        n_sample = 0
+        for r in g.itertuples():
+            if _h32(str(int(r.event_id))) % SAMPLE_MOD == 0:
+                v = Decimal(repr(float(r.value))).quantize(
+                    q4, rounding=ROUND_HALF_UP
+                )
+                n_sample += 1
+                s += v
+                s2 += v * v
+        if n_sample >= 2:
+            sf_, s2f = float(s), float(s2)
+            est = sf_ / n_sample * n_total
+            var = (s2f - sf_ * sf_ / n_sample) / (n_sample - 1)
+            se = math.sqrt(var / n_sample * (1.0 - n_sample / n_total)) * n_total
+            want[et] = (n_total, n_sample, est, se)
+
+    got = _run("approx_group_value_ci", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        nt, ns, est, se = want[r.event_type]
+        assert (r.n_total, r.n_sample) == (nt, ns)
+        assert abs(r.est_total - est) <= 0.00501
+        assert abs(r.se_total - se) <= 0.00501
