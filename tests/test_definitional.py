@@ -1966,3 +1966,334 @@ def test_group_ci_matches_srs_estimator(spark, sf_dir):
         assert (r.n_total, r.n_sample) == (nt, ns)
         assert abs(r.est_total - est) <= 0.00501
         assert abs(r.se_total - se) <= 0.00501
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: the pretraining filter chain + text hygiene — containment,
+# n-gram decontamination, Gopher rule filters, the composite keep
+# decision, temperature mix, stratified split, chunking, quality
+# score, token stats, PII redaction
+# ---------------------------------------------------------------------------
+
+
+def _distinct_grams(toks: list[str], n: int) -> list[str]:
+    if len(toks) < n:
+        return []
+    seen = []
+    have = set()
+    for i in range(len(toks) - n + 1):
+        g = " ".join(toks[i : i + n])
+        if g not in have:
+            have.add(g)
+            seen.append(g)
+    return seen
+
+
+def test_eval_containment_matches_one_sided_jaccard(spark, sf_dir):
+    """Lee et al. 2022 / GPT-3 App. C containment: fraction of the
+    eval doc's distinct n-grams covered by the corpus doc."""
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        CONTAIN_N,
+        CONTAIN_THRESHOLD,
+        DECONTAM_EVAL_MOD,
+    )
+
+    grams = {
+        r.doc_id: set(_distinct_grams(_toks(r.text), CONTAIN_N))
+        for r in _docs(sf_dir).itertuples()
+    }
+    evals = {d: g for d, g in grams.items() if d % DECONTAM_EVAL_MOD == 0}
+    want = {}
+    for d, g in grams.items():
+        if d in evals:
+            continue
+        for e, eg in evals.items():
+            if not eg:
+                continue
+            common = len(g & eg)
+            if common and common / len(eg) >= CONTAIN_THRESHOLD:
+                want[(d, e)] = (common, len(eg), common / len(eg))
+
+    got = _run("pretrain_eval_containment", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        c, ne, ratio = want[(r.doc_id, r.eval_id)]
+        assert (r.n_common, r.n_eval) == (c, ne)
+        assert abs(r.containment - ratio) <= 5.01e-7
+    assert len(want) > 0  # the synthetic corpus must exercise the path
+
+
+def test_decontaminate_matches_ngram_collision_definition(spark, sf_dir):
+    """Gopher App. A n-gram decontamination: a training doc is
+    contaminated iff it shares any n-token shingle with the eval set."""
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        DECONTAM_EVAL_MOD,
+        DECONTAM_N,
+    )
+
+    grams = {
+        r.doc_id: _distinct_grams(_toks(r.text), DECONTAM_N)
+        for r in _docs(sf_dir).itertuples()
+    }
+    eval_grams = set()
+    for d, g in grams.items():
+        if d % DECONTAM_EVAL_MOD == 0:
+            eval_grams.update(g)
+    want = {}
+    for d, g in grams.items():
+        if d % DECONTAM_EVAL_MOD == 0:
+            continue
+        coll = sum(1 for x in g if x in eval_grams)
+        want[d] = (len(g), coll, coll >= 1)
+
+    got = _run("pretrain_decontaminate", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        ng, coll, cont = want[r.doc_id]
+        assert (r.n_grams, r.n_collisions, bool(r.contaminated)) == (
+            ng, coll, cont,
+        )
+
+
+def _quality_rules_naive(sf_dir: str):
+    from reddit_can_bigdata_spark.operators.pretrain import _STOPWORDS
+
+    out = {}
+    for r in _docs(sf_dir).itertuples():
+        toks = _toks(r.text)
+        n = len(toks)
+        sum_len = len(r.text.replace(" ", ""))
+        stop = sum(1 for t in toks if t in _STOPWORDS)
+        alpha = sum(1 for t in toks if re.fullmatch(r"[a-z]+", t))
+        ok_len = 10 <= n <= 1000
+        ok_mwl = 3 * n <= sum_len <= 10 * n
+        ok_stop = stop >= 1
+        ok_alpha = 5 * alpha >= 4 * n
+        out[r.doc_id] = (
+            n, ok_len, ok_mwl, ok_stop, ok_alpha,
+            ok_len and ok_mwl and ok_stop and ok_alpha,
+        )
+    return out
+
+
+def test_quality_rules_match_gopher_definition(spark, sf_dir):
+    want = _quality_rules_naive(sf_dir)
+    got = _run("pretrain_quality_rules", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.doc_id] == (
+            r.n_tokens,
+            bool(r.ok_len),
+            bool(r.ok_mean_word_len),
+            bool(r.ok_stopwords),
+            bool(r.ok_alpha_ratio),
+            bool(r.keep),
+        ), r.doc_id
+    # both verdicts must occur or the rule set is vacuous here
+    keeps = {v[5] for v in want.values()}
+    assert keeps == {True, False}
+
+
+def _repetition_naive(sf_dir: str):
+    from reddit_can_bigdata_spark.operators.pretrain import REPEAT_N
+
+    out = {}
+    for r in _docs(sf_dir).itertuples():
+        toks = _toks(r.text)
+        if len(toks) < REPEAT_N:
+            continue
+        all_grams = [
+            " ".join(toks[i : i + REPEAT_N])
+            for i in range(len(toks) - REPEAT_N + 1)
+        ]
+        n, d = len(all_grams), len(set(all_grams))
+        out[r.doc_id] = (n, d, (n - d) / n, 5 * (n - d) <= n)
+    return out
+
+
+def test_repetition_matches_dup_gram_definition(spark, sf_dir):
+    want = _repetition_naive(sf_dir)
+    got = _run("pretrain_repetition", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, d, ratio, keep = want[r.doc_id]
+        assert (r.n_3grams, r.n_distinct_3grams, bool(r.keep)) == (n, d, keep)
+        assert abs(r.dup_ratio - ratio) <= 5.01e-7
+
+
+def test_keep_decision_matches_composed_filters(spark, sf_dir):
+    """The final keep = quality AND repetition (vacuous-true for
+    short docs) AND not-contaminated AND not-in-eval, recomposed from
+    the three naive filters above."""
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        DECONTAM_EVAL_MOD,
+        DECONTAM_N,
+    )
+
+    qual = {d: v[5] for d, v in _quality_rules_naive(sf_dir).items()}
+    rep = {d: v[3] for d, v in _repetition_naive(sf_dir).items()}
+    grams = {
+        r.doc_id: set(_distinct_grams(_toks(r.text), DECONTAM_N))
+        for r in _docs(sf_dir).itertuples()
+    }
+    eval_grams = set()
+    for d, g in grams.items():
+        if d % DECONTAM_EVAL_MOD == 0:
+            eval_grams.update(g)
+
+    got = _run("pretrain_keep_decision", spark, sf_dir)
+    assert len(got) == len(qual)
+    n_kept = 0
+    for r in got.itertuples():
+        in_eval = r.doc_id % DECONTAM_EVAL_MOD == 0
+        ok_rep = rep.get(r.doc_id, True)
+        not_cont = in_eval or not (grams[r.doc_id] & eval_grams)
+        keep = qual[r.doc_id] and ok_rep and not_cont and not in_eval
+        assert bool(r.ok_quality) == qual[r.doc_id], r.doc_id
+        assert bool(r.ok_repetition) == ok_rep, r.doc_id
+        assert bool(r.not_contaminated) == not_cont, r.doc_id
+        assert bool(r.in_eval) == in_eval, r.doc_id
+        assert bool(r.keep) == keep, r.doc_id
+        n_kept += keep
+    assert 0 < n_kept < len(qual)
+
+
+def test_source_mix_matches_temperature_definition(spark, sf_dir):
+    """mT5/XLM-R temperature sampling: weight_s ∝ (token count)^0.7."""
+    from reddit_can_bigdata_spark.operators.curation import MIX_ALPHA_X10
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["source", "text"]]
+    docs["n_tokens"] = docs["text"].map(lambda t: len(_toks(t)))
+    agg = docs.groupby("source").agg(n_docs=("text", "size"), n_tokens=("n_tokens", "sum"))
+    raw = {s: float(r.n_tokens) ** (MIX_ALPHA_X10 / 10) for s, r in agg.iterrows()}
+    denom = sum(raw.values())
+
+    got = _run("curate_source_mix", spark, sf_dir)
+    assert len(got) == len(agg)
+    for r in got.itertuples():
+        assert r.n_docs == agg.loc[r.source, "n_docs"]
+        assert r.n_tokens == agg.loc[r.source, "n_tokens"]
+        assert abs(r.mix_weight - raw[r.source] / denom) <= 5.01e-7
+    # temperature flattening: every source's weight sits between its
+    # raw token share and the uniform share (the point of alpha < 1)
+    total = float(agg["n_tokens"].sum())
+    for r in got.itertuples():
+        share = agg.loc[r.source, "n_tokens"] / total
+        lo, hi = sorted((share, 1.0 / len(agg)))
+        assert lo - 1e-6 <= r.mix_weight <= hi + 1e-6
+
+
+def test_stratified_split_matches_hash_rule(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.curation import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "source"]]
+    want = Counter()
+    for r in docs.itertuples():
+        b = _h32(f"split:{int(r.doc_id)}") % 100
+        split = "train" if b < SPLIT_TRAIN_LT else ("val" if b < SPLIT_VAL_LT else "test")
+        want[(r.source, split)] += 1
+    per_src = Counter()
+    for (s, _), n in want.items():
+        per_src[s] += n
+
+    got = _run("curate_stratified_split", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n = want[(r.source, r.split)]
+        assert r.n_docs == n
+        assert abs(r.frac - n / per_src[r.source]) <= 5.01e-7
+
+
+def test_doc_chunks_match_window_stride_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.pretrain import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    want = {}
+    for r in _docs(sf_dir).itertuples():
+        toks = _toks(r.text)
+        if not toks:
+            continue
+        for start in range(0, len(toks), CHUNK_STRIDE):
+            want[(r.doc_id, start // CHUNK_STRIDE)] = (
+                start,
+                min(CHUNK_TOKENS, len(toks) - start),
+                " ".join(toks[start : start + CHUNK_TOKENS]),
+            )
+
+    got = _run("pretrain_doc_chunks", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        s, n, text = want[(r.doc_id, r.chunk_id)]
+        assert (r.chunk_start, r.n_chunk_tokens, r.chunk_text) == (s, n, text)
+
+
+def test_quality_score_matches_ratio_definition(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    want = {}
+    for r in docs.itertuples():
+        w = r.text.split(" ")  # raw split (empties kept) per contract
+        n = len(w)
+        n_long = sum(1 for t in w if len(t) > 3)
+        ratio = n_long / n
+        want[r.doc_id] = (
+            n,
+            len(r.text) / n,
+            ratio,
+            "keep" if n >= 50 and ratio >= 0.3 else "drop",
+        )
+
+    got = _run("text_quality_score", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, avg, ratio, bucket = want[r.doc_id]
+        assert r.n_tokens == n
+        assert abs(r.avg_token_len - avg) <= 5.01e-7
+        assert abs(r.long_token_ratio - ratio) <= 5.01e-7
+        assert r.quality_bucket == bucket
+
+
+def test_token_stats_match_raw_split_definition(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "source", "text"]
+    ]
+    want = {}
+    for s, g in docs.groupby("source"):
+        toks = []
+        for t in g["text"]:
+            toks.extend(t.split(" "))  # raw split per contract
+        want[s] = (len(toks), len(set(toks)), len(toks) / g["doc_id"].nunique())
+
+    got = _run("text_token_stats", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        total, distinct, avg = want[r.source]
+        assert (r.total_tokens, r.distinct_tokens) == (total, distinct)
+        assert abs(r.avg_tokens_per_doc - avg) <= 5.01e-7
+
+
+def test_pii_redact_matches_re_definition(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.textstats import (
+        _PII_EMAIL,
+        _PII_PHONE,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    want = {}
+    for r in docs.itertuples():
+        n_e = len(re.findall(_PII_EMAIL, r.text))
+        n_p = len(re.findall(_PII_PHONE, r.text))
+        red = re.sub(_PII_PHONE, "<PHONE>", re.sub(_PII_EMAIL, "<EMAIL>", r.text))
+        want[r.doc_id] = (n_e, n_p, n_e + n_p > 0, _h32(red))
+    # the synthetic corpus has no PII; the mirror must agree on the
+    # negative AND on the identity hash of the untouched text
+    got = _run("text_pii_redact", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        ne, np_, had, h = want[r.doc_id]
+        assert (r.n_emails, r.n_phones, bool(r.had_pii)) == (ne, np_, had)
+        assert r.redacted_hash == h
