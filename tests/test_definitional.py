@@ -2297,3 +2297,328 @@ def test_pii_redact_matches_re_definition(spark, sf_dir):
         ne, np_, had, h = want[r.doc_id]
         assert (r.n_emails, r.n_phones, bool(r.had_pii)) == (ne, np_, had)
         assert r.redacted_hash == h
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: layout + warehouse semantics — shard manifest, ustar tar
+# sizing, exact/incremental dedup, CDC snapshot, NTILE, RANGE frames,
+# lag, SCD2 build + point-in-time join, interval join
+# ---------------------------------------------------------------------------
+
+
+def test_shard_manifest_matches_hash_rule(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.curation import N_SHARDS
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    want = {}
+    for r in docs.itertuples():
+        sid = _h32(f"shard:{int(r.doc_id)}") % N_SHARDS
+        n, tok, ch, lo, hi = want.get(sid, (0, 0, 0, None, None))
+        want[sid] = (
+            n + 1,
+            tok + len(_toks(r.text)),
+            ch + len(r.text),
+            r.doc_id if lo is None else min(lo, r.doc_id),
+            r.doc_id if hi is None else max(hi, r.doc_id),
+        )
+
+    got = _run("curate_shard_manifest", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.shard_id] == (
+            r.n_docs, r.n_tokens, r.n_chars, r.min_doc_id, r.max_doc_id,
+        )
+
+
+def test_tar_shard_sizes_match_ustar_arithmetic(spark, sf_dir):
+    """POSIX ustar layout: 512-byte header + content padded to 512
+    per entry, 1024-byte end-of-archive, whole stream padded to the
+    10240-byte blocking factor."""
+    from reddit_can_bigdata_spark.operators.curation import N_SHARDS
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    want = {}
+    for r in docs.itertuples():
+        if r.text is None:
+            continue
+        sid = _h32(f"shard:{int(r.doc_id)}") % N_SHARDS
+        size = len(str(r.text).encode("utf-8"))
+        n, pay, body = want.get(sid, (0, 0, 0))
+        want[sid] = (n + 1, pay + size, body + 512 + -(-size // 512) * 512)
+    for sid, (n, pay, body) in want.items():
+        total = body + 1024
+        want[sid] = (n, pay, -(-total // 10240) * 10240)
+
+    got = _run("curate_pack_tar_shards", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.shard_id] == (r.n_entries, r.payload_bytes, r.tar_size)
+
+
+def test_dedup_exact_matches_group_by_content(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    want = {}
+    for r in docs.itertuples():
+        h = hashlib.md5(r.text.encode("utf-8")).hexdigest()
+        c, n = want.get(h, (None, 0))
+        want[h] = (r.doc_id if c is None else min(c, r.doc_id), n + 1)
+
+    got = _run("dedup_exact", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.content_hash] == (r.canonical_id, r.n_copies)
+    # conservation: every document lands in exactly one group (real
+    # duplicate groups exist at sf0.01+; sf0.001's corpus is all-unique)
+    assert sum(n for _, n in want.values()) == len(docs)
+
+
+def test_incremental_dedup_matches_batch_rules(spark, sf_dir):
+    """Incremental ingest decision: exact_dup (identical text already
+    in the corpus) wins over near_dup (shares an LSH band with a
+    corpus doc at est jaccard >= 0.5), else novel; match = smallest
+    matching corpus doc."""
+    from reddit_can_bigdata_spark.operators.dedup import (
+        CLUSTER_JACCARD,
+        INCR_MOD,
+        MINHASH_BANDS,
+        MINHASH_K,
+        MINHASH_P,
+        MINHASH_ROWS,
+    )
+
+    docs = {r.doc_id: r.text for r in _docs(sf_dir).itertuples()}
+    sigs = {}
+    for d, text in docs.items():
+        w = text.split(" ")
+        if len(w) < 3:
+            continue
+        hs = {_h32(" ".join(w[i : i + 3])) for i in range(len(w) - 2)}
+        sigs[d] = [
+            min(((2 * i + 1) * h + 7919 * i + 1) % MINHASH_P for h in hs)
+            for i in range(MINHASH_K)
+        ]
+    buckets: dict[tuple, list[int]] = {}
+    for d, sig in sigs.items():
+        for b in range(MINHASH_BANDS):
+            buckets.setdefault(
+                (b, tuple(sig[b * MINHASH_ROWS : (b + 1) * MINHASH_ROWS])), []
+            ).append(d)
+    near: dict[int, int] = {}
+    for ds in buckets.values():
+        for a in ds:
+            for b in ds:
+                if a == b:
+                    continue
+                new, corp = (a, b) if a % INCR_MOD == 0 else (b, a)
+                if new % INCR_MOD != 0 or corp % INCR_MOD == 0:
+                    continue
+                est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / MINHASH_K
+                if est >= CLUSTER_JACCARD:
+                    near[new] = min(near.get(new, corp), corp)
+    by_text: dict[str, int] = {}
+    for d, text in docs.items():
+        if d % INCR_MOD != 0:
+            by_text[text] = min(by_text.get(text, d), d)
+    want = {}
+    for d, text in docs.items():
+        if d % INCR_MOD != 0:
+            continue
+        if text in by_text:
+            want[d] = ("exact_dup", by_text[text])
+        elif d in near:
+            want[d] = ("near_dup", near[d])
+        else:
+            want[d] = ("novel", None)
+
+    got = _run("dedup_incremental_batch", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        status, match = want[r.doc_id]
+        assert r.status == status, r.doc_id
+        assert (None if pd.isna(r.match_id) else int(r.match_id)) == match
+    assert {s for s, _ in want.values()} >= {"novel"}  # non-degenerate
+
+
+def test_latest_event_matches_cdc_snapshot_rule(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "event_id", "event_type", "ts"]
+    ]
+    want = {}
+    for user, g in ev.groupby("user_id"):
+        top = max(g.itertuples(), key=lambda r: (r.ts, r.event_id))
+        want[user] = (top.event_id, top.event_type)
+
+    got = _run("latest_event_per_user", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.user_id] == (r.latest_event_id, r.latest_type)
+
+
+def test_ntile_matches_published_bucket_rule(spark, sf_dir):
+    """SQL NTILE(k): rows in order split into k buckets; the first
+    (n mod k) buckets get ceil(n/k) rows, the rest floor(n/k)."""
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_custkey", "o_totalprice"]]
+    q4 = Decimal("0.0001")
+    spend = {}
+    for r in o.itertuples():
+        spend[r.o_custkey] = spend.get(r.o_custkey, Decimal(0)) + Decimal(
+            repr(float(r.o_totalprice))
+        ).quantize(q4, rounding=ROUND_HALF_UP)
+    ordered = sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))
+    n, k = len(ordered), 4
+    base, extra = divmod(n, k)
+    want = {}
+    pos = 0
+    for tile in range(1, k + 1):
+        size = base + (1 if tile <= extra else 0)
+        chunk = ordered[pos : pos + size]
+        pos += size
+        vals = [v for _, v in chunk]
+        want[tile] = (
+            len(chunk),
+            float(min(vals)),
+            float(max(vals)),
+            float(sum(vals)),
+        )
+
+    got = _run("w_ntile_customer_quartiles", spark, sf_dir)
+    assert len(got) == k
+    for r in got.itertuples():
+        nc, lo, hi, tot = want[r.quartile]
+        assert r.n_customers == nc
+        assert (r.min_spend, r.max_spend, r.total_spend) == (lo, hi, tot)
+
+
+def test_rolling_7d_matches_range_frame_definition(spark, sf_dir):
+    """RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over day numbers:
+    gap days shrink the window (the rows-frame bug this query
+    documents)."""
+    import datetime as dt
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderdate", "o_totalprice"]]
+    q4 = Decimal("0.0001")
+    daily = {}
+    for r in o.itertuples():
+        d = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        daily[d] = daily.get(d, Decimal(0)) + Decimal(
+            repr(float(r.o_totalprice))
+        ).quantize(q4, rounding=ROUND_HALF_UP)
+    epoch = dt.date(1970, 1, 1)
+    by_num = {(d - epoch).days: v for d, v in daily.items()}
+    want = {}
+    for d, v in daily.items():
+        num = (d - epoch).days
+        frame = [by_num[x] for x in range(num - 6, num + 1) if x in by_num]
+        want[str(d)] = (float(v), float(sum(frame)), len(frame))
+
+    got = _run("w_rolling_7d_revenue", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        dv, roll, cnt = want[r.day]
+        assert (r.day_revenue, r.rolling_7d_revenue, r.days_in_window) == (
+            dv, roll, cnt,
+        )
+    assert any(v[2] < 7 for v in want.values())  # leading partial frames
+
+
+def test_lag_daily_change_matches_definition(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderdate"]].dropna()
+    days = Counter(str(d.date() if hasattr(d, "date") else d) for d in o["o_orderdate"])
+    ordered = sorted(days)
+    want = {}
+    for i, d in enumerate(ordered):
+        prev = days[ordered[i - 1]] if i else None
+        want[d] = (days[d], None if prev is None else days[d] - prev)
+
+    got = _run("w_lag_daily_change", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        cnt, dod = want[r.order_day]
+        assert r.cnt == cnt
+        assert (None if pd.isna(r.day_over_day) else int(r.day_over_day)) == dod
+
+
+def _scd2_naive(sf_dir: str):
+    """SCD2 intervals per user from the (ts, event_id)-ordered change
+    stream: a version opens at the first row or when event_type
+    changes (null-safe); [valid_from, valid_to) tiles the history."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "event_id", "event_type", "ts"]
+    ].dropna(subset=["ts"])
+    ev["tus"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    out = {}
+    for user, g in ev.groupby("user_id"):
+        recs = sorted(g.itertuples(), key=lambda r: (r.tus, r.event_id))
+        versions = []
+        prev_type = object()  # sentinel != any value incl. None
+        for r in recs:
+            if r.event_type != prev_type:
+                versions.append([r.event_type, r.tus, None])
+                prev_type = r.event_type
+        for i in range(len(versions) - 1):
+            versions[i][2] = versions[i + 1][1]
+        out[user] = versions
+    return out
+
+
+def test_scd2_build_matches_interval_definition(spark, sf_dir):
+    want = _scd2_naive(sf_dir)
+    got = _run("scd2_user_event_type", spark, sf_dir)
+    assert len(got) == sum(len(v) for v in want.values())
+    for r in got.itertuples():
+        et, vf, vt = want[r.user_id][r.version - 1]
+        assert r.event_type == et, (r.user_id, r.version)
+        assert r.valid_from_us == vf
+        assert (None if pd.isna(r.valid_to_us) else int(r.valid_to_us)) == vt
+        assert bool(r.is_current) == (vt is None)
+    # versions tile: some user must have >1 version for a real test
+    assert any(len(v) > 1 for v in want.values())
+
+
+def test_scd2_point_in_time_join_matches_as_of_semantics(spark, sf_dir):
+    dim = _scd2_naive(sf_dir)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_id", "user_id", "event_type", "ts"]
+    ].dropna(subset=["ts"])
+    ev["tus"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    want = {}
+    for r in ev.itertuples():
+        for ver, (et, vf, vt) in enumerate(dim[r.user_id], start=1):
+            if r.tus >= vf and (vt is None or r.tus < vt):
+                want[r.event_id] = (r.user_id, ver, et == r.event_type)
+                break
+
+    got = _run("scd2_point_in_time_join", spark, sf_dir)
+    assert len(got) == len(want)  # the tiling gives exactly one version
+    for r in got.itertuples():
+        assert want[r.event_id] == (r.user_id, r.version, bool(r.type_matches))
+    assert all(v[2] for v in want.values())  # self-consistency invariant
+
+
+def test_range_join_matches_interval_containment(spark, sf_dir):
+    from reddit_can_bigdata_spark.operators.timeseries import SESSION_GAP_US
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_id", "user_id", "ts"]
+    ].dropna(subset=["ts"])
+    ev["tus"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    want = {}
+    for user, g in ev.groupby("user_id"):
+        recs = sorted(g.itertuples(), key=lambda r: (r.tus, r.event_id))
+        sessions = []  # [start, end]
+        prev = None
+        for r in recs:
+            if prev is None or r.tus - prev > SESSION_GAP_US:
+                sessions.append([r.tus, r.tus])
+            else:
+                sessions[-1][1] = r.tus
+            prev = r.tus
+        for r in recs:
+            matches = [s for s, e in sessions if s <= r.tus <= e]
+            assert len(matches) == 1  # sessions tile the user's events
+            want[r.event_id] = (user, matches[0])
+
+    got = _run("range_join_sessions", spark, sf_dir)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[r.event_id] == (r.user_id, r.session_start_us)
