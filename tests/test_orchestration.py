@@ -114,12 +114,15 @@ def test_run_pipeline_ml_gate_skips_on_small_input(spark, sf_dir, tmp_path):
 def test_pipeline_e2e_registered_as_single_rep_bench():
     """The whole-DAG query is the bench unit for the reference's only
     published envelope (stage timeouts); one rep per bench run is the
-    honest wall number, and the driver check is rows-only (it trains a
-    Spark-ML model, so no SQL oracle can mirror it)."""
+    honest wall number. Round 8: the report row gained an exact DuckDB
+    oracle (the row is deterministic — counts, branch CASEs, coverage,
+    LEAST(20, nodes)) so the registry carries zero no_oracle rows."""
     from reddit_can_bigdata_spark.registry import REGISTRY, bench_queries
 
     spec = REGISTRY["pipeline_e2e"]
-    assert spec.bench and spec.bench_reps == 1 and spec.oracle is None
+    assert spec.bench and spec.bench_reps == 1 and spec.oracle is not None
+    assert spec.oracle_max_sf == 0.01  # embeds exact-closeness oracle
+    assert "sentiment_results" in spec.oracle and "network_users" in spec.oracle
     assert "pipeline_e2e" in bench_queries()
     # bench.py's rep clamp: harness default of 3 collapses to 1 here
     reps = 3
