@@ -1,0 +1,335 @@
+"""Dashboard serving catalog: the reference UI's page dispatch and
+interactive widgets as an engine-side, typed query catalog.
+
+Reference surface: `dashboard/dashboard.py:172-182` (sidebar radio over
+five pages), `:776-801` (Posts & Topics widgets — subreddit selectbox,
+min-score slider, sort-mode selectbox), `:738-763` (Sentiments page
+per-label sample tabs). The reference renders each page from whole-
+collection pandas reloads; here each page is a named group of the
+engine's registered (and externally oracled) queries plus typed
+parameters, so a serving layer can render the same five pages by
+calling `page_queries(...)` — no pandas, no full reloads, every
+DataFrame still plans through Catalyst with pushdown intact.
+
+Parameter→column mapping follows the engine-wide table convention
+(``documents`` plays posts, ``events`` plays comments): the subreddit
+selectbox binds to ``documents.source``, the score slider to
+``documents.n_chars`` (documents carry no engagement score; length is
+the deterministic stand-in, as in f6), the sort modes map
+Score→n_chars, Date→doc_id (ingest order), Commentaires→word count
+(computed from text, the engagement analog the corpus supports).
+
+Fixed-parameter variants of each builder are registered as oracle
+queries (``dash_*``) so the parameterized paths themselves are
+hash-checked against DuckDB — the widgets only change literals, never
+the plan shape, so the fixed-point check covers the family.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from reddit_can_bigdata_spark.operators.common import tables
+from reddit_can_bigdata_spark.registry import REGISTRY, register
+
+# ---------------------------------------------------------------------------
+# Typed page/widget catalog (`dashboard.py:172-182` sidebar dispatch)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Widget:
+    """One interactive control and the column it binds to."""
+
+    name: str
+    kind: str  # "select" | "min_slider" | "sort" | "date_range"
+    column: str
+    choices: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class Page:
+    """One sidebar page: its registered queries + typed parameters."""
+
+    title: str
+    ref: str  # reference file:line this page renders
+    queries: tuple[str, ...]  # names in registry.REGISTRY
+    widgets: tuple[Widget, ...] = field(default_factory=tuple)
+
+
+PAGES: dict[str, Page] = {
+    "home": Page(
+        title="Accueil",
+        ref="dashboard/dashboard.py:211-291",
+        queries=(
+            "a7_table_counts",
+            "pipeline_gate_report",
+            "a3_daily_timeline",
+            "a2_value_counts",
+        ),
+    ),
+    "network": Page(
+        title="Réseau Social",
+        ref="dashboard/dashboard.py:293-657",
+        queries=(
+            "g8_graph_metadata",
+            "g2_degree_centrality",
+            "g6_pagerank",
+            "g7_connected_components",
+            "g7_label_propagation",
+            "influencer_composite_top20",
+            "w2_influencer_ranking",
+        ),
+    ),
+    "sentiments": Page(
+        title="Sentiments",
+        ref="dashboard/dashboard.py:659-765",
+        queries=(
+            "f13_lexicon_sentiment_distribution",
+            "f13c_vader_join_path",
+            "j4_agreement_rate",
+            "p10_divergence_filter",
+            "dash_sentiment_samples",
+        ),
+        widgets=(
+            Widget(
+                "sentiment",
+                "select",
+                "vader_label",
+                choices=("positive", "neutral", "negative"),
+            ),
+        ),
+    ),
+    "posts": Page(
+        title="Posts & Topics",
+        ref="dashboard/dashboard.py:767-821",
+        queries=(
+            "p5_keyword_filter",
+            "p7_p8_interactive_filter",
+            "w1_global_topk",
+            "f14_title_preview",
+            "dash_posts_explorer",
+        ),
+        widgets=(
+            Widget("subreddit", "select", "source"),
+            Widget("min_score", "min_slider", "n_chars"),
+            Widget(
+                "sort_by", "sort", "", choices=("score", "date", "comments")
+            ),
+        ),
+    ),
+    "stats": Page(
+        title="Statistiques",
+        ref="dashboard/dashboard.py:823-end",
+        queries=(
+            "a1_group_count",
+            "a4_multi_agg_rollup",
+            "a13_user_activity_rollup",
+            "p12_date_range_filter",
+            "pivot_event_type_by_day",
+            "dash_stats_timeline",
+        ),
+        widgets=(Widget("date_range", "date_range", "ts"),),
+    ),
+}
+
+
+def page_queries(
+    spark: SparkSession, sf_dir: str, page: str
+) -> dict[str, DataFrame]:
+    """All DataFrames a page renders, keyed by registered query name —
+    the engine-side equivalent of the reference's per-page
+    ``load_all_data()`` + pandas filtering, except each frame is a lazy
+    Catalyst plan (a server materializes only what the widget state
+    needs)."""
+    spec = PAGES[page]
+    return {name: REGISTRY[name].fn(spark, sf_dir) for name in spec.queries}
+
+
+# ---------------------------------------------------------------------------
+# Parameterized builders (the widget-bound queries)
+# ---------------------------------------------------------------------------
+
+_SORT_MODES = ("score", "date", "comments")
+
+
+def posts_explorer(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    subreddit: str | None = None,
+    min_score: int = 0,
+    sort_by: str = "score",
+    limit: int = 15,
+) -> DataFrame:
+    """The Posts & Topics interactive block (`dashboard.py:776-801`):
+    optional subreddit equality, min-score floor, one of three sort
+    modes, head-``limit``. All three predicates stay JVM-side; the
+    equality + range push to parquet row-group pruning, and the top-k
+    compiles to TakeOrderedAndProject (no global sort at 100 TB)."""
+    if sort_by not in _SORT_MODES:
+        raise ValueError(f"sort_by must be one of {_SORT_MODES}, got {sort_by!r}")
+    docs = tables(spark, sf_dir)["documents"]
+    if subreddit is not None:
+        docs = docs.where(F.col("source") == subreddit)
+    docs = docs.where(F.col("n_chars") >= min_score)
+    docs = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("word_count"),
+        F.substring("text", 1, 80).alias("title_preview"),
+    )
+    key = {
+        "score": F.col("n_chars"),
+        "date": F.col("doc_id"),
+        "comments": F.col("word_count"),
+    }[sort_by]
+    # doc_id tiebreak: deterministic page under the driver's hash compare
+    return docs.orderBy(key.desc(), F.col("doc_id")).limit(limit)
+
+
+def sentiment_samples(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    sentiment: str = "positive",
+    n: int = 5,
+) -> DataFrame:
+    """The Sentiments page per-label sample tabs (`dashboard.py:738-763`
+    ``df_sentiments[df_sentiments[col] == sentiment].head(5)``), made
+    deterministic: strongest compound first, doc_id tiebreak. Labels
+    come from the engine's exact VADER join path (broadcast lexicon —
+    the 100 TB shape), so the whole builder is oracle-checkable."""
+    from reddit_can_bigdata_spark.functions.vader import (
+        vader_compound_join,
+        vader_label_expr,
+    )
+
+    docs = tables(spark, sf_dir)["documents"]
+    scored = vader_compound_join(docs).select(
+        "doc_id",
+        (F.round("compound", 6) + F.lit(0.0)).alias("compound"),
+    )
+    scored = scored.withColumn("vader_label", vader_label_expr(F.col("compound")))
+    picked = scored.where(F.col("vader_label") == sentiment)
+    strength = F.abs(F.col("compound"))
+    return picked.orderBy(strength.desc(), F.col("doc_id")).limit(n)
+
+
+def stats_timeline(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """The Statistiques page activity timeline bounded by a date-range
+    widget: events in [start, end) per day per type. The range
+    predicate is the partition-pruning shape at 100 TB (P12 with
+    caller-supplied bounds)."""
+    ev = tables(spark, sf_dir)["events"]
+    return (
+        ev.where(
+            (F.col("ts") >= F.lit(start).cast("timestamp"))
+            & (F.col("ts") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-parameter oracle registrations: the widget families hash-checked
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dash_posts_explorer",
+    oracle="""
+    WITH filtered AS (
+      SELECT doc_id, source, n_chars,
+             length(regexp_split_to_array(trim(text), '\\s+')) AS word_count,
+             substring(text, 1, 80) AS title_preview
+      FROM documents
+      WHERE source = 'src7' AND n_chars >= 120
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      FROM filtered
+    )
+    SELECT doc_id, source, n_chars, CAST(word_count AS INT) AS word_count,
+           title_preview
+    FROM ranked WHERE rn <= 15 ORDER BY rn
+    """,
+    tags=("dashboard", "filter", "topk"),
+)
+def dash_posts_explorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`posts_explorer` at a fixed widget state (subreddit='src7',
+    min_score=120, sort=score, 15 rows) — the Posts & Topics page's
+    parameterized query family, externally hash-checked."""
+    return posts_explorer(
+        spark, sf_dir, subreddit="src7", min_score=120, sort_by="score", limit=15
+    )
+
+
+def _sentiment_samples_oracle() -> str:
+    from reddit_can_bigdata_spark.functions.vader import vader_sql
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, round({vader_sql('text')}, 6) + 0 AS compound
+      FROM documents
+    ),
+    labeled AS (
+      SELECT doc_id, compound,
+             CASE WHEN compound >= 0.05 THEN 'positive'
+                  WHEN compound <= -0.05 THEN 'negative'
+                  ELSE 'neutral' END AS vader_label
+      FROM scored
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY abs(compound) DESC, doc_id) AS rn
+      FROM labeled WHERE vader_label = 'positive'
+    )
+    SELECT doc_id, compound, vader_label FROM ranked WHERE rn <= 5
+    """
+
+
+@register(
+    "dash_sentiment_samples",
+    oracle=_sentiment_samples_oracle(),
+    tags=("dashboard", "sentiment", "vader", "topk"),
+)
+def dash_sentiment_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sentiment_samples` at the fixed widget state the reference's
+    first tab shows (sentiment='positive', n=5)."""
+    return sentiment_samples(spark, sf_dir, sentiment="positive", n=5)
+
+
+@register(
+    "dash_stats_timeline",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(round(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY day, event_type
+    """,
+    tags=("dashboard", "date", "agg"),
+)
+def dash_stats_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stats_timeline` over a fixed 10-day widget range."""
+    return stats_timeline(spark, sf_dir, start="2024-01-10", end="2024-01-20")

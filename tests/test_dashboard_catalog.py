@@ -1,0 +1,121 @@
+"""Serving catalog (`reddit_can_bigdata_spark.serving`): the reference
+dashboard's five pages (`dashboard/dashboard.py:172-182`) as typed
+query groups, plus the widget-parameterized builders.
+
+Structural checks run without Spark; behavioral checks run the
+parameterized builders at several widget states (the registered dash_*
+fixed points are covered by the oracle-parity suite)."""
+
+from __future__ import annotations
+
+import pytest
+
+from reddit_can_bigdata_spark.registry import REGISTRY, _ensure_loaded
+from reddit_can_bigdata_spark.serving import (
+    PAGES,
+    page_queries,
+    posts_explorer,
+    sentiment_samples,
+    stats_timeline,
+)
+
+_ensure_loaded()
+
+
+# --------------------------- structural ------------------------------------
+
+
+def test_catalog_covers_all_five_reference_pages():
+    assert set(PAGES) == {"home", "network", "sentiments", "posts", "stats"}
+    for page in PAGES.values():
+        assert page.queries, page.title
+        assert page.ref.startswith("dashboard/dashboard.py")
+
+
+@pytest.mark.parametrize("page", sorted(PAGES))
+def test_every_page_query_is_registered(page):
+    for name in PAGES[page].queries:
+        assert name in REGISTRY, f"{page}: {name} not in registry"
+        # catalog queries serve the UI, so they must be externally
+        # checkable: every one carries a DuckDB oracle
+        assert REGISTRY[name].oracle is not None, name
+
+
+def test_widgets_are_typed():
+    kinds = {"select", "min_slider", "sort", "date_range"}
+    for page in PAGES.values():
+        for w in page.widgets:
+            assert w.kind in kinds
+            if w.kind in ("select", "sort") and w.choices:
+                assert len(w.choices) >= 2
+
+
+def test_posts_page_mirrors_reference_widgets():
+    widgets = {w.name: w for w in PAGES["posts"].widgets}
+    # dashboard.py:777 subreddit selectbox, :783 score slider, :786 sort
+    assert widgets["subreddit"].column == "source"
+    assert widgets["min_score"].column == "n_chars"
+    assert widgets["sort_by"].choices == ("score", "date", "comments")
+
+
+# --------------------------- behavioral ------------------------------------
+
+
+def test_page_queries_returns_lazy_frames(spark, sf_dir):
+    frames = page_queries(spark, sf_dir, "home")
+    assert set(frames) == set(PAGES["home"].queries)
+    for df in frames.values():
+        assert df.columns  # plan built, nothing materialized
+
+
+def test_posts_explorer_widget_states(spark, sf_dir):
+    base = posts_explorer(spark, sf_dir, limit=10).collect()
+    assert 0 < len(base) <= 10
+    # subreddit equality narrows to one source
+    one = posts_explorer(spark, sf_dir, subreddit="src3", limit=10).collect()
+    assert one and all(r.source == "src3" for r in one)
+    # score floor is respected
+    floored = posts_explorer(spark, sf_dir, min_score=150, limit=10).collect()
+    assert all(r.n_chars >= 150 for r in floored)
+    # sort modes order by their keys
+    by_score = posts_explorer(spark, sf_dir, sort_by="score", limit=10).collect()
+    assert [r.n_chars for r in by_score] == sorted(
+        (r.n_chars for r in by_score), reverse=True
+    )
+    by_comments = posts_explorer(
+        spark, sf_dir, sort_by="comments", limit=10
+    ).collect()
+    assert [r.word_count for r in by_comments] == sorted(
+        (r.word_count for r in by_comments), reverse=True
+    )
+    with pytest.raises(ValueError):
+        posts_explorer(spark, sf_dir, sort_by="bogus")
+
+
+def test_posts_explorer_is_topk_not_global_sort(spark, sf_dir):
+    plan = posts_explorer(spark, sf_dir, limit=15)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sentiment_samples_every_label(spark, sf_dir):
+    for label in ("positive", "neutral", "negative"):
+        rows = sentiment_samples(spark, sf_dir, sentiment=label, n=5).collect()
+        assert len(rows) <= 5
+        assert all(r.vader_label == label for r in rows)
+    pos = sentiment_samples(spark, sf_dir, sentiment="positive", n=5).collect()
+    # strongest-first ordering
+    strengths = [abs(r.compound) for r in pos]
+    assert strengths == sorted(strengths, reverse=True)
+
+
+def test_stats_timeline_bounds(spark, sf_dir):
+    rows = stats_timeline(
+        spark, sf_dir, start="2024-01-10", end="2024-01-12"
+    ).collect()
+    assert rows
+    assert {r.day for r in rows} <= {"2024-01-10", "2024-01-11"}
+    # empty range is empty, not an error
+    assert (
+        stats_timeline(spark, sf_dir, start="2030-01-01", end="2030-01-02").count()
+        == 0
+    )
