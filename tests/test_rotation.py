@@ -135,9 +135,34 @@ def test_stamp_tool_keeps_old_stamp_for_stale_green(tmp_path):
     _write(tmp_path, "CORRECTNESS_r02.json", {b: _row()})
     old = {a: "f" * 32}  # pretend a's green row was earned by old source
     (tmp_path / "VERIFIED_HASHES.json").write_text(json.dumps(old))
-    stamped = stamp_verified.stamp(str(tmp_path))
+    # force=True: tmp_path is not a git checkout, so the round-start
+    # tree guard (tested separately below) would refuse
+    stamped = stamp_verified.stamp(str(tmp_path), force=True)
     assert stamped[a] == "f" * 32  # kept: green row is from r01, not newest
     assert stamped[b] == registry.spec_source_hash(registry.REGISTRY[b])
+
+
+def test_stamp_tool_refuses_when_tree_unverifiable(tmp_path):
+    """Round-8 advice: stamping after source edits would bless edited,
+    unverified hashes as driver-green. Outside a git checkout (or with
+    engine sources differing from the newest round's commit) the tool
+    must refuse unless forced."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, str(Path(REPO) / "tools"))
+    import stamp_verified
+
+    registry._ensure_loaded()
+    a = next(iter(registry.REGISTRY))
+    _write(tmp_path, "CORRECTNESS_r01.json", {a: _row()})
+    with pytest.raises(SystemExit, match="REFUSING"):
+        stamp_verified.stamp(str(tmp_path))
+    ok, why = stamp_verified.tree_matches_round_commit(
+        str(tmp_path), tmp_path / "CORRECTNESS_r01.json"
+    )
+    assert not ok and why
 
 
 def test_current_repo_rotation_covers_registry():
@@ -156,3 +181,107 @@ def test_rotated_oracles_follow_query_order():
     rq = list(registry.rotated_queries(REPO))
     ro = list(registry.rotated_oracles(REPO))
     assert ro == [n for n in rq if registry.REGISTRY[n].oracle is not None]
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (verdict item #5): multi-round coverage property over a
+# synthetic registry LARGER than the real one, under random failures
+# and edits. Protects the driver contract as the registry keeps
+# growing past 185 names.
+#
+# Slot accounting matters: a failed or edited name re-enters the next
+# 50-sample ahead of never-checked names (by design — a red must be
+# re-verified immediately), so each re-queue event STEALS one slot
+# from first-time coverage. The honest bound is therefore
+# ceil((N + re-queues) / 50) rounds, which reduces to ceil(N/50) when
+# nothing fails or changes.
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_registry(n: int):
+    """n QuerySpecs with distinct hashes (oracle text differs)."""
+
+    def fn(spark, sf_dir):  # never executed
+        raise AssertionError("rotation tests never run queries")
+
+    return {
+        f"q{i:03d}": registry.QuerySpec(
+            name=f"q{i:03d}", fn=fn, oracle=f"SELECT {i} AS x"
+        )
+        for i in range(n)
+    }
+
+
+def _simulate(monkeypatch, tmp_path, *, n, seed, fail_rate, edit_count):
+    import math
+    import random
+
+    rng = random.Random(seed)
+    synth = _synthetic_registry(n)
+    monkeypatch.setattr(registry, "REGISTRY", synth)
+    monkeypatch.setattr(registry, "_LOADED", True)
+
+    first_seen: dict[str, int] = {}
+    requeues = 0
+    failing: set[str] = set()
+    edited: set[str] = set()
+    stamps: dict[str, str] = {}
+    rnd = 0
+    while len(first_seen) < n:
+        rnd += 1
+        assert rnd <= math.ceil((n + requeues) / 50), (
+            f"round {rnd}: {len(first_seen)}/{n} covered after "
+            f"{requeues} re-queues — a name starved"
+        )
+        sample = list(registry.rotated_queries(str(tmp_path)))[:50]
+        # every name red or edited last round must be in this sample
+        assert failing <= set(sample)
+        assert edited <= set(sample)
+        results = {}
+        for name in sample:
+            first_seen.setdefault(name, rnd)
+            ok = name in failing or rng.random() >= fail_rate
+            if not ok:
+                requeues += 1
+            results[name] = _row(ok=ok)
+        failing = {name for name, r in results.items() if not r["hash_match"]}
+        _write(tmp_path, f"CORRECTNESS_r{rnd:02d}.json", results)
+        # stamp greens at current hash, then "edit" a few of them
+        for name, r in results.items():
+            if r["hash_match"]:
+                stamps[name] = registry.spec_source_hash(synth[name])
+        greens = sorted(set(stamps) - failing)
+        edited = set()
+        for name in rng.sample(greens, min(edit_count, len(greens))):
+            if stamps[name] != "0" * 32:
+                stamps[name] = "0" * 32
+                requeues += 1
+                edited.add(name)
+        (tmp_path / "VERIFIED_HASHES.json").write_text(json.dumps(stamps))
+    return rnd, requeues
+
+
+def test_rotation_covers_200_names_in_4_clean_rounds(monkeypatch, tmp_path):
+    """No failures, no edits: exactly ceil(200/50) = 4 rounds."""
+    rounds, requeues = _simulate(
+        monkeypatch, tmp_path, n=200, seed=1, fail_rate=0.0, edit_count=0
+    )
+    assert rounds == 4 and requeues == 0
+
+
+def test_rotation_coverage_bound_under_random_failures_and_edits(
+    monkeypatch, tmp_path
+):
+    """Across several seeds: every name earns its first driver row
+    within ceil((N + re-queues)/50) rounds even while 10% of checks
+    fail and 3 green names get edited per round — and every red/edited
+    name re-enters the very next sample."""
+    for seed in (7, 21, 1234):
+        import shutil
+
+        for p in tmp_path.glob("*.json"):
+            p.unlink()
+        rounds, requeues = _simulate(
+            monkeypatch, tmp_path, n=200, seed=seed, fail_rate=0.1, edit_count=3
+        )
+        assert rounds <= (200 + requeues + 49) // 50

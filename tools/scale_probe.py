@@ -142,6 +142,15 @@ def main() -> int:
                 samples.append(time.monotonic() - t0)
             samples.sort()
             times[k] = round(samples[len(samples) // 2], 3)
+            # components-based queries: record measured fixpoint rounds
+            # so O(log diameter) convergence is a datum, not a claim
+            from reddit_can_bigdata_spark.operators import graph as _graph
+
+            if _graph.LAST_COMPONENT_ROUNDS:
+                out.setdefault(f"{name}__rounds", {}).setdefault("rounds", {})[
+                    k
+                ] = _graph.LAST_COMPONENT_ROUNDS
+                _graph.LAST_COMPONENT_ROUNDS = 0
         lk = [math.log(k) for k in KS]
         lt = [math.log(max(times[k], 1e-3)) for k in KS]
         n = len(KS)

@@ -19,17 +19,64 @@ driver blessed".  Merge semantics:
 differs from its stamp right behind failed-last ones, closing the
 modified-since-verified rotation gap (round-6 judge item #1).
 
-Usage: python tools/stamp_verified.py [artifact_dir=/root/repo]
+Round-start precondition, ENFORCED (round-8 advice): the newest-round
+re-stamp is only sound if the working tree still matches the commit
+that produced the newest CORRECTNESS file. If sources changed since
+(committed or dirty), stamping would bless EDITED, unverified code and
+silently defeat the re-queue this tool implements — so the tool
+refuses, unless ``--force`` (for the rare case where the operator
+knows the edits don't affect any green query).
+
+Usage: python tools/stamp_verified.py [artifact_dir=/root/repo] [--force]
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 from pathlib import Path
 
 
-def stamp(artifact_dir: str) -> dict[str, str]:
+def tree_matches_round_commit(artifact_dir: str, newest_file: Path) -> tuple[bool, str]:
+    """Does the working tree's engine source match the commit that last
+    touched ``newest_file``? Returns (ok, explanation)."""
+    try:
+        commit = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--", newest_file.name],
+            cwd=artifact_dir,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        ).stdout.strip()
+        if not commit:
+            return False, f"{newest_file.name} has no commit history"
+        diff = subprocess.run(
+            [
+                "git",
+                "diff",
+                "--stat",
+                commit,
+                "--",
+                "reddit_can_bigdata_spark",
+                "__spark_entry__.py",
+            ],
+            cwd=artifact_dir,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        ).stdout.strip()
+        if diff:
+            return False, (
+                f"engine sources differ from {commit[:12]} (the commit that "
+                f"recorded {newest_file.name}):\n{diff}"
+            )
+        return True, commit[:12]
+    except Exception as e:  # no git / detached dir: fail safe (refuse)
+        return False, f"could not establish round commit: {e!r}"
+
+
+def stamp(artifact_dir: str, force: bool = False) -> dict[str, str]:
     sys.path.insert(0, str(Path(artifact_dir)))
     from reddit_can_bigdata_spark import registry
 
@@ -54,6 +101,20 @@ def stamp(artifact_dir: str) -> dict[str, str]:
             latest[name] = (ok, rno)
 
     newest = len(files) - 1
+    tree_ok = True
+    if files:
+        tree_ok, why = tree_matches_round_commit(artifact_dir, files[-1])
+        if not tree_ok and not force:
+            raise SystemExit(
+                "REFUSING to stamp: working tree no longer matches the "
+                f"round that produced {files[-1].name} — stamping now "
+                "would bless edited, unverified source and defeat the "
+                f"modified-since-green re-queue. Detail: {why}\n"
+                "Run at round start (before edits), or pass --force."
+            )
+        if not tree_ok:
+            print(f"WARNING (--force): {why}", file=sys.stderr)
+
     changed = 0
     for name, spec in registry.REGISTRY.items():
         ok, rno = latest.get(name, (False, -1))
@@ -75,4 +136,8 @@ def stamp(artifact_dir: str) -> dict[str, str]:
 
 
 if __name__ == "__main__":
-    stamp(sys.argv[1] if len(sys.argv) > 1 else "/root/repo")
+    args = [a for a in sys.argv[1:]]
+    force = "--force" in args
+    if force:
+        args.remove("--force")
+    stamp(args[0] if args else "/root/repo", force=force)
