@@ -587,3 +587,21 @@ def test_rrf_arms_take_ordered_never_shuffle_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_dash_posts_explorer_pushdown_and_topk(spark, sf_dir):
+    """Round 8, serving catalog: both widget predicates (source
+    equality, n_chars floor) must reach the parquet scan, and the
+    head-15 must be TakeOrderedAndProject — an interactive page query
+    that globally sorted 100 TB would be a disaster."""
+    df = REGISTRY["dash_posts_explorer"].fn(spark, sf_dir)
+    assert has_pushed_filter(df, "source"), pushed_filters(df)
+    assert has_pushed_filter(df, "n_chars"), pushed_filters(df)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_dash_stats_timeline_range_pushdown(spark, sf_dir):
+    """Round 8: the date-range widget must prune at the scan (the
+    partition-pruning shape at 100 TB)."""
+    df = REGISTRY["dash_stats_timeline"].fn(spark, sf_dir)
+    assert has_pushed_filter(df, "ts"), pushed_filters(df)
