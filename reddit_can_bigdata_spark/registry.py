@@ -128,7 +128,7 @@ MODULE_DEPS: dict[str, tuple[str, ...]] = {
         f"{_P}.operators.advanced",
     ),
     f"{_P}.operators.similarity": (f"{_P}.operators.textstats",),
-    f"{_P}.serving": (f"{_P}.functions.vader",),
+    f"{_P}.serving": (f"{_P}.functions.vader", f"{_P}.operators.graph"),
     f"{_P}.orchestration": (
         f"{_P}.ml.sentiment",
         f"{_P}.operators.influencer",

@@ -79,6 +79,7 @@ PAGES: dict[str, Page] = {
             "g6_pagerank",
             "g7_connected_components",
             "g7_label_propagation",
+            "dash_community_summary",
             "influencer_composite_top20",
             "w2_influencer_ranking",
         ),
@@ -315,6 +316,106 @@ def dash_sentiment_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sentiment_samples` at the fixed widget state the reference's
     first tab shows (sentiment='positive', n=5)."""
     return sentiment_samples(spark, sf_dir, sentiment="positive", n=5)
+
+
+def community_name_expr(community, members):
+    """The reference's ``name_community`` rule (`dashboard.py:473-484`)
+    as one expression: size tier (≥25 Grande 🌟, ≥15 Moyenne 📊, else
+    Petite 💬) formatted as "<emoji> Communauté #<id> (<tier>)"."""
+    tier = (
+        F.when(members >= 25, F.lit("Grande"))
+        .when(members >= 15, F.lit("Moyenne"))
+        .otherwise(F.lit("Petite"))
+    )
+    emoji = (
+        F.when(members >= 25, F.lit("🌟"))
+        .when(members >= 15, F.lit("📊"))
+        .otherwise(F.lit("💬"))
+    )
+    return F.concat(
+        emoji,
+        F.lit(" Communauté #"),
+        community.cast("string"),
+        F.lit(" ("),
+        tier,
+        F.lit(")"),
+    )
+
+
+def _community_summary_oracle() -> str:
+    from reddit_can_bigdata_spark.operators.graph import (
+        LP_ITERS,
+        _labelprop_oracle,
+    )
+
+    lp = _labelprop_oracle()
+    head = lp[: lp.rindex("SELECT CAST(label AS BIGINT)")].rstrip().rstrip(",")
+    return f"""{head},
+    comm AS MATERIALIZED (SELECT node, label FROM lp{LP_ITERS}),
+    nodedeg AS MATERIALIZED (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree,
+             SUM(w) AS engagement
+      FROM sym GROUP BY src
+    ),
+    stats AS (
+      SELECT CAST(c.label AS BIGINT) AS community,
+             CAST(COUNT(*) AS BIGINT) AS members,
+             round(AVG(d.degree), 6) AS avg_degree,
+             round(SUM(d.engagement), 4) AS engagement_total
+      FROM comm c JOIN nodedeg d ON d.node = c.node
+      GROUP BY c.label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY members DESC, community) AS rn
+      FROM stats
+    )
+    SELECT community, members, avg_degree, engagement_total,
+           CASE WHEN members >= 25 THEN '🌟 Communauté #' || community || ' (Grande)'
+                WHEN members >= 15 THEN '📊 Communauté #' || community || ' (Moyenne)'
+                ELSE '💬 Communauté #' || community || ' (Petite)' END AS nom
+    FROM ranked WHERE rn <= 10 ORDER BY rn
+    """
+
+
+@register(
+    "dash_community_summary",
+    oracle=_community_summary_oracle(),
+    tags=("dashboard", "graph", "community"),
+)
+def dash_community_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The network page's community block (`dashboard.py:462-489`):
+    per-community member count, mean degree, total engagement, top-10
+    by size, with the reference's exact tier naming rule
+    (`name_community`, `dashboard.py:473-484` — ≥25 Grande 🌟,
+    ≥15 Moyenne 📊, else Petite 💬). Communities come from the engine's
+    weighted label propagation (the scalable Louvain stand-in, shared
+    oracle chain with g7_label_propagation); engagement is each
+    member's incident edge weight (the corpus analog of the
+    reference's per-user total_score).
+
+    Scale shape: one cached symmetric edge table feeds both the label
+    loop and the degree aggregate; the summary is a |V|-sized join +
+    |C|-sized aggregate; top-10 is TakeOrderedAndProject."""
+    from reddit_can_bigdata_spark.operators.graph import _label_prop
+
+    sym, labels = _label_prop(spark, sf_dir)
+    nodedeg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("degree"),
+        F.sum("w").alias("engagement"),
+    )
+    stats = (
+        labels.join(nodedeg, "node")
+        .groupBy(F.col("label").cast("long").alias("community"))
+        .agg(
+            F.count("*").cast("bigint").alias("members"),
+            F.round(F.avg("degree"), 6).alias("avg_degree"),
+            F.round(F.sum("engagement"), 4).alias("engagement_total"),
+        )
+    )
+    named = stats.withColumn(
+        "nom", community_name_expr(F.col("community"), F.col("members"))
+    )
+    return named.orderBy(F.col("members").desc(), F.col("community")).limit(10)
 
 
 @register(

@@ -119,3 +119,23 @@ def test_stats_timeline_bounds(spark, sf_dir):
         stats_timeline(spark, sf_dir, start="2030-01-01", end="2030-01-02").count()
         == 0
     )
+
+
+def test_community_naming_rule_all_tiers(spark):
+    """The reference's name_community tiers (dashboard.py:473-484) on a
+    synthetic frame — the real corpora collapse to one community at
+    test scale, so the boundary rows (25/15/24/14) are pinned here."""
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.serving import community_name_expr
+
+    rows = [(1, 25), (2, 24), (3, 15), (4, 14), (5, 1)]
+    df = spark.createDataFrame(rows, "community long, members long").withColumn(
+        "nom", community_name_expr(F.col("community"), F.col("members"))
+    )
+    got = {r.community: r.nom for r in df.collect()}
+    assert got[1] == "🌟 Communauté #1 (Grande)"
+    assert got[2] == "📊 Communauté #2 (Moyenne)"
+    assert got[3] == "📊 Communauté #3 (Moyenne)"
+    assert got[4] == "💬 Communauté #4 (Petite)"
+    assert got[5] == "💬 Communauté #5 (Petite)"
