@@ -1643,3 +1643,208 @@ def _register_mrl_recall() -> None:
 
 
 _register_mrl_recall()
+
+
+# ---------------------------------------------------------------------------
+# K-means TRAINING as an exactly-verifiable distributed query (round 8).
+# `ivf_centroids_trained` wraps Spark-ML KMeans (seeded, contract-tested,
+# fixture-persisted) — but its float summation order is
+# partitioning-dependent, so it can never be hash-checked against an
+# external oracle. This operator is the oracle-checkable form of the
+# same training loop: Lloyd's algorithm with every float operation
+# pinned to a deterministic order.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ROUNDS = 2
+_EMB_DIM = 64  # embeddings fixture dimension (TESTDATA.md)
+
+# Sequential squared-L2 fold (same determinism doctrine as _DOT/_DOT_SQL:
+# left-to-right double fold so Spark and DuckDB round identically).
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_SQDIST_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, v) -> acc + v)"
+)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd rounds. Component means use DECIMAL(28,12) sums
+    (order-independent — embedding components are |x|<1 float32) cast
+    back to double, divided by the member count, rounded to 6dp; the
+    ROUNDED centroids feed the next assignment (quantized Lloyd), so
+    both engines iterate on bit-identical state."""
+    parts = [
+        f"""emb AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM {_EMB}
+        )""",
+        f"""c0 AS MATERIALIZED (
+          SELECT CAST(vec_id AS INT) AS cid, e AS cv
+          FROM emb WHERE vec_id < {KMEANS_K}
+        )""",
+    ]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        prev = f"c{r - 1}"
+        d = _SQDIST_SQL.format(a="emb.e", b=f"{prev}.cv")
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+              SELECT vec_id, e, cid FROM (
+                SELECT emb.vec_id, emb.e, {prev}.cid,
+                       row_number() OVER (
+                         PARTITION BY emb.vec_id
+                         ORDER BY {d} ASC, {prev}.cid ASC
+                       ) AS rn
+                FROM emb CROSS JOIN {prev}
+              ) WHERE rn = 1
+            )"""
+        )
+        parts.append(
+            f"""s{r} AS (
+              SELECT cid, dim, SUM(CAST(x AS DECIMAL(28, 12))) AS sx,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM (
+                SELECT cid, unnest(e) AS x,
+                       unnest(range(1, {_EMB_DIM + 1})) AS dim
+                FROM a{r}
+              ) GROUP BY cid, dim
+            )"""
+        )
+        parts.append(
+            f"""n{r} AS (
+              SELECT cid,
+                     list(round(CAST(sx AS DOUBLE) / n, 6) ORDER BY dim) AS cv
+              FROM s{r} GROUP BY cid
+            )"""
+        )
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+              SELECT p.cid, coalesce(nn.cv, p.cv) AS cv
+              FROM {prev} p LEFT JOIN n{r} nn ON nn.cid = p.cid
+            )"""
+        )
+    last = KMEANS_ROUNDS
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT c.cid, CAST(dims.dim AS INT) AS dim,
+           round(list_extract(c.cv, dims.dim), 6) AS centroid,
+           CAST(coalesce(m.n_members, 0) AS BIGINT) AS n_members
+    FROM c{last} c
+    CROSS JOIN (SELECT unnest(range(1, {_EMB_DIM + 1})) AS dim) dims
+    LEFT JOIN (
+      SELECT cid, COUNT(*) AS n_members FROM a{last} GROUP BY cid
+    ) m ON m.cid = c.cid
+    """
+    )
+
+
+@register(
+    "sim_kmeans_lloyd",
+    oracle=_kmeans_oracle(),
+    tags=("similarity", "kmeans", "training", "iterative", "scale"),
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means TRAINING (k={k}, {r} rounds) with an
+    exact DuckDB oracle — the verifiable twin of the Spark-ML codebook
+    fit behind `sim_ivf_trained_search`.
+
+    Determinism doctrine (what makes a float-iterative TRAINING loop
+    hash-checkable at all):
+    - init = the embeddings of the {k} smallest vec_ids (seeded init,
+      like the fixture's seed=42);
+    - assignment distance = sequential left-to-right squared-L2 fold
+      in double (identical FP order in both engines);
+    - new centroid components = DECIMAL(28,12) sums (exact, therefore
+      partition-order-independent) / member count in double, rounded
+      to 6dp — and the ROUNDED centroids are the next round's state,
+      so both engines iterate on bit-identical values (quantized
+      Lloyd; the 1e-6 quantization is far below the assignment noise
+      floor);
+    - empty clusters keep their previous centroid;
+    - ties (equal distance) break to the smallest cid.
+
+    Scale shape: per round, one broadcast of the K-row centroid table
+    against the corpus (argmin via per-vector window — corpus-linear,
+    no corpus shuffle on assignment) + one (cid, dim)-keyed linear
+    aggregation whose output is K*dim rows. Nothing is collected to
+    the driver; rounds are lineage-truncated. At 100 TB this is the
+    standard scalable k-means fit (Spark-ML's own KMeans does the same
+    shape with runtime-dependent float order — use this operator when
+    the codebook must be reproducible/auditable, Spark-ML when not).
+
+    Output: (cid, dim, centroid, n_members) — the trained codebook in
+    the same per-component layout `plans/layout.write_ivf_index`
+    persists, plus final-assignment member counts.
+    """
+    emb = _embedded(tables(spark, sf_dir)["embeddings"]).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    )
+    cents = emb.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("e").alias("cv")
+    )
+
+    from pyspark.sql import Window
+
+    from reddit_can_bigdata_spark.operators.common import iter_checkpoint
+
+    assigned = None
+    for _ in range(KMEANS_ROUNDS):
+        scored = emb.join(F.broadcast(cents)).withColumn(
+            "d2", F.expr(_SQDIST.format(a="e", b="cv"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "e", "cid")
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("e").alias("pos", "x"))
+            .groupBy("cid", (F.col("pos") + 1).alias("dim"))
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,12)")).alias("sx"),
+                F.count("*").alias("n"),
+            )
+        )
+        newc = sums.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim,"
+                " round(cast(sx as double) / n, 6) as m))), s -> s.m)"
+            ).alias("ncv")
+        )
+        cents = iter_checkpoint(
+            cents.join(newc, "cid", "left").select(
+                "cid", F.coalesce("ncv", "cv").alias("cv")
+            )
+        )
+
+    members = assigned.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return (
+        cents.select(
+            "cid", F.posexplode("cv").alias("pos", "centroid_raw")
+        )
+        .select(
+            "cid",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.round("centroid_raw", 6).alias("centroid"),
+        )
+        .join(members, "cid", "left")
+        .select(
+            "cid",
+            "dim",
+            "centroid",
+            F.coalesce("n_members", F.lit(0)).cast("bigint").alias("n_members"),
+        )
+    )
+
+
+sim_kmeans_lloyd.__doc__ = sim_kmeans_lloyd.__doc__.format(
+    k=KMEANS_K, r=KMEANS_ROUNDS
+)

@@ -159,3 +159,50 @@ def test_trained_index_layout_prunes_and_probes(spark, sf_dir, tmp_path):
     rows = probe.collect()
     assert 0 < len(rows) <= 6
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
+
+
+def test_kmeans_lloyd_trains_and_is_sane(spark, sf_dir):
+    """Round 8: the oracle-checkable Lloyd trainer — structure and
+    training-quality invariants beyond the hash check. Quantized Lloyd
+    (centroids rounded to 6dp between rounds) is monotone up to the
+    quantization epsilon, so inertia may not rise by more than a hair."""
+    import numpy as np
+    import pandas as pd
+
+    from reddit_can_bigdata_spark.operators.similarity import (
+        KMEANS_K,
+        _EMB_DIM,
+        sim_kmeans_lloyd,
+    )
+
+    out = sim_kmeans_lloyd(spark, sf_dir).toPandas()
+    assert len(out) == KMEANS_K * _EMB_DIM
+    assert set(out.cid) == set(range(KMEANS_K))
+    assert set(out.dim) == set(range(1, _EMB_DIM + 1))
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb[emb.embedding.notna()]
+    n_total = len(emb)
+    # every vector lands in exactly one cluster
+    per_cid = out.groupby("cid").n_members.first()
+    assert per_cid.sum() == n_total
+
+    cents = {
+        cid: np.array(g.sort_values("dim").centroid)
+        for cid, g in out.groupby("cid")
+    }
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    init = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples() if r.vec_id < KMEANS_K}
+    # training moved at least one centroid away from its init vector
+    moved = any(
+        np.linalg.norm(cents[c] - init[c]) > 1e-4 for c in range(KMEANS_K)
+    )
+    assert moved
+
+    def inertia(centroids: dict) -> float:
+        C = np.stack([centroids[c] for c in range(KMEANS_K)])
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return float(d2.min(axis=1).sum())
+
+    assert inertia(cents) <= inertia(init) + 1e-3
