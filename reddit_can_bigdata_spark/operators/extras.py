@@ -1074,3 +1074,132 @@ def table_checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("checksum_sum"),
         F.expr("bit_xor(h)").cast("bigint").alias("checksum_xor"),
     )
+
+
+@register(
+    "warehouse_scd1_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 >= 3
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey,
+             round(o_totalprice * 1.1, 2) AS o_totalprice,
+             'U1' AS o_orderstatus, 1 AS version
+      FROM orders WHERE o_orderkey % 10 < 3 AND o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey,
+             round(o_totalprice * 1.2, 2), 'U2', 2
+      FROM orders WHERE o_orderkey % 10 < 3
+    ),
+    win AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY o_orderkey
+                 ORDER BY version DESC,
+                          (o_custkey, o_totalprice, o_orderstatus) DESC
+               ) AS rn
+        FROM upd
+      ) WHERE rn = 1
+    )
+    SELECT b.* FROM base b
+    LEFT JOIN win w ON w.o_orderkey = b.o_orderkey
+    WHERE w.o_orderkey IS NULL
+    UNION ALL
+    SELECT * FROM win
+    """,
+    tags=("warehouse", "scd1", "merge", "upsert"),
+)
+def warehouse_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 (MERGE / last-write-wins upsert) as an oracle-checkable
+    QUERY — `sources/storage.py` `merge_upsert` is the parquet-writing
+    form (reference: per-row `update_one(..., upsert=True)`); this
+    registers the same semantics on derived frames so the driver
+    hash-checks them: a base snapshot (orderkey % 10 >= 3), an update
+    batch containing two versions for overlapping keys (the
+    intra-batch conflict `resolve_updates` must settle: version 2
+    always beats version 1), anti-join the winners' keys out of base,
+    union the winners.
+
+    Scale shape: one window over the (small) update batch + one
+    key-only anti-join against the base — the standard incremental
+    MERGE; with Delta/Iceberg the same plan is `MERGE INTO` with file
+    pruning."""
+    from reddit_can_bigdata_spark.sources.storage import resolve_updates
+
+    o = tables(spark, sf_dir)["orders"]
+    base = o.where(F.col("o_orderkey") % 10 >= 3).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    upd = (
+        o.where((F.col("o_orderkey") % 10 < 3) & (F.col("o_orderkey") % 2 == 0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            F.lit("U1").alias("o_orderstatus"),
+            F.lit(1).alias("version"),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 10 < 3).select(
+                "o_orderkey",
+                "o_custkey",
+                F.round(F.col("o_totalprice") * 1.2, 2).alias("o_totalprice"),
+                F.lit("U2").alias("o_orderstatus"),
+                F.lit(2).alias("version"),
+            )
+        )
+    )
+    win = resolve_updates(upd, "o_orderkey", "version").drop("version")
+    keep = base.join(win.select("o_orderkey"), "o_orderkey", "left_anti")
+    return keep.unionByName(win)
+
+
+def _p9_oracle() -> str:
+    from reddit_can_bigdata_spark.registry import REGISTRY
+
+    w2 = REGISTRY["w2_influencer_ranking"].oracle
+    return f"""
+    WITH ranked AS MATERIALIZED ({w2})
+    SELECT c.c_custkey, c.c_name,
+           (r.o_custkey IS NOT NULL) AS is_influencer,
+           r.influencer_rank
+    FROM customer c JOIN ranked r ON r.o_custkey = c.c_custkey
+    WHERE (r.o_custkey IS NOT NULL)
+    """
+
+
+@register(
+    "p9_flag_selection",
+    oracle=_p9_oracle(),
+    tags=("filter", "flags"),
+)
+def p9_flag_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: boolean-flag SELECTION — compute an ``is_influencer`` flag
+    (membership in the W2 top-20 ranking) on the customer dimension,
+    then select the flagged rows (the reference filters its stored
+    network table on ``is_influencer == True``,
+    `dashboard/dashboard.py` network page / `network_analysis.py`
+    user docs). Until round 8 this pattern was suite-pinned only
+    (influencer.user_network_table); the driver now hash-checks it.
+
+    Plan: the 20-row ranked table broadcasts against customer — flag
+    derivation + selection never shuffles the dimension."""
+    from reddit_can_bigdata_spark.operators.relational import (
+        w2_influencer_ranking,
+    )
+
+    ranked = w2_influencer_ranking(spark, sf_dir)
+    cust = tables(spark, sf_dir)["customer"].select("c_custkey", "c_name")
+    flagged = cust.join(
+        F.broadcast(ranked),
+        cust.c_custkey == ranked.o_custkey,
+        "inner",
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.col("o_custkey").isNotNull().alias("is_influencer"),
+        "influencer_rank",
+    )
+    return flagged.where(F.col("is_influencer"))

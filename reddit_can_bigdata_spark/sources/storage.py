@@ -39,6 +39,29 @@ def append_dedup(spark: SparkSession, df: DataFrame, path: str, key: str) -> Non
     df.write.mode("append").parquet(path)
 
 
+def resolve_updates(
+    df: DataFrame, key: str, version_col: str | None = None
+) -> DataFrame:
+    """Intra-batch last-write-wins: one deterministic winner per key —
+    highest ``version_col`` (matching the reference's sequential
+    per-row loop), ties and the no-version case broken by the
+    descending struct of the remaining columns, never
+    ``dropDuplicates``'s arbitrary first-seen row. Shared by the
+    parquet MERGE writer below and the oracled `warehouse_scd1_upsert`
+    query form."""
+    from pyspark.sql import Window
+
+    other = [c for c in df.columns if c != key]
+    order = [F.col(version_col).desc()] if version_col else []
+    order.append(F.struct(*[F.col(c) for c in other]).desc())
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def merge_upsert(
     spark: SparkSession, df: DataFrame, path: str, key: str, version_col: str | None = None
 ) -> None:
@@ -46,24 +69,8 @@ def merge_upsert(
     (`update_one(..., upsert=True)` per row in the reference). Plain
     parquet: keep stored rows whose key is absent from the update set,
     union the updates, rewrite. With Delta/Iceberg this is a real
-    ``MERGE INTO`` and only touched files rewrite.
-
-    When one batch carries several updates for the same key, the
-    winner is deterministic: highest ``version_col`` (last-write-wins,
-    matching the reference's sequential per-row loop), ties and the
-    no-version case broken by the descending struct of the remaining
-    columns — never ``dropDuplicates``'s arbitrary first-seen row."""
-    from pyspark.sql import Window
-
-    other = [c for c in df.columns if c != key]
-    order = [F.col(version_col).desc()] if version_col else []
-    order.append(F.struct(*[F.col(c) for c in other]).desc())
-    w = Window.partitionBy(key).orderBy(*order)
-    updates = (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    ``MERGE INTO`` and only touched files rewrite."""
+    updates = resolve_updates(df, key, version_col)
     if _exists(spark, path):
         current = spark.read.parquet(path)
         keep = current.join(updates.select(key), key, "left_anti")
