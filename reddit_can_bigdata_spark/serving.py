@@ -149,6 +149,52 @@ def page_queries(
     return {name: REGISTRY[name].fn(spark, sf_dir) for name in spec.queries}
 
 
+def render_page(
+    spark: SparkSession, sf_dir: str, page: str, **params
+) -> dict[str, DataFrame]:
+    """The page dispatch itself (`dashboard.py:172-182` sidebar radio +
+    per-page widget state): the page's catalog queries PLUS its
+    widget-bound parameterized frame, built from ``params``. Unknown
+    parameter names raise — a UI typo must not silently render the
+    fixed-point variant.
+
+    Parameter surface per page (defaults = the registered dash_*
+    fixed points):
+    - ``posts``: subreddit, min_score, sort_by, limit
+    - ``sentiments``: sentiment, n
+    - ``stats``: start, end
+    - ``home`` / ``network``: no widgets (params rejected)
+    """
+    frames = page_queries(spark, sf_dir, page)
+    binders = {
+        "posts": (
+            "dash_posts_explorer",
+            posts_explorer,
+            {"subreddit": "src7", "min_score": 120, "sort_by": "score", "limit": 15},
+        ),
+        "sentiments": (
+            "dash_sentiment_samples",
+            sentiment_samples,
+            {"sentiment": "positive", "n": 5},
+        ),
+        "stats": (
+            "dash_stats_timeline",
+            stats_timeline,
+            {"start": "2024-01-10", "end": "2024-01-20"},
+        ),
+    }
+    if page not in binders:
+        if params:
+            raise TypeError(f"page {page!r} takes no widget parameters")
+        return frames
+    key, builder, defaults = binders[page]
+    unknown = set(params) - set(defaults)
+    if unknown:
+        raise TypeError(f"unknown widget parameter(s) for {page!r}: {sorted(unknown)}")
+    frames[key] = builder(spark, sf_dir, **{**defaults, **params})
+    return frames
+
+
 # ---------------------------------------------------------------------------
 # Parameterized builders (the widget-bound queries)
 # ---------------------------------------------------------------------------

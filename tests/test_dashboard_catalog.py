@@ -139,3 +139,37 @@ def test_community_naming_rule_all_tiers(spark):
     assert got[3] == "📊 Communauté #3 (Moyenne)"
     assert got[4] == "💬 Communauté #4 (Petite)"
     assert got[5] == "💬 Communauté #5 (Petite)"
+
+
+def test_render_page_binds_widget_params(spark, sf_dir):
+    from reddit_can_bigdata_spark.serving import render_page
+
+    frames = render_page(spark, sf_dir, "posts", subreddit="src3", limit=7)
+    rows = frames["dash_posts_explorer"].collect()
+    assert 0 < len(rows) <= 7 and all(r.source == "src3" for r in rows)
+
+    frames = render_page(spark, sf_dir, "sentiments", sentiment="negative", n=2)
+    rows = frames["dash_sentiment_samples"].collect()
+    assert len(rows) <= 2 and all(r.vader_label == "negative" for r in rows)
+
+    frames = render_page(spark, sf_dir, "stats", start="2024-01-05", end="2024-01-07")
+    assert {r.day for r in frames["dash_stats_timeline"].collect()} <= {
+        "2024-01-05", "2024-01-06",
+    }
+
+    # defaults reproduce the registered fixed point
+    frames = render_page(spark, sf_dir, "posts")
+    default_rows = sorted(tuple(r) for r in frames["dash_posts_explorer"].collect())
+    reg_rows = sorted(
+        tuple(r) for r in REGISTRY["dash_posts_explorer"].fn(spark, sf_dir).collect()
+    )
+    assert default_rows == reg_rows
+
+
+def test_render_page_rejects_bad_params(spark, sf_dir):
+    from reddit_can_bigdata_spark.serving import render_page
+
+    with pytest.raises(TypeError, match="unknown widget parameter"):
+        render_page(spark, sf_dir, "posts", subredit="src3")  # typo
+    with pytest.raises(TypeError, match="takes no widget parameters"):
+        render_page(spark, sf_dir, "home", anything=1)
