@@ -1528,3 +1528,90 @@ def build_tokenized_shards(
         "n_docs bigint, n_words bigint, n_pieces bigint,"
         " n_merges int, pieces_per_word double",
     )
+
+
+@register(
+    "pretrain_pack_firstfit",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT source, doc_id,
+             CAST(least(len({TOKENS_SQL}), {PACK_BUDGET}) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack AS (
+      SELECT source, doc_id, rn, n_tokens,
+             CAST(1 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.doc_id, t.rn, t.n_tokens,
+             CASE WHEN p.bin_fill + t.n_tokens <= {PACK_BUDGET}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.bin_fill + t.n_tokens <= {PACK_BUDGET}
+                  THEN p.bin_fill + t.n_tokens ELSE t.n_tokens END
+      FROM pack p JOIN t ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, bin_id, bin_fill FROM pack
+    """,
+    tags=("pretrain", "packing", "stateful"),
+)
+def pretrain_pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT sequence packing (next-fit bin packing): the SFT-style
+    packer — documents must not straddle training sequences, so within
+    each ``source`` shard (doc_id order) a doc that would overflow the
+    open bin closes it and starts the next; docs longer than the
+    {budget}-token budget are truncated to it. Complements
+    `pretrain_sequence_packing` (the concat-and-chunk pretraining
+    packer, where straddling is allowed and everything is window
+    arithmetic).
+
+    This one is the repo's canonical applyInPandas case: the open
+    bin's fill is PREFIX-DEPENDENT state (each decision depends on
+    every predecessor's), which no window frame expresses — exactly
+    clause (b) of the custom-operator ladder. One Arrow batch per
+    shard, a tight integer loop inside, bin state is two ints. At
+    100 TB the parallel unit is the shard (same as tokenization), the
+    per-shard work is a linear scan, and nothing crosses Python except
+    (doc_id, n_tokens) pairs — column-pruned before the groupBy.
+    The DuckDB oracle walks the same recurrence as a recursive CTE,
+    so the sequential semantics are hash-checked, not just replayed.
+    """
+    import pandas as pd
+
+    docs = tables(spark, sf_dir)["documents"]
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.least(
+            F.size(F.expr(TOKENS_EXPR)), F.lit(PACK_BUDGET)
+        ).cast("bigint").alias("n_tokens"),
+    )
+
+    schema = (
+        "source string, doc_id bigint, n_tokens bigint,"
+        " bin_id bigint, bin_fill bigint"
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_id, fill = 1, 0
+        bins, fills = [], []
+        for tok in pdf["n_tokens"]:
+            if fill + tok <= PACK_BUDGET and len(bins) > 0:
+                fill += int(tok)
+            else:
+                if len(bins) > 0:
+                    bin_id += 1
+                fill = int(tok)
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf[["source", "doc_id", "n_tokens", "bin_id", "bin_fill"]]
+
+    return t.groupBy("source").applyInPandas(pack, schema)
+
+
+pretrain_pack_firstfit.__doc__ = pretrain_pack_firstfit.__doc__.format(
+    budget=PACK_BUDGET
+)

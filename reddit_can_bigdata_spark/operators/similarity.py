@@ -1848,3 +1848,75 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_kmeans_lloyd.__doc__ = sim_kmeans_lloyd.__doc__.format(
     k=KMEANS_K, r=KMEANS_ROUNDS
 )
+
+
+@register(
+    "sim_ivf_balance",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM {_EMB} WHERE vec_id < 8
+    ),
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM {_EMB}
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT emb.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY emb.vec_id
+                 ORDER BY {_cos_sql('emb.e', 'c.cv')} DESC, c.cid
+               ) AS rn
+        FROM emb CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    counts AS (
+      SELECT c.cid, CAST(COUNT(a.vec_id) AS BIGINT) AS n_vectors
+      FROM centroids c LEFT JOIN assigned a ON a.cid = c.cid
+      GROUP BY c.cid
+    ),
+    tot AS (SELECT SUM(n_vectors) AS n, COUNT(*) AS k,
+                   MAX(n_vectors) AS mx FROM counts)
+    SELECT counts.cid, counts.n_vectors,
+           round(counts.n_vectors * 1.0 / tot.n, 6) AS share,
+           round(tot.mx * tot.k * 1.0 / tot.n, 6) AS imbalance_factor
+    FROM counts CROSS JOIN tot
+    """,
+    tags=("similarity", "ann", "ivf", "diagnostics"),
+)
+def sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list-balance diagnostics: per-cell vector counts, corpus
+    share, and the global imbalance factor max(n)·K/N — THE number
+    that decides whether an inverted file serves well (probing a cell
+    costs its list length, so a hot cell with imbalance 3 makes worst
+    -case queries 3x the balanced cost; production systems re-train or
+    split when it drifts). Same deterministic codebook + cosine argmin
+    as `sim_ivf_cluster_search`, so this measures the index the search
+    queries actually use. Empty cells surface as zero rows via the
+    left join — a silently-dead centroid is itself a defect to see.
+
+    Scale: one K-row broadcast argmin over the corpus + a K-row
+    aggregate; the diagnostic costs one corpus scan."""
+    emb = _embedded(tables(spark, sf_dir)["embeddings"])
+    assigned = ivf_assign(emb).select("vec_id", "cid")
+    cents = ivf_centroids(emb).select("cid")
+    counts = (
+        cents.join(assigned, "cid", "left")
+        .groupBy("cid")
+        .agg(F.count("vec_id").cast("bigint").alias("n_vectors"))
+    )
+    tot = counts.agg(
+        F.sum("n_vectors").alias("n"),
+        F.count("*").alias("k"),
+        F.max("n_vectors").alias("mx"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vectors",
+        F.round(F.col("n_vectors") * 1.0 / F.col("n"), 6).alias("share"),
+        F.round(F.col("mx") * F.col("k") * 1.0 / F.col("n"), 6).alias(
+            "imbalance_factor"
+        ),
+    )
