@@ -753,3 +753,87 @@ def curate_pack_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_webdataset_shards(docs).select(
         "shard_id", "n_entries", "payload_bytes", "tar_size"
     )
+
+
+EPOCH_BUDGET = 150_000  # training-token target that forces repetition
+MAX_EPOCHS = 4  # data-constrained repeat ceiling (Muennighoff et al.)
+
+
+@register(
+    "curate_epoch_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                       t -> t <> ''))) AS BIGINT)
+               AS unique_tokens
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, unique_tokens,
+             pow(CAST(unique_tokens AS DOUBLE), {MIX_ALPHA_X10 / 10}) AS raw_w
+      FROM toks
+    )
+    SELECT source, unique_tokens,
+           CAST(floor(raw_w / SUM(raw_w) OVER () * {EPOCH_BUDGET}) AS BIGINT)
+             AS desired_tokens,
+           CAST(least(
+             CAST(floor(raw_w / SUM(raw_w) OVER () * {EPOCH_BUDGET}) AS BIGINT),
+             unique_tokens * {MAX_EPOCHS}
+           ) AS BIGINT) AS realized_tokens,
+           round(least(
+             CAST(floor(raw_w / SUM(raw_w) OVER () * {EPOCH_BUDGET}) AS BIGINT),
+             unique_tokens * {MAX_EPOCHS}
+           ) * 1.0 / unique_tokens, 6) AS epochs,
+           (CAST(floor(raw_w / SUM(raw_w) OVER () * {EPOCH_BUDGET}) AS BIGINT)
+            > unique_tokens * {MAX_EPOCHS}) AS capped
+    FROM wts
+    """,
+    tags=("curation", "mixture", "epochs", "budget"),
+)
+def curate_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONSTRAINED EPOCH PLANNING (Muennighoff et al., "Scaling
+    Data-Constrained Language Models"): when the temperature-weighted
+    token budget exceeds a source's unique tokens, repeat the source —
+    but past ~4 epochs repeated data stops helping, so the plan caps
+    there and reports the deficit as `capped`. Per source: unique
+    tokens, the temperature-desired share of the budget, the realized
+    tokens under the cap, and the (fractional) epoch count the loader
+    should run. Downstream, `curate_token_budget` realizes one epoch's
+    membership and `pretrain_sequence_packing` lays it out.
+
+    Plan: ONE source-level aggregate (tiny output) + a window over the
+    |sources|-row table — the corpus is scanned once; all decision
+    arithmetic is integer/floor'd, so the plan is rerun-stable."""
+    from reddit_can_bigdata_spark.operators.pretrain import TOKENS_EXPR
+
+    docs = tables(spark, sf_dir)["documents"]
+    toks = (
+        docs.select("source", F.size(F.expr(TOKENS_EXPR)).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("unique_tokens"))
+    )
+    return epoch_plan(toks, EPOCH_BUDGET, MIX_ALPHA_X10 / 10, MAX_EPOCHS)
+
+
+def epoch_plan(
+    counts: DataFrame, budget: int, alpha: float, max_epochs: int
+) -> DataFrame:
+    """The planning math on a (source, unique_tokens) frame — split out
+    so tests can exercise the cap on skewed synthetic mixes the uniform
+    fixture corpus never produces."""
+    w = Window.partitionBy()
+    raw_w = F.pow(F.col("unique_tokens").cast("double"), F.lit(alpha))
+    desired = F.floor(
+        raw_w / F.sum(raw_w).over(w) * F.lit(budget)
+    ).cast("bigint")
+    ceiling = F.col("unique_tokens") * max_epochs
+    realized = F.least(desired, ceiling).cast("bigint")
+    return counts.select(
+        "source",
+        "unique_tokens",
+        desired.alias("desired_tokens"),
+        realized.alias("realized_tokens"),
+        F.round(realized * 1.0 / F.col("unique_tokens"), 6).alias("epochs"),
+        (desired > ceiling).alias("capped"),
+    )

@@ -257,3 +257,31 @@ def test_chunker_survives_empty_and_whitespace_docs(spark):
     rows = chunk_documents(df).collect()
     assert {r["doc_id"] for r in rows} == {3}
     assert rows[0]["chunk_text"].startswith("one two")
+
+
+def test_epoch_plan_cap_and_mix_on_skewed_sources(spark):
+    """curate_epoch_plan's cap on a synthetic skewed mix (the uniform
+    fixture corpus caps every source identically): a tiny source under
+    temperature sampling demands more epochs than the ceiling and gets
+    capped; a huge source runs fractional epochs uncapped; realized
+    never exceeds min(desired, unique*4) and epochs = realized/unique."""
+    from reddit_can_bigdata_spark.operators.curation import epoch_plan
+
+    counts = spark.createDataFrame(
+        [("tiny", 100), ("mid", 10_000), ("huge", 1_000_000)],
+        "source string, unique_tokens bigint",
+    )
+    rows = {
+        r.source: r
+        for r in epoch_plan(counts, budget=2_000_000, alpha=0.5, max_epochs=4)
+        .collect()
+    }
+    t, h = rows["tiny"], rows["huge"]
+    assert t.capped and t.realized_tokens == 100 * 4 and t.epochs == 4.0
+    assert not h.capped and h.realized_tokens == h.desired_tokens
+    assert h.epochs < 4.0
+    for r in rows.values():
+        assert r.realized_tokens <= min(r.desired_tokens, r.unique_tokens * 4)
+        assert abs(r.epochs - r.realized_tokens / r.unique_tokens) < 1e-6
+    # budget conservation: desired shares sum to <= budget (floor)
+    assert sum(r.desired_tokens for r in rows.values()) <= 2_000_000
