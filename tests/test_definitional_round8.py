@@ -142,3 +142,174 @@ def test_pipeline_e2e_report_matches_first_principles(spark, sf_dir):
     assert len(got_df) == 1
     got = tuple(got_df.iloc[0])
     assert got == want
+
+
+def test_pack_firstfit_matches_greedy_recurrence(spark, sf_dir):
+    """Third implementation of the no-split packer: plain Python greedy
+    over pandas, re-derived from the rule 'a doc that would overflow
+    the open bin closes it; docs truncate to the budget'."""
+    from reddit_can_bigdata_spark.operators.pretrain import PACK_BUDGET
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    want = {}
+    for source, grp in docs.groupby("source"):
+        grp = grp.sort_values("doc_id")
+        bin_id, fill, first = 1, 0, True
+        for r in grp.itertuples():
+            tok = min(len([t for t in r.text.split(" ") if t]), PACK_BUDGET)
+            if not first and fill + tok <= PACK_BUDGET:
+                fill += tok
+            else:
+                if not first:
+                    bin_id += 1
+                fill = tok
+            first = False
+            want[r.doc_id] = (source, tok, bin_id, fill)
+
+    got_df = _run("pretrain_pack_firstfit", spark, sf_dir)
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.bin_id, r.bin_fill)
+        for r in got_df.itertuples()
+    }
+    assert got == want
+
+
+def test_kmeans_lloyd_matches_numpy_quantized_lloyd(spark, sf_dir):
+    """Third implementation of the trainer: numpy Lloyd with the same
+    documented quantization contract (6dp-rounded centroids as the
+    iterated state, smallest-cid tie-break, empty clusters keep their
+    centroid) — but numpy VECTORIZED distance/mean arithmetic, a
+    different summation ORDER than both engines' sequential folds, so
+    agreement shows the quantization really does absorb FP noise."""
+    import numpy as np
+
+    from reddit_can_bigdata_spark.operators.similarity import (
+        KMEANS_K,
+        KMEANS_ROUNDS,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb[emb.embedding.notna()].sort_values("vec_id")
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    ids = emb.vec_id.to_numpy()
+    C = X[ids < KMEANS_K].copy()
+
+    assign = None
+    for _ in range(KMEANS_ROUNDS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the first (lowest cid) tie
+        for c in range(KMEANS_K):
+            members = X[assign == c]
+            if len(members):
+                C[c] = np.round(members.mean(axis=0), 6)
+
+    got = _run("sim_kmeans_lloyd", spark, sf_dir)
+    for c in range(KMEANS_K):
+        g = got[got.cid == c].sort_values("dim")
+        np.testing.assert_allclose(
+            g.centroid.to_numpy(), C[c], atol=2e-6,
+            err_msg=f"centroid {c} diverged from numpy Lloyd",
+        )
+        assert g.n_members.iloc[0] == int((assign == c).sum())
+
+
+def test_ivf_balance_matches_numpy_argmax(spark, sf_dir):
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb[emb.embedding.notna()].sort_values("vec_id")
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    ids = emb.vec_id.to_numpy()
+    C = X[ids < 8]
+    sims = (X @ C.T) / (
+        np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+    )
+    assign = sims.argmax(axis=1)
+    n = len(X)
+    counts = {c: int((assign == c).sum()) for c in range(8)}
+    imb = round(max(counts.values()) * 8 / n, 6)
+
+    got = _run("sim_ivf_balance", spark, sf_dir)
+    for r in got.itertuples():
+        assert r.n_vectors == counts[r.cid], r
+        assert abs(r.share - counts[r.cid] / n) < 1e-6
+        assert abs(r.imbalance_factor - imb) < 1e-6
+
+
+def test_scd1_upsert_matches_dict_replay(spark, sf_dir):
+    """Third implementation of the MERGE: the reference's sequential
+    per-row update_one replay — a dict keyed by order key, base first,
+    then updates in version order (last write wins)."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    state = {}
+    for r in orders.itertuples():
+        if r.o_orderkey % 10 >= 3:
+            state[r.o_orderkey] = (r.o_custkey, r.o_totalprice, r.o_orderstatus)
+    for r in orders.itertuples():  # version 1
+        if r.o_orderkey % 10 < 3 and r.o_orderkey % 2 == 0:
+            state[r.o_orderkey] = (r.o_custkey, round(r.o_totalprice * 1.1, 2), "U1")
+    for r in orders.itertuples():  # version 2 (wins)
+        if r.o_orderkey % 10 < 3:
+            state[r.o_orderkey] = (r.o_custkey, round(r.o_totalprice * 1.2, 2), "U2")
+
+    got_df = _run("warehouse_scd1_upsert", spark, sf_dir)
+    got = {
+        r.o_orderkey: (r.o_custkey, round(r.o_totalprice, 2), r.o_orderstatus)
+        for r in got_df.itertuples()
+    }
+    assert got == state
+
+
+def test_p9_flag_selection_matches_ranking_membership(spark, sf_dir):
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    from decimal import Decimal
+
+    totals = {}
+    for r in orders.itertuples():
+        totals[r.o_custkey] = totals.get(r.o_custkey, Decimal(0)) + Decimal(
+            str(r.o_totalprice)
+        )
+    top20 = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    ranks = {k: i + 1 for i, (k, _) in enumerate(top20)}
+    names = dict(zip(cust.c_custkey, cust.c_name))
+    want = {
+        (k, names[k], True, rank) for k, rank in ranks.items() if k in names
+    }
+
+    got_df = _run("p9_flag_selection", spark, sf_dir)
+    got = {
+        (r.c_custkey, r.c_name, r.is_influencer, r.influencer_rank)
+        for r in got_df.itertuples()
+    }
+    assert got == want
+
+
+def test_epoch_plan_matches_formula(spark, sf_dir):
+    import math
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    uniq = {
+        s: int(sum(len([t for t in txt.split(" ") if t]) for txt in g.text))
+        for s, g in docs.groupby("source")
+    }
+    raw = {s: u ** 0.7 for s, u in uniq.items()}
+    tot = sum(raw.values())
+    want = {}
+    for s, u in uniq.items():
+        desired = math.floor(raw[s] / tot * 150_000)
+        realized = min(desired, u * 4)
+        want[s] = (u, desired, realized, round(realized / u, 6), desired > u * 4)
+
+    got_df = _run("curate_epoch_plan", spark, sf_dir)
+    got = {
+        r.source: (
+            r.unique_tokens,
+            r.desired_tokens,
+            r.realized_tokens,
+            round(r.epochs, 6),
+            r.capped,
+        )
+        for r in got_df.itertuples()
+    }
+    assert got == want
