@@ -224,28 +224,48 @@ def _driver_check_counts(artifact_dir: str) -> tuple[dict[str, int], set[str]]:
     return counts, failed_last
 
 
-def _modified_since_green(artifact_dir: str) -> set[str]:
-    """Names whose CURRENT source hash differs from the hash stamped at
-    their last green external check (``VERIFIED_HASHES.json``, written
-    by ``tools/stamp_verified.py`` at round start, before any edits).
+#: version of the spec_source_hash ALGORITHM. Stamps written under a
+#: different algorithm version are incomparable — not evidence of an
+#: edit — so the rotation treats every query as merely "never verified
+#: under the current algorithm" (count-ordered) instead of flooding the
+#: urgent edited tier (round 8: the hash gained module+deps coverage,
+#: which would otherwise have pushed the round's count-0 newcomers out
+#: of the driver's 50-sample behind ~185 false "edits").
+HASH_VERSION = 2
+_VERSION_KEY = "__hash_version__"
 
-    A query edited after its green driver row must not wait a full
-    rotation cycle on its check count — local parity covers it, but
-    the EXTERNAL gate wouldn't until its count came up again. Names
-    with no stamp (brand-new queries) are not "modified": their count
-    of 0 already queues them early."""
+
+def _stamp_state(artifact_dir: str) -> tuple[set[str], set[str]]:
+    """(edited, unverified) from ``VERIFIED_HASHES.json``.
+
+    ``edited``: stamped under the CURRENT algorithm but the stamp no
+    longer matches — the source changed after the green driver row;
+    must re-verify immediately (round-6 judge item #1).
+    ``unverified``: no comparable stamp (brand-new query, missing file,
+    or a stamp from an older hash algorithm) — never externally
+    verified against the current source; queues ahead of
+    checked-and-unchanged queries but behind real edits."""
     import json
     from pathlib import Path
 
     path = Path(artifact_dir) / "VERIFIED_HASHES.json"
     if not path.exists():
-        return set()
+        return set(), set(REGISTRY)
     stamped = json.loads(path.read_text())
-    return {
-        name
-        for name in REGISTRY
-        if name in stamped and stamped[name] != spec_source_hash(REGISTRY[name])
-    }
+    if stamped.get(_VERSION_KEY) != HASH_VERSION:
+        return set(), set(REGISTRY)
+    edited, unverified = set(), set()
+    for name in REGISTRY:
+        if name not in stamped:
+            unverified.add(name)
+        elif stamped[name] != spec_source_hash(REGISTRY[name]):
+            edited.add(name)
+    return edited, unverified
+
+
+def _modified_since_green(artifact_dir: str) -> set[str]:
+    """Back-compat alias: the urgent ("edited since green") tier."""
+    return _stamp_state(artifact_dir)[0]
 
 
 def rotated_queries(artifact_dir: str) -> dict[str, QueryFn]:
@@ -265,7 +285,7 @@ def rotated_queries(artifact_dir: str) -> dict[str, QueryFn]:
     """
     _ensure_loaded()
     counts, failed_last = _driver_check_counts(artifact_dir)
-    changed = _modified_since_green(artifact_dir)
+    edited, unverified = _stamp_state(artifact_dir)
     # Tiebreak on NAME, not registration index: REGISTRY insertion
     # order depends on which module import fires the @register calls
     # first (a stray direct `import operators.curation` before
@@ -273,7 +293,13 @@ def rotated_queries(artifact_dir: str) -> dict[str, QueryFn]:
     # across processes; names are.
     order = sorted(
         REGISTRY,
-        key=lambda n: (n not in failed_last, n not in changed, counts.get(n, 0), n),
+        key=lambda n: (
+            n not in failed_last,
+            n not in edited,
+            n not in unverified,
+            counts.get(n, 0),
+            n,
+        ),
     )
     return {name: REGISTRY[name].fn for name in order}
 

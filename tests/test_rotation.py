@@ -105,6 +105,7 @@ def test_modified_since_green_jumps_queue(tmp_path):
         _write(tmp_path, f"CORRECTNESS_r{rnd:02d}.json", rows)
     # stamp: b matches its current source; a was "edited since green"
     stamps = {
+        registry._VERSION_KEY: registry.HASH_VERSION,
         a: "0" * 32,  # differs from the real hash -> modified
         b: registry.spec_source_hash(registry.REGISTRY[b]),
     }
@@ -133,7 +134,7 @@ def test_stamp_tool_keeps_old_stamp_for_stale_green(tmp_path):
     a, b = names[0], names[1]
     _write(tmp_path, "CORRECTNESS_r01.json", {a: _row()})
     _write(tmp_path, "CORRECTNESS_r02.json", {b: _row()})
-    old = {a: "f" * 32}  # pretend a's green row was earned by old source
+    old = {registry._VERSION_KEY: registry.HASH_VERSION, a: "f" * 32}
     (tmp_path / "VERIFIED_HASHES.json").write_text(json.dumps(old))
     # force=True: tmp_path is not a git checkout, so the round-start
     # tree guard (tested separately below) would refuse
@@ -257,7 +258,9 @@ def _simulate(monkeypatch, tmp_path, *, n, seed, fail_rate, edit_count):
                 stamps[name] = "0" * 32
                 requeues += 1
                 edited.add(name)
-        (tmp_path / "VERIFIED_HASHES.json").write_text(json.dumps(stamps))
+        (tmp_path / "VERIFIED_HASHES.json").write_text(
+            json.dumps({registry._VERSION_KEY: registry.HASH_VERSION, **stamps})
+        )
     return rnd, requeues
 
 
@@ -285,3 +288,40 @@ def test_rotation_coverage_bound_under_random_failures_and_edits(
             monkeypatch, tmp_path, n=200, seed=seed, fail_rate=0.1, edit_count=3
         )
         assert rounds <= (200 + requeues + 49) // 50
+
+
+def test_hash_version_change_demotes_stamps_to_unverified(tmp_path):
+    """Round 8: a spec_source_hash ALGORITHM change makes old stamps
+    incomparable — they must NOT flood the urgent edited tier (which
+    would push count-0 newcomers out of the 50-sample); instead every
+    query becomes merely 'unverified under the current algorithm' and
+    plain count ordering decides — newcomers first."""
+    registry._ensure_loaded()
+    names = list(registry.REGISTRY)
+    a, b = names[0], names[1]
+    _write(tmp_path, "CORRECTNESS_r01.json", {a: _row(), b: _row()})
+    # stamps written under a DIFFERENT algorithm version
+    (tmp_path / "VERIFIED_HASHES.json").write_text(
+        json.dumps({registry._VERSION_KEY: registry.HASH_VERSION - 1,
+                    a: "0" * 32, b: "1" * 32})
+    )
+    edited, unverified = registry._stamp_state(str(tmp_path))
+    assert not edited and unverified == set(registry.REGISTRY)
+    order = list(registry.rotated_queries(str(tmp_path)))
+    # checked-under-old-algo queries sort AFTER the count-0 rest
+    assert order.index(a) > 50 and order.index(b) > 50
+
+
+def test_current_repo_round8_newcomers_lead_rotation():
+    """Real-state pin for the round-8 driver sample: the newly added
+    queries (never externally checked) occupy the head of the rotation
+    right behind any failed-last rows, well inside the 50-sample."""
+    order = list(registry.rotated_queries(REPO))
+    newcomers = [
+        "dash_posts_explorer", "dash_sentiment_samples",
+        "dash_stats_timeline", "dash_community_summary",
+        "sim_kmeans_lloyd", "warehouse_scd1_upsert", "p9_flag_selection",
+        "pretrain_pack_firstfit", "sim_ivf_balance", "curate_epoch_plan",
+    ]
+    for n in newcomers:
+        assert n in order[:50], (n, order.index(n))

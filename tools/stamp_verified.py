@@ -82,9 +82,14 @@ def stamp(artifact_dir: str, force: bool = False) -> dict[str, str]:
 
     registry._ensure_loaded()
     out_path = Path(artifact_dir) / "VERIFIED_HASHES.json"
-    stamped: dict[str, str] = (
+    stamped: dict = (
         json.loads(out_path.read_text()) if out_path.exists() else {}
     )
+    # Stamps from an older hash ALGORITHM are incomparable with current
+    # hashes — keeping them would mark every query "edited"; discard
+    # and re-bootstrap under the current version (registry.HASH_VERSION).
+    if stamped.get(registry._VERSION_KEY) != registry.HASH_VERSION:
+        stamped = {}
 
     # latest verdict per query + which round file produced it
     latest: dict[str, tuple[bool, int]] = {}
@@ -128,6 +133,7 @@ def stamp(artifact_dir: str, force: bool = False) -> dict[str, str]:
         # else: keep the old stamp; a differing current hash means the
         # source was edited after the green row -> must re-queue.
 
+    stamped[registry._VERSION_KEY] = registry.HASH_VERSION
     out_path.write_text(json.dumps(stamped, indent=1, sort_keys=True) + "\n")
     print(
         f"stamped {len(stamped)} queries ({changed} new/updated) -> {out_path}"
