@@ -1549,7 +1549,12 @@ def build_tokenized_shards(
                   THEN p.bin_id ELSE p.bin_id + 1 END,
              CASE WHEN p.bin_fill + t.n_tokens <= {PACK_BUDGET}
                   THEN p.bin_fill + t.n_tokens ELSE t.n_tokens END
-      FROM pack p JOIN t ON t.source = p.source AND t.rn = p.rn + 1
+      -- IS NOT DISTINCT FROM: a NULL shard key is one group (matching
+      -- Spark's groupBy semantics); plain '=' would break the chain
+      -- after rn=1 and silently drop the rest of the NULL shard
+      -- (found by the nulls-axis differential fuzz, round 8)
+      FROM pack p JOIN t ON t.source IS NOT DISTINCT FROM p.source
+                        AND t.rn = p.rn + 1
     )
     SELECT source, doc_id, n_tokens, bin_id, bin_fill FROM pack
     """,

@@ -115,8 +115,12 @@ def test_single_row_input_matches_oracle(spark, name):
 # (engines' window null-ordering defaults differ — both sides now
 # exclude), NULL group names at a LIMIT boundary (explicit NULLS LAST),
 # null-safe SCD2 change detection (IS DISTINCT FROM / eqNullSafe),
-# UNPIVOT INCLUDE NULLS, and a zero-weight EWMA window (try_divide).
+# UNPIVOT INCLUDE NULLS, a zero-weight EWMA window (try_divide), and
+# (round 8) a NULL shard key breaking the pack-firstfit oracle's
+# recursive chain after rn=1 (= vs IS NOT DISTINCT FROM — Spark's
+# groupBy treats NULL as one group).
 NULLS_FIXED = [
+    "pretrain_pack_firstfit",
     "sim_topk_bruteforce",
     "dedup_embedding_lsh",
     "sim_knn_join",
