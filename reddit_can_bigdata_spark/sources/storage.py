@@ -82,6 +82,49 @@ def merge_upsert(
     out.write.mode("overwrite").parquet(path)
 
 
+def retention_sweep(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    cutoff: str,
+    delete: bool = False,
+    day_partitioned: bool = False,
+) -> int:
+    """The DAG's ``cleanup_old_data`` task
+    (`airflow/dags/reddit_can_complete_pipeline.py:242-254`): count
+    rows older than ``cutoff`` and, with ``delete=True``, actually
+    remove them (the reference only logs the count — it compares ISO
+    STRINGS and never deletes; here the comparison is a real timestamp
+    predicate and the delete is real).
+
+    Scale shape: the count is a pushed-down range predicate (one
+    pruned scan). The delete has two forms — ``day_partitioned=True``
+    drops whole ``day=`` partition directories older than the cutoff
+    (pure metadata at 100 TB, no data read: the shape a retention job
+    must have); otherwise it rewrites the keep-set (the plain-parquet
+    fallback; with Delta/Iceberg this is `DELETE WHERE` + vacuum).
+    Returns the number of rows removed (or that would be removed)."""
+    cur = spark.read.parquet(path)
+    old = cur.where(F.col(ts_col) < F.lit(cutoff).cast("timestamp"))
+    n_old = old.count()
+    if not delete or n_old == 0:
+        return n_old
+    if day_partitioned:
+        import shutil
+
+        cutoff_day = cutoff[:10]
+        for entry in sorted(os.listdir(path)):
+            if entry.startswith("day=") and entry[4:] < cutoff_day:
+                shutil.rmtree(os.path.join(path, entry))
+        return n_old
+    keep = cur.where(
+        ~(F.col(ts_col) < F.lit(cutoff).cast("timestamp"))
+        | F.col(ts_col).isNull()
+    ).localCheckpoint(eager=True)
+    keep.write.mode("overwrite").parquet(path)
+    return n_old
+
+
 def write_singleton(df: DataFrame, path: str) -> None:
     """S17: one-row metadata table (`update_one({'type': ...},
     upsert=True)`, `network-analysis/network_analysis.py:339-343`)."""

@@ -130,3 +130,45 @@ def test_python_datasource_reddit_rest(spark, tmp_path):
     from reddit_can_bigdata_spark.schemas import POST_SCHEMA
 
     assert df.schema == POST_SCHEMA
+
+
+def test_retention_sweep_counts_and_deletes(spark, sf_dir, tmp_path):
+    """The DAG's cleanup task, engine-side: count-only by default (the
+    reference never deletes), real delete on request — rewrite form
+    keeps NULL timestamps, partition-drop form removes whole day dirs
+    without reading data."""
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.sources.storage import retention_sweep
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cutoff = "2024-01-10"
+
+    # plain table: count-only, then rewrite-delete
+    plain = str(tmp_path / "plain")
+    ev.write.parquet(plain)
+    n_total = ev.count()
+    n_old = ev.where(F.col("ts") < F.lit(cutoff).cast("timestamp")).count()
+    assert 0 < n_old < n_total
+    assert retention_sweep(spark, plain, "ts", cutoff) == n_old  # no delete
+    assert spark.read.parquet(plain).count() == n_total  # untouched
+    assert retention_sweep(spark, plain, "ts", cutoff, delete=True) == n_old
+    kept = spark.read.parquet(plain)
+    assert kept.count() == n_total - n_old
+    assert kept.where(F.col("ts") < F.lit(cutoff).cast("timestamp")).count() == 0
+
+    # day-partitioned table: partition-drop form (no data rewrite)
+    parts = str(tmp_path / "parts")
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.partitionBy(
+        "day"
+    ).parquet(parts)
+    removed = retention_sweep(
+        spark, parts, "ts", cutoff, delete=True, day_partitioned=True
+    )
+    assert removed == n_old
+    left = spark.read.parquet(parts)
+    assert left.count() == n_total - n_old
+    # partition column is inferred as DATE on read-back
+    assert str(left.agg(F.min("day")).first()[0]) >= cutoff
