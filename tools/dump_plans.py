@@ -68,6 +68,14 @@ SHOWCASE = {
     "dedup_lsh_quality": "LSH quality metric: both arms are the scale-shaped dedup queries; the precision/recall join touches only surviving pairs.",
     "dedup_cluster_split": "Leakage-safe split: canonical-id hash on top of the cluster build — no new shuffle beyond dedup_clusters.",
     "cusum_changepoint_daily": "CUSUM via the prefix-sum identity: two ordered-frame window passes over a days-sized aggregate, no recursion.",
+    "dash_posts_explorer": "Serving-catalog explorer: both widget predicates in PushedFilters; head-15 is TakeOrderedAndProject — an interactive page costs one pruned scan.",
+    "dash_stats_timeline": "Date-range widget: the [start, end) predicate prunes at the scan (partition-pruning shape); day/type rollup in one exchange.",
+    "dash_community_summary": "Community block: one cached symmetric edge table feeds the label loop AND the degree aggregate; the summary is a |V|-sized join + |C|-sized aggregate into a top-10 heap.",
+    "sim_kmeans_lloyd": "Oracle-checkable Lloyd training: per round a K-row centroid broadcast argmin (corpus-linear, no corpus shuffle) + a (cid,dim)-keyed DECIMAL sum; rounds lineage-truncated.",
+    "warehouse_scd1_upsert": "MERGE as a query: last-write-wins window over the update batch + key-only LEFT ANTI against the base — the base side is never aggregated or widened.",
+    "pretrain_pack_firstfit": "No-split packing: column-pruned (doc_id, n_tokens) per shard through ONE Arrow crossing (FlatMapGroupsInPandas); bin state is two ints.",
+    "sim_ivf_balance": "IVF balance: broadcast argmin assignment + K-row counts; the scalar totals ride a 1-row broadcast back onto K rows.",
+    "curate_epoch_plan": "Epoch planning: corpus scanned once into a |sources|-row aggregate; all planning arithmetic in a window over that tiny table.",
     "text_readability": "Flesch scoring: single codegen stage, zero Exchange nodes — corpus-linear quality signal.",
 }
 
