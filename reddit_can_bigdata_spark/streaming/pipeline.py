@@ -382,3 +382,86 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TREND_TOPK)
         .drop("rn")
     )
+
+
+VIP_THRESHOLD = 300.0  # lifetime-value floor for the static VIP flag
+
+
+@register(
+    "streaming_static_enrichment",
+    oracle=f"""
+    WITH profile AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(20,6))) AS user_total
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE p.user_total >= {VIP_THRESHOLD})
+                AS BIGINT) AS n_vip_events,
+           CAST(round(SUM(CAST(e.value AS DECIMAL(20,6))), 4) AS DOUBLE)
+             AS total_value
+    FROM events e JOIN profile p ON p.user_id = e.user_id
+    GROUP BY e.event_type
+    """,
+    tags=("streaming", "join", "static", "enrichment"),
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join — the remaining standard
+    Structured Streaming join shape (ST tier had windows, dedup,
+    arbitrary state, and the stream-STREAM interval join; production
+    pipelines enrich a stream against a slowly-changing dimension far
+    more often than they join two streams). The static side is a
+    per-user lifetime-value profile (a batch aggregate of the same
+    events table — the "gold dimension" a real deployment would
+    maintain); the stream inner-joins it and aggregates per event
+    type in complete output mode. Verified against the plain batch
+    SQL join+rollup, so stream/batch equivalence holds THROUGH the
+    enrichment join.
+
+    Scale: the dimension is |users|-sized and broadcast per
+    micro-batch (stream-static joins keep NO join state — Spark
+    re-plans the static side each batch, which is exactly why the
+    pattern scales); the streaming aggregation state is
+    |event_types|-sized. No distinct aggregates (unsupported in
+    streaming) — counts and exact DECIMAL sums only."""
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"enrichstream_{uuid.uuid4().hex[:8]}"
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = None
+    try:
+        from reddit_can_bigdata_spark.operators.common import tables
+
+        ev = tables(spark, sf_dir)["events"]
+        profile = ev.groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("user_total")
+        )
+
+        stream = _events_file_stream(spark, sf_dir, stream_dir)
+        enriched = stream.join(F.broadcast(profile), "user_id")
+        agg = enriched.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count(
+                F.when(F.col("user_total") >= VIP_THRESHOLD, F.lit(1))
+            ).cast("bigint").alias("n_vip_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stream_dir, ignore_errors=True)
