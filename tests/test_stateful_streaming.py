@@ -188,3 +188,77 @@ def test_transform_with_state_executes_and_matches_oracle(spark, sf_dir, tmp_pat
     )
     got2 = sorted((r.user_id, r.milestone, r.tus) for r in rebatched.collect())
     assert got2 == expected
+
+
+def test_timer_sessionizer_executes_and_bounds_match_batch(spark, sf_dir, tmp_path):
+    """Round 8: EVENT-TIME TIMERS through transformWithStateInPandas —
+    sessions close by in-stream gap (exactly checkable) or by watermark
+    (the timer path). Contract, bounded where watermark semantics make
+    exactness environment-fragile:
+
+    1. every emitted row IS a true batch session (start/end/n exact);
+    2. every session CLOSED BY A LATER EVENT is emitted;
+    3. every trailing session the final watermark comfortably passed
+       (end + gap + delay + 1h < max stream ts) is emitted — these can
+       only come from handleExpiredTimer, so this asserts timers fired.
+    """
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from reddit_can_bigdata_spark.streaming.tws import (
+        SESSION_GAP_US,
+        TWS_EXECUTABLE,
+        run_sessions_timer_stream,
+    )
+
+    if not TWS_EXECUTABLE:
+        pytest.skip("no protobuf runtime — transformWithState cannot start")
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "src")
+    events.select("user_id", "event_id", "ts").write.parquet(src)
+
+    got_df = run_sessions_timer_stream(spark, src, str(tmp_path / "cp"))
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in got_df.collect()
+    }
+
+    # batch sessionization ground truth
+    src_df = spark.read.parquet(src)
+    if dict(src_df.dtypes)["ts"] == "bigint":
+        src_df = src_df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(src_df.dtypes)["ts"] != "timestamp":  # e.g. timestamp_ntz
+        src_df = src_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = sorted(
+        ((r.user_id, r.tus, r.event_id) for r in
+         src_df.select("user_id", F.unix_micros("ts").alias("tus"), "event_id")
+         .collect()),
+    )
+    sessions: dict[int, list[list[int]]] = {}
+    for user, tus, _eid in sorted(rows, key=lambda t: (t[0], t[1], t[2])):
+        user_sessions = sessions.setdefault(user, [])
+        if user_sessions and tus - user_sessions[-1][1] <= SESSION_GAP_US:
+            user_sessions[-1][1] = tus
+            user_sessions[-1][2] += 1
+        else:
+            user_sessions.append([tus, tus, 1])
+    all_sessions, closed_by_event = set(), set()
+    max_ts = max(t for _, t, _ in rows)
+    for user, user_sessions in sessions.items():
+        for i, (start, end, n) in enumerate(user_sessions):
+            all_sessions.add((user, start, end, n))
+            if i < len(user_sessions) - 1:
+                closed_by_event.add((user, start, end, n))
+
+    assert got <= all_sessions          # 1. nothing fabricated
+    assert closed_by_event <= got       # 2. gap closures all emitted
+    delay_us = 10 * 60 * 1_000_000
+    margin_us = 60 * 60 * 1_000_000
+    comfortably_passed = {
+        s for s in all_sessions - closed_by_event
+        if s[2] + SESSION_GAP_US + delay_us + margin_us < max_ts
+    }
+    assert comfortably_passed, "fixture should have timer-closable sessions"
+    assert comfortably_passed <= got    # 3. timers actually fired
