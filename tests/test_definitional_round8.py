@@ -313,3 +313,36 @@ def test_epoch_plan_matches_formula(spark, sf_dir):
         for r in got_df.itertuples()
     }
     assert got == want
+
+
+def test_streaming_static_enrichment_matches_dict_replay(spark, sf_dir):
+    """Third implementation of the stream-static enrichment rollup:
+    plain Python dict accumulation with exact Decimal arithmetic —
+    profile totals first, then the per-type counts/VIP counts/sums."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    q6 = Decimal("0.000001")
+    profile = {}
+    for r in ev.itertuples():
+        profile[r.user_id] = profile.get(r.user_id, Decimal(0)) + Decimal(
+            r.value
+        ).quantize(q6, ROUND_HALF_UP)
+    want = {}
+    for r in ev.itertuples():
+        n, vip, tot = want.get(r.event_type, (0, 0, Decimal(0)))
+        is_vip = profile[r.user_id] >= Decimal("300.0")
+        want[r.event_type] = (
+            n + 1,
+            vip + (1 if is_vip else 0),
+            tot + Decimal(r.value).quantize(q6, ROUND_HALF_UP),
+        )
+    want = {
+        k: (n, vip, float(t.quantize(Decimal("0.0001"), ROUND_HALF_UP)))
+        for k, (n, vip, t) in want.items()
+    }
+
+    got_df = _run("streaming_static_enrichment", spark, sf_dir)
+    got = {
+        r.event_type: (r.n_events, r.n_vip_events, round(r.total_value, 4))
+        for r in got_df.itertuples()
+    }
+    assert got == want
