@@ -346,3 +346,17 @@ def test_streaming_static_enrichment_matches_dict_replay(spark, sf_dir):
         for r in got_df.itertuples()
     }
     assert got == want
+
+
+def test_every_round8_mirrored_query_exists_in_registry():
+    """Battery self-check (same rule as test_definitional.py): a query
+    rename must not silently orphan its ground-truth mirror; shrinking
+    round-8 coverage fails."""
+    import re
+    from pathlib import Path
+
+    src = Path(__file__).read_text()
+    mirrored = set(re.findall(r'_run\("([a-z0-9_]+)"', src))
+    missing = mirrored - set(REGISTRY)
+    assert not missing, f"mirrored but not registered: {sorted(missing)}"
+    assert len(mirrored) >= 11  # the round-8 scope floor
