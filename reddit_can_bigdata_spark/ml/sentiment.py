@@ -159,20 +159,37 @@ def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         "naive_bayes": NaiveBayes(smoothing=1.0),
     }
 
+    # Cache the labeled corpus: it feeds the split, the feature fit,
+    # and the final full-dataset transform — without the cache the
+    # lexicon-scoring lineage re-executes four times (the reference
+    # has the same shape and the same cost,
+    # `spark_ml_sentiment.py:223-296`).
+    labeled = labeled.cache()
     train, test = labeled.randomSplit([0.8, 0.2], seed=seed)
     evaluator = MulticlassClassificationEvaluator(
         labelCol="label", predictionCol="prediction", metricName="accuracy"
     )
 
-    best_name, best_acc, best_model = "", -1.0, None
-    for mname, clf in classifiers.items():
-        model = Pipeline(stages=base + [clf]).fit(train)
-        acc = evaluator.evaluate(model.transform(test))
-        if acc > best_acc:
-            best_name, best_acc, best_model = mname, acc, model
+    # Fit the six feature stages ONCE and share the featurized train /
+    # test across the three classifier fits. Semantically identical to
+    # fitting three full `Pipeline(base + [clf])`s (the reference's
+    # structure, `spark_ml_sentiment.py:223-296`): the feature stages
+    # are deterministic given `train`, so each full pipeline would fit
+    # byte-identical feature models — this just stops re-scanning and
+    # re-featurizing the corpus once per classifier.
+    feat_model = Pipeline(stages=base).fit(train)
+    feat_train = feat_model.transform(train).cache()
+    feat_test = feat_model.transform(test).cache()
 
-    full = best_model.transform(labeled)
-    labels = best_model.stages[4].labelsArray[0]  # StringIndexer stage
+    best_name, best_acc, best_clf = "", -1.0, None
+    for mname, clf in classifiers.items():
+        model = clf.fit(feat_train)
+        acc = evaluator.evaluate(model.transform(feat_test))
+        if acc > best_acc:
+            best_name, best_acc, best_clf = mname, acc, model
+
+    full = best_clf.transform(feat_model.transform(labeled))
+    labels = feat_model.stages[4].labelsArray[0]  # StringIndexer stage
     to_str = IndexToString(
         inputCol="prediction", outputCol="ml_prediction", labels=list(labels)
     )
@@ -183,4 +200,9 @@ def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         (F.sum((F.col("lex_label") == F.col("ml_prediction")).cast("long")) / F.count("*"))
         .alias("r")
     ).collect()[0]["r"]
+    # The featurized splits are only needed for model selection; the
+    # returned `preds` lineage goes through `labeled` (kept cached for
+    # the caller's downstream writes, LRU-evicted by Spark as needed).
+    feat_train.unpersist()
+    feat_test.unpersist()
     return SentimentResult(best_name, float(best_acc), preds, float(agree))
