@@ -10,7 +10,12 @@ PartitionFilters / balanced tasks).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from reddit_can_bigdata_spark.registry import register
 
 
 def write_bucketed(
@@ -60,6 +65,58 @@ def write_date_partitioned(
         .write.mode("overwrite")
         .partitionBy(part_col)
         .parquet(path)
+    )
+
+
+def partitioned_events_path(sf_dir: str) -> str:
+    """Canonical temp location of the day-partitioned events copy for
+    ``sf_dir`` (deterministic so repeat invocations reuse the path)."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"events_day_parted_{tag}")
+
+
+@register(
+    "layout_partitioned_timeline",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(round(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY day, event_type
+    """,
+    tags=("layout", "partition", "pruning", "agg"),
+)
+def layout_partitioned_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §4.2 made physical: the `dash_stats_timeline` widget
+    range served FROM the day-partitioned layout. Writes the events
+    table out partitioned by ``day=`` (the layout `retention_sweep`'s
+    partition-drop form cleans), reads it back, and range-filters ON
+    THE PARTITION COLUMN — the predicate lands in the scan's
+    ``PartitionFilters`` (asserted in tests/test_layout.py), so at
+    100 TB the scan opens ten directories, not the table. The oracle
+    is the plain ts-range SQL over the unpartitioned table: identical
+    because ``day = date(ts)`` makes the two predicates equivalent
+    (NULL-ts rows land in the default partition and fail both)."""
+    from reddit_can_bigdata_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    path = partitioned_events_path(sf_dir)
+    write_date_partitioned(ev, path, "ts", part_col="day")
+    parted = spark.read.parquet(path)
+    return (
+        parted.where(
+            (F.col("day") >= F.lit("2024-01-10").cast("date"))
+            & (F.col("day") < F.lit("2024-01-20").cast("date"))
+        )
+        .groupBy(F.col("day").cast("string").alias("day"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
     )
 
 

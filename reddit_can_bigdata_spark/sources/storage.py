@@ -103,19 +103,32 @@ def retention_sweep(
     (pure metadata at 100 TB, no data read: the shape a retention job
     must have); otherwise it rewrites the keep-set (the plain-parquet
     fallback; with Delta/Iceberg this is `DELETE WHERE` + vacuum).
-    Returns the number of rows removed (or that would be removed)."""
+    Returns the number of rows removed (or that would be removed).
+    NOTE: the partition-drop form is DAY-granular — with an intra-day
+    cutoff (e.g. '2024-01-15 12:00') that day's partition survives
+    whole, and the returned count reflects exactly the rows in the
+    dropped ``day=`` directories (ts < the cutoff's DATE), not the
+    finer ts predicate."""
     cur = spark.read.parquet(path)
-    old = cur.where(F.col(ts_col) < F.lit(cutoff).cast("timestamp"))
-    n_old = old.count()
-    if not delete or n_old == 0:
-        return n_old
-    if day_partitioned:
+    if delete and day_partitioned:
         import shutil
 
         cutoff_day = cutoff[:10]
+        # Count on the PARTITION column: day-granular to match what the
+        # drop actually removes (round-9 advice fix — n_old overstated
+        # the deletion for intra-day cutoffs), and partition-pruned so
+        # at 100 TB the count reads only the to-be-dropped directories'
+        # footers, never the keep-set.
+        n_dropped = cur.where(F.col("day").cast("string") < cutoff_day).count()
+        if n_dropped == 0:
+            return 0
         for entry in sorted(os.listdir(path)):
             if entry.startswith("day=") and entry[4:] < cutoff_day:
                 shutil.rmtree(os.path.join(path, entry))
+        return n_dropped
+    old = cur.where(F.col(ts_col) < F.lit(cutoff).cast("timestamp"))
+    n_old = old.count()
+    if not delete or n_old == 0:
         return n_old
     keep = cur.where(
         ~(F.col(ts_col) < F.lit(cutoff).cast("timestamp"))
