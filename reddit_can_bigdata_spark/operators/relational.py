@@ -842,13 +842,20 @@ def f1_clean_text_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean text, derive length + word count, keep rows with
     text_length > 20. Whole thing is one codegen stage — no Python
     worker round-trip, unlike the reference's row-at-a-time UDF."""
+    t = tables(spark, sf_dir)
+    return clean_text_etl_transform(t["documents"])
+
+
+def clean_text_etl_transform(df: DataFrame) -> DataFrame:
+    """The f1 featurization as a batch/stream-agnostic transform —
+    shared by the batch query above and the streaming-ETL sink
+    (`streaming_etl_sink`), so stream and batch cannot drift; their
+    outputs are hash-checked against the SAME oracle."""
     from reddit_can_bigdata_spark.functions.text import clean_text_expr, word_count_expr
 
-    t = tables(spark, sf_dir)
     cleaned = clean_text_expr(F.col("text"))
     return (
-        t["documents"]
-        .select(
+        df.select(
             "doc_id",
             cleaned.alias("cleaned_text"),
             F.length(cleaned).alias("text_length"),
