@@ -301,24 +301,53 @@ def stats_timeline(
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dash_posts_explorer",
-    oracle="""
+#: ORDER BY fragment per sort mode — mirrors posts_explorer's key map
+#: (doc_id tiebreak; doc_id is unique so the order is total).
+_SORT_SQL = {
+    "score": "n_chars DESC, doc_id",
+    "date": "doc_id DESC, doc_id",
+    "comments": "word_count DESC, doc_id",
+}
+
+
+def posts_explorer_oracle(
+    *,
+    subreddit: str | None = None,
+    min_score: int = 0,
+    sort_by: str = "score",
+    limit: int = 15,
+) -> str:
+    """DuckDB oracle for ANY posts_explorer widget state, built from
+    the same literals the Spark builder binds — the registered
+    `dash_posts_explorer` fixed point uses it, and the grid sweep in
+    tests/test_dashboard_catalog.py proves the whole parameter family
+    (not just the fixed point) matches."""
+    where = [f"n_chars >= {int(min_score)}"]
+    if subreddit is not None:
+        where.insert(0, f"source = '{subreddit}'")
+    return f"""
     WITH filtered AS (
       SELECT doc_id, source, n_chars,
              length(regexp_split_to_array(trim(text), '\\s+')) AS word_count,
              substring(text, 1, 80) AS title_preview
       FROM documents
-      WHERE source = 'src7' AND n_chars >= 120
+      WHERE {" AND ".join(where)}
     ),
     ranked AS (
-      SELECT *, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      SELECT *, row_number() OVER (ORDER BY {_SORT_SQL[sort_by]}) AS rn
       FROM filtered
     )
     SELECT doc_id, source, n_chars, CAST(word_count AS INT) AS word_count,
            title_preview
-    FROM ranked WHERE rn <= 15 ORDER BY rn
-    """,
+    FROM ranked WHERE rn <= {int(limit)} ORDER BY rn
+    """
+
+
+@register(
+    "dash_posts_explorer",
+    oracle=posts_explorer_oracle(
+        subreddit="src7", min_score=120, sort_by="score", limit=15
+    ),
     tags=("dashboard", "filter", "topk"),
 )
 def dash_posts_explorer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,9 +359,12 @@ def dash_posts_explorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sentiment_samples_oracle() -> str:
+def sentiment_samples_oracle(*, sentiment: str = "positive", n: int = 5) -> str:
+    """DuckDB oracle for ANY sentiment_samples widget state (label tab
+    × sample count), from the same literals the Spark builder binds."""
     from reddit_can_bigdata_spark.functions.vader import vader_sql
 
+    assert sentiment in ("positive", "neutral", "negative")
     return f"""
     WITH scored AS (
       SELECT doc_id, round({vader_sql('text')}, 6) + 0 AS compound
@@ -347,15 +379,15 @@ def _sentiment_samples_oracle() -> str:
     ),
     ranked AS (
       SELECT *, row_number() OVER (ORDER BY abs(compound) DESC, doc_id) AS rn
-      FROM labeled WHERE vader_label = 'positive'
+      FROM labeled WHERE vader_label = '{sentiment}'
     )
-    SELECT doc_id, compound, vader_label FROM ranked WHERE rn <= 5
+    SELECT doc_id, compound, vader_label FROM ranked WHERE rn <= {int(n)}
     """
 
 
 @register(
     "dash_sentiment_samples",
-    oracle=_sentiment_samples_oracle(),
+    oracle=sentiment_samples_oracle(sentiment="positive", n=5),
     tags=("dashboard", "sentiment", "vader", "topk"),
 )
 def dash_sentiment_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,17 +496,22 @@ def dash_community_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return named.orderBy(F.col("members").desc(), F.col("community")).limit(10)
 
 
-@register(
-    "dash_stats_timeline",
-    oracle="""
+def stats_timeline_oracle(*, start: str, end: str) -> str:
+    """DuckDB oracle for ANY stats_timeline date-range widget state."""
+    return f"""
     SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
            CAST(COUNT(*) AS BIGINT) AS cnt,
            CAST(round(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
              AS total_value
     FROM events
-    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    WHERE ts >= TIMESTAMP '{start}' AND ts < TIMESTAMP '{end}'
     GROUP BY day, event_type
-    """,
+    """
+
+
+@register(
+    "dash_stats_timeline",
+    oracle=stats_timeline_oracle(start="2024-01-10", end="2024-01-20"),
     tags=("dashboard", "date", "agg"),
 )
 def dash_stats_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
