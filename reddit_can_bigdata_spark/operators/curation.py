@@ -773,21 +773,30 @@ MAX_EPOCHS = 4  # data-constrained repeat ceiling (Muennighoff et al.)
       SELECT source, unique_tokens,
              pow(CAST(unique_tokens AS DOUBLE), {MIX_ALPHA_X10 / 10}) AS raw_w
       FROM toks
+    ),
+    shares AS (
+      -- quantize the share to 9 dp BEFORE the floor: the window SUM is
+      -- an order-dependent double accumulation, and a ULP difference
+      -- between engines could otherwise flip floor() at an integer
+      -- boundary (round-9 advice; same determinism doctrine as
+      -- sim_kmeans_lloyd)
+      SELECT source, unique_tokens,
+             round(raw_w / SUM(raw_w) OVER (), 9) AS share
+      FROM wts
     )
     SELECT source, unique_tokens,
-           CAST(floor(raw_w / SUM(raw_w) OVER () * {EPOCH_BUDGET}) AS BIGINT)
-             AS desired_tokens,
+           CAST(floor(share * {EPOCH_BUDGET}) AS BIGINT) AS desired_tokens,
            CAST(least(
-             CAST(floor(raw_w / SUM(raw_w) OVER () * {EPOCH_BUDGET}) AS BIGINT),
+             CAST(floor(share * {EPOCH_BUDGET}) AS BIGINT),
              unique_tokens * {MAX_EPOCHS}
            ) AS BIGINT) AS realized_tokens,
            round(least(
-             CAST(floor(raw_w / SUM(raw_w) OVER () * {EPOCH_BUDGET}) AS BIGINT),
+             CAST(floor(share * {EPOCH_BUDGET}) AS BIGINT),
              unique_tokens * {MAX_EPOCHS}
            ) * 1.0 / unique_tokens, 6) AS epochs,
-           (CAST(floor(raw_w / SUM(raw_w) OVER () * {EPOCH_BUDGET}) AS BIGINT)
+           (CAST(floor(share * {EPOCH_BUDGET}) AS BIGINT)
             > unique_tokens * {MAX_EPOCHS}) AS capped
-    FROM wts
+    FROM shares
     """,
     tags=("curation", "mixture", "epochs", "budget"),
 )
@@ -824,9 +833,11 @@ def epoch_plan(
     fixture corpus never produces."""
     w = Window.partitionBy()
     raw_w = F.pow(F.col("unique_tokens").cast("double"), F.lit(alpha))
-    desired = F.floor(
-        raw_w / F.sum(raw_w).over(w) * F.lit(budget)
-    ).cast("bigint")
+    # quantize the share to 9 dp before flooring — the window SUM is an
+    # order-dependent double accumulation; a cross-engine ULP wiggle
+    # must not flip floor() at an integer boundary (round-9 advice)
+    share = F.round(raw_w / F.sum(raw_w).over(w), 9)
+    desired = F.floor(share * F.lit(budget)).cast("bigint")
     ceiling = F.col("unique_tokens") * max_epochs
     realized = F.least(desired, ceiling).cast("bigint")
     return counts.select(

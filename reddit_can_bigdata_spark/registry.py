@@ -243,8 +243,11 @@ def _stamp_state(artifact_dir: str) -> tuple[set[str], set[str]]:
     must re-verify immediately (round-6 judge item #1).
     ``unverified``: no comparable stamp (brand-new query, missing file,
     or a stamp from an older hash algorithm) — never externally
-    verified against the current source; queues ahead of
-    checked-and-unchanged queries but behind real edits."""
+    verified against the current source; queues ahead of BOTH edited
+    and checked-and-unchanged queries (round 9: a first-ever external
+    check outranks a re-check of a previously-green edit, otherwise a
+    round that touches shared modules re-queues enough dependents to
+    starve the round's newcomers out of the driver's 50-sample)."""
     import json
     from pathlib import Path
 
@@ -278,9 +281,11 @@ def rotated_queries(artifact_dir: str) -> dict[str, QueryFn]:
     using the CORRECTNESS_r*.json artifacts in ``artifact_dir``.  Queries
     whose LATEST driver check was red jump the queue entirely: a fixed
     failure must be re-verified externally in the very next round, not
-    whenever its count comes up again.  Right behind them: queries whose
-    source+oracle hash changed since the stamp that earned their last
-    green row (see :func:`_modified_since_green`).  This
+    whenever its count comes up again.  Right behind them: queries with
+    no external row under the current hash algorithm (first-ever checks
+    — a newcomer must not wait behind a wide edit wave), then queries
+    whose source+oracle hash changed since the stamp that earned their
+    last green row (see :func:`_modified_since_green`).  This
     coverage-rotation concern lives here, out of the library API.
     """
     _ensure_loaded()
@@ -295,8 +300,8 @@ def rotated_queries(artifact_dir: str) -> dict[str, QueryFn]:
         REGISTRY,
         key=lambda n: (
             n not in failed_last,
-            n not in edited,
             n not in unverified,
+            n not in edited,
             counts.get(n, 0),
             n,
         ),

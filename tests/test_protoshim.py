@@ -80,3 +80,40 @@ def test_fresh_interpreter_full_chain():
     assert "state" in out.stdout
     if "shimmed" in out.stdout or "native" in out.stdout:
         assert "pb2 roundtrip ok" in out.stdout
+
+
+def test_lenient_validator_accepts_only_documented_skew():
+    """Round-9 advice: the shim's validator must suppress ONLY the
+    same-major, gencode-at-most-one-minor-ahead skew (6.33 gencode on
+    the 6.32 SDK runtime). A major-version skew — where the descriptor
+    format may change — must re-raise, not pass silently."""
+    code = (
+        "from reddit_can_bigdata_spark.protoshim import activate\n"
+        "state = activate()\n"
+        "print('state', state)\n"
+        "if state == 'shimmed':\n"
+        "    from google.protobuf import runtime_version as rv\n"
+        "    d = rv.Domain.PUBLIC\n"
+        "    rv.ValidateProtobufRuntimeVersion(\n"
+        "        d, rv.MAJOR, rv.MINOR + 1, 0, '', 'skew-ok')\n"
+        "    print('one-minor skew accepted')\n"
+        "    for maj, mino in ((rv.MAJOR + 1, 0), (rv.MAJOR, rv.MINOR + 2)):\n"
+        "        try:\n"
+        "            rv.ValidateProtobufRuntimeVersion(\n"
+        "                d, maj, mino, 0, '', 'skew-bad')\n"
+        "        except rv.VersionError:\n"
+        "            print('rejected', maj, mino)\n"
+        "        else:\n"
+        "            raise SystemExit(f'silently passed {maj}.{mino}')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr + out.stdout
+    if "shimmed" in out.stdout:
+        assert "one-minor skew accepted" in out.stdout
+        assert out.stdout.count("rejected") == 2

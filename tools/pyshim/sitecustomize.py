@@ -57,12 +57,33 @@ if not _real_protobuf_present() and os.path.isdir(
     else:
         _orig_validate = _rv.ValidateProtobufRuntimeVersion
 
+        _VALIDATE_PARAMS = (
+            "gen_domain", "gen_major", "gen_minor", "gen_patch",
+            "gen_suffix", "location",
+        )
+
         def _lenient_validate(*args, **kwargs):
             try:
                 _orig_validate(*args, **kwargs)
             except _rv.VersionError:
-                # gencode 6.33 vs runtime 6.32: same major, descriptor
-                # format unchanged — accept the skew in this sandbox.
-                pass
+                # Accept ONLY the documented skew: same major version,
+                # gencode at most one minor AHEAD of the runtime (6.33
+                # gencode on the SDK's 6.32 runtime — no descriptor
+                # format change between adjacent minors). Any larger
+                # skew (in particular a major bump, where the
+                # descriptor format may change) re-raises: silently
+                # passing it would surface later as opaque descriptor
+                # errors inside Spark workers (round-9 advice).
+                bound = dict(zip(_VALIDATE_PARAMS, args))
+                bound.update(kwargs)
+                gen_major = bound.get("gen_major")
+                gen_minor = bound.get("gen_minor")
+                if (
+                    gen_major == _rv.MAJOR
+                    and isinstance(gen_minor, int)
+                    and 0 <= gen_minor - _rv.MINOR <= 1
+                ):
+                    return
+                raise
 
         _rv.ValidateProtobufRuntimeVersion = _lenient_validate

@@ -41,31 +41,49 @@ from pathlib import Path
 def tree_matches_round_commit(artifact_dir: str, newest_file: Path) -> tuple[bool, str]:
     """Does the working tree's engine source match the commit that last
     touched ``newest_file``? Returns (ok, explanation)."""
+    def _git(*args: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            ["git", *args],
+            cwd=artifact_dir,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+
     try:
-        commit = subprocess.run(
-            ["git", "log", "-n1", "--format=%H", "--", newest_file.name],
-            cwd=artifact_dir,
-            capture_output=True,
-            text=True,
-            timeout=30,
-        ).stdout.strip()
+        inside = _git("rev-parse", "--is-inside-work-tree")
+        if inside.returncode != 0 or inside.stdout.strip() != "true":
+            return False, "not a git checkout"
+        commit = _git("log", "-n1", "--format=%H", "--", newest_file.name).stdout.strip()
         if not commit:
-            return False, f"{newest_file.name} has no commit history"
-        diff = subprocess.run(
-            [
-                "git",
-                "diff",
-                "--stat",
-                commit,
-                "--",
-                "reddit_can_bigdata_spark",
-                "__spark_entry__.py",
-            ],
-            cwd=artifact_dir,
-            capture_output=True,
-            text=True,
-            timeout=30,
-        ).stdout.strip()
+            # An UNTRACKED round artifact (the driver just wrote it,
+            # nobody committed yet) is the normal round-start state —
+            # the guard question is still only "do the engine sources
+            # match what the driver verified?", which for an untracked
+            # artifact means: unchanged vs HEAD (round-9 advice fix).
+            if newest_file.exists():
+                # `git diff HEAD` misses untracked files, so also
+                # require a clean status over the engine sources
+                status = _git(
+                    "status", "--porcelain", "--",
+                    "reddit_can_bigdata_spark", "__spark_entry__.py",
+                )
+                if status.stdout.strip():
+                    return False, (
+                        f"{newest_file.name} is untracked and engine "
+                        f"sources have uncommitted changes:\n"
+                        f"{status.stdout.strip()}"
+                    )
+                commit = "HEAD"
+            else:
+                return False, f"{newest_file.name} has no commit history"
+        diff_res = _git(
+            "diff", "--stat", commit, "--",
+            "reddit_can_bigdata_spark", "__spark_entry__.py",
+        )
+        if diff_res.returncode != 0:
+            return False, f"git diff vs {commit} failed: {diff_res.stderr.strip()}"
+        diff = diff_res.stdout.strip()
         if diff:
             return False, (
                 f"engine sources differ from {commit[:12]} (the commit that "
