@@ -99,12 +99,19 @@ def layout_partitioned_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the plain ts-range SQL over the unpartitioned table: identical
     because ``day = date(ts)`` makes the two predicates equivalent
     (NULL-ts rows land in the default partition and fail both)."""
+    from pyspark.sql.types import DateType, StructField
+
     from reddit_can_bigdata_spark.tables import load_tables
 
     ev = load_tables(spark, sf_dir)["events"]
     path = partitioned_events_path(sf_dir)
     write_date_partitioned(ev, path, "ts", part_col="day")
-    parted = spark.read.parquet(path)
+    # explicit schema (base + the day partition column): an EMPTY
+    # events table writes zero data files and schema inference would
+    # fail on read-back; with the schema given, empty-in -> empty-out
+    parted = spark.read.schema(ev.schema.add(StructField("day", DateType()))).parquet(
+        path
+    )
     return (
         parted.where(
             (F.col("day") >= F.lit("2024-01-10").cast("date"))
