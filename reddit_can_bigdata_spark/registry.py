@@ -351,6 +351,6 @@ def _ensure_loaded() -> None:
     from reddit_can_bigdata_spark.streaming import pipeline, stateful, tws  # noqa: F401
     from reddit_can_bigdata_spark import orchestration, serving  # noqa: F401
     from reddit_can_bigdata_spark.multimodal import binaryops  # noqa: F401
-    from reddit_can_bigdata_spark.plans import layout  # noqa: F401
+    from reddit_can_bigdata_spark.plans import layout, maintenance  # noqa: F401
 
     _LOADED = True
