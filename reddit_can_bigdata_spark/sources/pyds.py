@@ -25,7 +25,12 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from reddit_can_bigdata_spark.schemas import POST_SCHEMA
 from reddit_can_bigdata_spark.sources.rest import extract_post
@@ -49,12 +54,35 @@ class RedditRestDataSource(DataSource):
         return RedditRestReader(self.options)
 
 
+def _parse_capture_file(path: str, scraped_at: str) -> Iterator[tuple]:
+    """Shared batch/stream partition parse: JSON-lines capture file →
+    POST_SCHEMA tuples, malformed lines skipped (the reference
+    scraper's tolerant behavior)."""
+    cols = [f.name for f in POST_SCHEMA.fields]
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                raw = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # reference scraper tolerates bad rows
+            row = extract_post(raw, scraped_at)
+            yield tuple(row[c] for c in cols)
+
+
+def _split_paths(options: dict) -> list[str]:
+    paths = options.get("paths") or options.get("path") or ""
+    out = [p for p in paths.split(",") if p]
+    if not out:
+        raise ValueError("reddit_rest: option 'paths' is required")
+    return out
+
+
 class RedditRestReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
-        paths = options.get("paths") or options.get("path") or ""
-        self._paths: Sequence[str] = [p for p in paths.split(",") if p]
-        if not self._paths:
-            raise ValueError("reddit_rest: option 'paths' is required")
+        self._paths: Sequence[str] = _split_paths(options)
         self._scraped_at = options.get("scraped_at", DEFAULT_SCRAPED_AT)
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -62,15 +90,67 @@ class RedditRestReader(DataSourceReader):
         return [InputPartition(p) for p in self._paths]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
-        cols = [f.name for f in POST_SCHEMA.fields]
-        with open(partition.value, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    raw = json.loads(line)
-                except json.JSONDecodeError:
-                    continue  # reference scraper tolerates bad rows
-                row = extract_post(raw, self._scraped_at)
-                yield tuple(row[c] for c in cols)
+        yield from _parse_capture_file(partition.value, self._scraped_at)
+
+
+class RedditStreamDataSource(DataSource):
+    """format name: ``reddit_rest_stream`` — the scraper feed as a
+    STREAMING source with real offset management, replacing the
+    reference's Kafka hop (`scraper/kafka_producer.py` →
+    `spark-streaming-pyspark/spark_streaming.py:53-59`) with Spark's
+    Python DataSource streaming API. The offset is an index into the
+    sorted capture-file list — exactly a single-partition Kafka
+    topic's offset, so everything downstream (checkpointed resume,
+    exactly-once restart, replay) behaves like the Kafka source the
+    sandbox can't run: on restart Spark hands the COMMITTED offset
+    back to ``partitions(start, end)`` and only files ``>= start``
+    are read (asserted in tests/test_stream_recovery.py).
+
+    Options: ``paths`` (comma-joined JSON-lines capture files, sorted
+    internally so offsets are stable), optional ``scraped_at``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "reddit_rest_stream"
+
+    def schema(self):
+        return POST_SCHEMA
+
+    def streamReader(self, schema) -> "RedditStreamReader":
+        return RedditStreamReader(self.options)
+
+
+class RedditStreamReader(DataSourceStreamReader):
+    """Partition-planned stream reader: each micro-batch's files are
+    parsed executor-side in parallel (one InputPartition per file),
+    never on the driver — the 100 TB-honest shape
+    (`SimpleDataSourceStreamReader` would funnel every byte through
+    the driver). ``latestOffset`` reports everything currently listed
+    as available (no artificial pacing; at scale, rate limiting
+    belongs to the listing step that feeds ``paths``), so a trigger
+    consumes [committed, available) and the offset log provides
+    exactly-once resume across restarts."""
+
+    def __init__(self, options: dict) -> None:
+        self._paths = sorted(_split_paths(options))
+        self._scraped_at = options.get("scraped_at", DEFAULT_SCRAPED_AT)
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(self._paths)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return [
+            InputPartition(self._paths[i])
+            for i in range(start["index"], min(end["index"], len(self._paths)))
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        yield from _parse_capture_file(partition.value, self._scraped_at)
+
+    def commit(self, end: dict) -> None:
+        # capture files are immutable; nothing to release. A Kafka-like
+        # source would delete/ack consumed data here.
+        pass

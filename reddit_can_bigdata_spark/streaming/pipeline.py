@@ -539,3 +539,89 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+@register(
+    "streaming_pyds_source",
+    oracle="""
+    SELECT lang AS subreddit,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_score
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("streaming", "source", "datasource", "offsets"),
+    deps=(
+        "reddit_can_bigdata_spark.sources.pyds",
+        "reddit_can_bigdata_spark.sources.rest",
+    ),
+)
+def streaming_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2's execution story without the broker: the documents table
+    rendered as raw scraper JSON-lines captures, STREAMED back in
+    through the `reddit_rest_stream` Python DataSource (real offset
+    log, executor-side partition parse — `sources/pyds.py`), landed
+    via the foreachBatch parquet sink, and rolled up per subreddit.
+    The oracle is plain SQL over the source table, so the row pins the
+    whole source path — offset planning, per-file partition reads, the
+    `extract_post` normalization (score/selftext defaults), and the
+    sink — against batch semantics. The Kafka jar stays environmental;
+    the streaming-source CONTRACT (initialOffset → partitions(start,
+    end) → commit, checkpointed resume) now executes and is further
+    restart-tested in tests/test_stream_recovery.py."""
+    import glob as _glob
+
+    from reddit_can_bigdata_spark.schemas import POST_SCHEMA
+    from reddit_can_bigdata_spark.sources.pyds import RedditStreamDataSource
+    from reddit_can_bigdata_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tag = uuid.uuid4().hex[:8]
+    cap_dir = os.path.join(tempfile.gettempdir(), f"pyds_capture_{tag}")
+    out_dir = os.path.join(tempfile.gettempdir(), f"pyds_sink_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_pyds_{tag}")
+    try:
+        raw = docs.select(
+            F.to_json(
+                F.struct(
+                    F.col("doc_id").cast("string").alias("id"),
+                    F.col("text").alias("title"),
+                    F.col("source").alias("author"),
+                    F.col("lang").alias("subreddit"),
+                    F.col("n_chars").cast("int").alias("score"),
+                )
+            ).alias("value")
+        )
+        raw.repartition(4).write.mode("overwrite").text(cap_dir)
+        files = sorted(_glob.glob(os.path.join(cap_dir, "part-*")))
+        if not files:  # empty corpus writes no capture files
+            return spark.createDataFrame(
+                [], "subreddit string, cnt bigint, total_score bigint"
+            )
+        spark.dataSource.register(RedditStreamDataSource)
+        stream = (
+            spark.readStream.format("reddit_rest_stream")
+            .option("paths", ",".join(files))
+            .load()
+        )
+
+        def write_batch(bdf: DataFrame, _bid: int) -> None:
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        posts = spark.read.schema(POST_SCHEMA).parquet(out_dir)
+        out = posts.groupBy("subreddit").agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("score").cast("bigint").alias("total_score"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(cap_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

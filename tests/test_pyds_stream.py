@@ -1,0 +1,122 @@
+"""The `reddit_rest_stream` Python streaming DataSource: offset
+planning, executor-side partition reads, and — the property that makes
+it a Kafka stand-in — resume from the COMMITTED offset on restart.
+(Content correctness of the full round trip is hash-checked against
+DuckDB via test_oracle_parity / `streaming_pyds_source`.)"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_can_bigdata_spark.sources.pyds import (
+    RedditRestDataSource,
+    RedditStreamDataSource,
+    RedditStreamReader,
+)
+
+
+@pytest.fixture(scope="module")
+def capture_files(tmp_path_factory):
+    """Four JSON-lines capture files of 25 synthetic listing children
+    each, ids globally unique so dupes/loss are detectable."""
+    root = tmp_path_factory.mktemp("captures")
+    paths = []
+    for f in range(4):
+        p = root / f"capture-{f:02d}.jsonl"
+        with open(p, "w", encoding="utf-8") as fh:
+            for i in range(25):
+                fh.write(
+                    json.dumps(
+                        {
+                            "id": f"t3_{f:02d}_{i:02d}",
+                            "title": f"post {f}/{i}",
+                            "subreddit": f"sub{i % 3}",
+                            "score": f * 100 + i,
+                        }
+                    )
+                    + "\n"
+                )
+        paths.append(str(p))
+    return paths
+
+
+def test_offset_slicing_plans_only_requested_files(capture_files):
+    r = RedditStreamReader({"paths": ",".join(capture_files)})
+    assert r.initialOffset() == {"index": 0}
+    assert r.latestOffset() == {"index": 4}
+    parts = r.partitions({"index": 1}, {"index": 3})
+    assert [p.value for p in parts] == sorted(capture_files)[1:3]
+    # an end offset beyond the currently-listed files must not plan
+    # phantom partitions (restart with fewer files listed than committed)
+    assert len(r.partitions({"index": 0}, {"index": 99})) == 4
+
+
+def _run_stream(spark, paths, ckpt, out_dir):
+    spark.dataSource.register(RedditStreamDataSource)
+    stream = (
+        spark.readStream.format("reddit_rest_stream")
+        .option("paths", ",".join(paths))
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _ids(spark, out_dir):
+    from reddit_can_bigdata_spark.schemas import POST_SCHEMA
+
+    return sorted(
+        r["id"]
+        for r in spark.read.schema(POST_SCHEMA).parquet(out_dir).select("id").collect()
+    )
+
+
+def test_restart_resumes_from_committed_offset(spark, capture_files, tmp_path):
+    """Phase 1 consumes files 0-1; the restart lists all four files
+    against the SAME checkpoint and must read ONLY files 2-3: the
+    final sink equals a one-shot run — no loss, no dupes."""
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "sink")
+    _run_stream(spark, capture_files[:2], ckpt, out_dir)
+    phase1 = _ids(spark, out_dir)
+    assert len(phase1) == 50 and len(set(phase1)) == 50
+
+    _run_stream(spark, capture_files, ckpt, out_dir)
+    final = _ids(spark, out_dir)
+
+    oneshot_dir = str(tmp_path / "oneshot")
+    _run_stream(spark, capture_files, str(tmp_path / "ckpt2"), oneshot_dir)
+    assert final == _ids(spark, oneshot_dir)
+    assert len(final) == 100 and len(set(final)) == 100
+
+
+def test_stream_matches_batch_datasource(spark, capture_files, tmp_path):
+    """The streaming source and the batch `reddit_rest` source apply
+    the identical normalization: same rows either way."""
+    out_dir = str(tmp_path / "sink")
+    _run_stream(spark, capture_files, str(tmp_path / "ckpt"), out_dir)
+    from reddit_can_bigdata_spark.schemas import POST_SCHEMA
+
+    streamed = spark.read.schema(POST_SCHEMA).parquet(out_dir)
+    spark.dataSource.register(RedditRestDataSource)
+    batch = (
+        spark.read.format("reddit_rest")
+        .option("paths", ",".join(capture_files))
+        .load()
+    )
+    cols = sorted(streamed.columns)
+    assert sorted(map(tuple, streamed.select(*cols).collect())) == sorted(
+        map(tuple, batch.select(*cols).collect())
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
