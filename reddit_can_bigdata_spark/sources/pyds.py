@@ -23,13 +23,18 @@ are skipped, counted per the reference's tolerant-scraper behavior.
 from __future__ import annotations
 
 import json
+import os
+import uuid
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from reddit_can_bigdata_spark.schemas import POST_SCHEMA
@@ -154,3 +159,104 @@ class RedditStreamReader(DataSourceStreamReader):
         # capture files are immutable; nothing to release. A Kafka-like
         # source would delete/ack consumed data here.
         pass
+
+
+# ---------------------------------------------------------------------------
+# streaming SINK: the Kafka-producer stand-in with an exactly-once
+# commit protocol (S7's execution story without the broker)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _TaskCommit(WriterCommitMessage):
+    staging_path: str
+    n_rows: int
+
+
+class RedditStreamSink(DataSource):
+    """format name: ``reddit_rest_sink`` — a JSON-lines "topic
+    directory" sink with the two-phase commit every exactly-once sink
+    needs, mirroring what the Kafka producer hop gives the reference
+    (`scraper/kafka_producer.py`) and what a transactional Kafka sink
+    would do in production:
+
+    - executor ``write``: rows → a hidden STAGING file, returns a
+      commit message naming it (nothing visible to readers yet);
+    - driver ``commit(messages, batchId)``: renames staging files to
+      ``batch-<id>-<task>.jsonl`` and appends one line to
+      ``_manifest.jsonl`` — readers consume ONLY manifest-listed
+      files, so partial/failed tasks are invisible;
+    - **idempotent per batchId**: Spark re-runs a batch when a crash
+      lands between sink commit and offset-log commit (the
+      at-least-once window); a batchId already in the manifest is
+      skipped, upgrading the sink to exactly-once (asserted in
+      tests/test_pyds_stream.py);
+    - ``abort``: staging files are deleted, never published.
+
+    Options: ``path`` (the topic directory)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "reddit_rest_sink"
+
+    def streamWriter(self, schema, overwrite: bool) -> "RedditStreamSinkWriter":
+        return RedditStreamSinkWriter(self.options)
+
+
+def sink_manifest(path: str) -> list[dict]:
+    """Parse the sink's ``_manifest.jsonl``: one dict per COMMITTED
+    batch ({'batch': id, 'files': [...], 'rows': n})."""
+    mf = os.path.join(path, "_manifest.jsonl")
+    if not os.path.exists(mf):
+        return []
+    with open(mf, encoding="utf-8") as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def sink_committed_files(path: str) -> list[str]:
+    """The files readers may consume: manifest-listed only."""
+    return [
+        os.path.join(path, f) for m in sink_manifest(path) for f in m["files"]
+    ]
+
+
+class RedditStreamSinkWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict) -> None:
+        self._path = options.get("path") or ""
+        if not self._path:
+            raise ValueError("reddit_rest_sink: option 'path' is required")
+
+    def write(self, iterator) -> _TaskCommit:
+        staging = os.path.join(self._path, ".staging")
+        os.makedirs(staging, exist_ok=True)
+        fpath = os.path.join(staging, f"task-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fpath, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(recursive=True), default=str) + "\n")
+                n += 1
+        return _TaskCommit(staging_path=fpath, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        msgs = [m for m in messages if m is not None]
+        if any(b["batch"] == batchId for b in sink_manifest(self._path)):
+            # replayed batch (crash in the at-least-once window):
+            # already published — drop the duplicate attempt's staging
+            for m in msgs:
+                if os.path.exists(m.staging_path):
+                    os.remove(m.staging_path)
+            return
+        names, rows = [], 0
+        for i, m in enumerate(msgs):
+            name = f"batch-{batchId:08d}-{i:04d}.jsonl"
+            os.replace(m.staging_path, os.path.join(self._path, name))
+            names.append(name)
+            rows += m.n_rows
+        entry = json.dumps({"batch": batchId, "files": names, "rows": rows})
+        with open(os.path.join(self._path, "_manifest.jsonl"), "a", encoding="utf-8") as fh:
+            fh.write(entry + "\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staging_path):
+                os.remove(m.staging_path)

@@ -625,3 +625,79 @@ def streaming_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(cap_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "streaming_pyds_sink",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("streaming", "sink", "datasource", "exactly-once"),
+    deps=("reddit_can_bigdata_spark.sources.pyds",),
+)
+def streaming_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7's execution story without the broker: stream the documents
+    table INTO the `reddit_rest_sink` Python streaming sink — staged
+    task files, driver-side rename-and-manifest commit, batchId
+    idempotence (`sources/pyds.py` RedditStreamSink) — then read back
+    ONLY the manifest-committed files and roll up per language. The
+    oracle is plain SQL over the source table, so the row pins the
+    whole sink path: executor write, two-phase publish, and the
+    reader-side committed-files contract. The crash-replay
+    (duplicate batchId) and abort (staged-never-published) legs are
+    unit-tested in tests/test_pyds_stream.py."""
+    from reddit_can_bigdata_spark.sources.pyds import (
+        RedditStreamSink,
+        sink_committed_files,
+    )
+    from reddit_can_bigdata_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tag = uuid.uuid4().hex[:8]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"pyds_sinksrc_{tag}")
+    topic_dir = os.path.join(tempfile.gettempdir(), f"pyds_topic_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_pyds_sink_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    os.makedirs(topic_dir, exist_ok=True)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+        os.path.join(stream_dir, "documents.parquet"),
+    )
+    try:
+        spark.dataSource.register(RedditStreamSink)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .parquet(stream_dir)
+            .select("doc_id", "lang", "n_chars")
+        )
+        q = (
+            stream.writeStream.format("reddit_rest_sink")
+            .option("path", topic_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        committed = sink_committed_files(topic_dir)
+        if not committed:
+            return spark.createDataFrame(
+                [], "lang string, cnt bigint, total_chars bigint"
+            )
+        back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+            committed
+        )
+        out = back.groupBy("lang").agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+            .cast("bigint")
+            .alias("total_chars"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(topic_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

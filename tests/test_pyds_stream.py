@@ -7,6 +7,7 @@ DuckDB via test_oracle_parity / `streaming_pyds_source`.)"""
 from __future__ import annotations
 
 import json
+import os
 import shutil
 
 import pytest
@@ -120,3 +121,110 @@ def test_stream_matches_batch_datasource(spark, capture_files, tmp_path):
         map(tuple, batch.select(*cols).collect())
     )
     shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# the reddit_rest_sink exactly-once commit protocol
+# ---------------------------------------------------------------------------
+
+
+class _Row:
+    def __init__(self, **kw):
+        self._d = kw
+
+    def asDict(self, recursive=False):
+        return dict(self._d)
+
+
+def _writer(path):
+    from reddit_can_bigdata_spark.sources.pyds import RedditStreamSinkWriter
+
+    return RedditStreamSinkWriter({"path": str(path)})
+
+
+def test_sink_commit_publishes_and_replay_is_idempotent(tmp_path):
+    """A batchId already in the manifest must not publish twice — the
+    crash-between-sink-commit-and-offset-commit replay leg."""
+    from reddit_can_bigdata_spark.sources.pyds import (
+        sink_committed_files,
+        sink_manifest,
+    )
+
+    w = _writer(tmp_path)
+    m1 = w.write(iter([_Row(doc_id=1, lang="en"), _Row(doc_id=2, lang="fr")]))
+    w.commit([m1], batchId=0)
+    assert [b["batch"] for b in sink_manifest(str(tmp_path))] == [0]
+    first = sorted(sink_committed_files(str(tmp_path)))
+    assert len(first) == 1 and m1.n_rows == 2
+
+    # Spark replays batch 0 after a simulated crash: new attempt, new
+    # staging file, same batchId
+    m1b = w.write(iter([_Row(doc_id=1, lang="en"), _Row(doc_id=2, lang="fr")]))
+    w.commit([m1b], batchId=0)
+    assert [b["batch"] for b in sink_manifest(str(tmp_path))] == [0]
+    assert sorted(sink_committed_files(str(tmp_path))) == first
+    assert not os.listdir(tmp_path / ".staging"), "replay staging not cleaned"
+
+    w.commit([w.write(iter([_Row(doc_id=3, lang="de")]))], batchId=1)
+    assert [b["batch"] for b in sink_manifest(str(tmp_path))] == [0, 1]
+    assert len(sink_committed_files(str(tmp_path))) == 2
+
+
+def test_sink_abort_never_publishes(tmp_path):
+    from reddit_can_bigdata_spark.sources.pyds import sink_committed_files
+
+    w = _writer(tmp_path)
+    m = w.write(iter([_Row(doc_id=9, lang="xx")]))
+    w.abort([m, None], batchId=0)
+    assert sink_committed_files(str(tmp_path)) == []
+    assert not os.listdir(tmp_path / ".staging")
+
+
+def test_sink_end_to_end_exactly_once_restart(spark, sf_dir, tmp_path):
+    """Stream half the documents through the sink with availableNow,
+    stop, add the rest, restart from the same checkpoint: manifest row
+    total equals the table exactly once."""
+    import pandas as pd
+
+    from reddit_can_bigdata_spark.sources.pyds import (
+        RedditStreamSink,
+        sink_committed_files,
+        sink_manifest,
+    )
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+        ["doc_id", "lang", "n_chars"]
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(docs) // 2
+    docs.iloc[:half].to_parquet(src / "h1.parquet", index=False)
+
+    topic = str(tmp_path / "topic")
+    os.makedirs(topic)
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(RedditStreamSink)
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id long, lang string, n_chars long"
+        ).parquet(str(src))
+        q = (
+            stream.writeStream.format("reddit_rest_sink")
+            .option("path", topic)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert sum(b["rows"] for b in sink_manifest(topic)) == half
+    docs.iloc[half:].to_parquet(src / "h2.parquet", index=False)
+    run()
+    assert sum(b["rows"] for b in sink_manifest(topic)) == len(docs)
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        sink_committed_files(topic)
+    )
+    got = sorted(r["doc_id"] for r in back.select("doc_id").collect())
+    assert got == sorted(docs["doc_id"].tolist())
