@@ -75,6 +75,32 @@ def test_backfill_touches_only_target_partition(spark, sf_dir, tmp_path):
     assert stored == orig
 
 
+def test_backfill_week_readback_prunes_partitions(spark, sf_dir, tmp_path):
+    """The post-backfill week rollup reads the day-partitioned layout
+    with its range predicate as PartitionFilters — at 100 TB the
+    backfill-verification scan opens six directories, not the table."""
+    import re
+
+    from reddit_can_bigdata_spark.plans.inspect import formatted_plan
+    from reddit_can_bigdata_spark.plans.layout import write_date_partitioned
+    from reddit_can_bigdata_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    path = str(tmp_path / "events_parted")
+    write_date_partitioned(ev, path, "ts", part_col="day")
+    parted = spark.read.schema(ev.schema.add(StructField("day", DateType()))).parquet(
+        path
+    )
+    week = parted.where(
+        (F.col("day") >= F.lit("2024-01-12").cast("date"))
+        & (F.col("day") < F.lit("2024-01-18").cast("date"))
+    )
+    plan = formatted_plan(week)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "day" in m.group(1) and "2024-01-12" in m.group(1), m.group(1)
+
+
 def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     """64 splinter files in, ceil(bytes/target) files out, zero row
     churn."""
