@@ -112,7 +112,10 @@ class RedditStreamDataSource(DataSource):
     are read (asserted in tests/test_stream_recovery.py).
 
     Options: ``paths`` (comma-joined JSON-lines capture files, sorted
-    internally so offsets are stable), optional ``scraped_at``."""
+    internally so offsets are stable), optional ``scraped_at``. At
+    real crawl volumes the comma-joined option becomes a manifest
+    FILE the reader lists per ``latestOffset`` call — the offset and
+    partition logic is unchanged; only the listing source swaps."""
 
     @classmethod
     def name(cls) -> str:
@@ -192,6 +195,14 @@ class RedditStreamSink(DataSource):
       skipped, upgrading the sink to exactly-once (asserted in
       tests/test_pyds_stream.py);
     - ``abort``: staging files are deleted, never published.
+
+    Deployment assumptions (documented swap points, same doctrine as
+    `sources/storage.py`): ``path`` must be a filesystem shared by
+    driver and executors (true on local[n] and any mounted DFS; an
+    object store swaps ``open``/``os.replace`` for its SDK's
+    put + manifest conditional-append), and the topic directory has a
+    single writing query (Spark guarantees one active batch per
+    query; two QUERIES sharing a directory would race the manifest).
 
     Options: ``path`` (the topic directory)."""
 
