@@ -1000,6 +1000,143 @@ def _register_audio_pcm_stats() -> None:
         )
 
 
+def ahash_bits(img: DecodedImage, grid: int = 8) -> str:
+    """Average hash (aHash), the canonical perceptual image
+    fingerprint: nearest-neighbor downsample to ``grid``×``grid``,
+    grayscale, threshold each cell against the global mean, emit the
+    bits row-major as a '0'/'1' string. Brightness-INVARIANT by
+    construction (a uniform offset shifts every cell and the mean
+    equally, so no bit flips) — the property that makes it a near-dup
+    key where byte hashing fails. Exact arithmetic only: integer
+    pixel sums, one division by 3.0 and one by grid² (both exact in
+    double for 8-bit channels), so the hash is identical on every
+    partitioning/host."""
+    w, h, px = img.width, img.height, img.pixels
+    vals: list[float] = []
+    for yy in range(grid):
+        y = yy * h // grid
+        for xx in range(grid):
+            x = xx * w // grid
+            o = 3 * (y * w + x)
+            vals.append((px[o] + px[o + 1] + px[o + 2]) / 3.0)
+    mean = sum(vals) / len(vals)
+    return "".join("1" if v > mean else "0" for v in vals)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Decode → perceptual hash over Arrow batches: (media_id,
+    payload) → (media_id, 64-bit aHash as a bit string). Same batch
+    contract as ``image_pixel_stats``: NULL/undecodable payloads drop
+    as rows, never fail the batch; only the codec+hash crosses to
+    Python, everything relational stays JVM-side."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or pd.isna(mid):
+                    continue
+                try:
+                    img = decode_image(bytes(payload))
+                except ValueError:
+                    continue
+                if img.width * img.height == 0:
+                    continue
+                ids.append(int(mid))
+                hashes.append(ahash_bits(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def _register_phash_dedup() -> None:
+    from reddit_can_bigdata_spark.operators.common import tables
+    from reddit_can_bigdata_spark.registry import register
+
+    @register(
+        "multimodal_phash_dedup",
+        oracle="""
+        WITH px AS (
+          SELECT sc.scene, gs.i,
+                 CAST((sc.scene * 31 + gs.i * 7) % 250 AS DOUBLE) AS g
+          FROM (SELECT DISTINCT doc_id % 50 AS scene FROM documents
+                WHERE doc_id IS NOT NULL) sc
+          CROSS JOIN generate_series(0, 63) gs(i)
+        ), scene_hash AS (
+          SELECT scene,
+                 string_agg(CASE WHEN g > avg_g THEN '1' ELSE '0' END,
+                            '' ORDER BY i) AS phash
+          FROM (SELECT scene, i, g,
+                       AVG(g) OVER (PARTITION BY scene) AS avg_g FROM px) t
+          GROUP BY scene
+        ), doc_hash AS (
+          SELECT d.doc_id AS media_id, sh.phash
+          FROM documents d JOIN scene_hash sh ON sh.scene = d.doc_id % 50
+          WHERE d.doc_id IS NOT NULL
+        )
+        SELECT media_id, phash,
+               MIN(media_id) OVER (PARTITION BY phash) AS canonical_id,
+               media_id <> MIN(media_id) OVER (PARTITION BY phash) AS is_dup
+        FROM doc_hash
+        """,
+        tags=("multimodal", "binary", "dedup", "phash"),
+    )
+    def multimodal_phash_dedup(spark, sf_dir: str) -> DataFrame:
+        """Near-duplicate IMAGE dedup by perceptual hash — the
+        multimodal leg of the dedup tier (byte/minhash dedup cannot
+        catch re-encoded or re-exposed images; aHash-family
+        fingerprints are the standard first pass). Deterministic 8×8
+        grayscale PPMs are synthesized JVM-side from doc_id: content
+        comes from ``scene = doc_id % 50`` (so each scene recurs
+        corpus-wide) and odd doc_ids carry a +1 brightness offset —
+        byte-distinct, perceptually identical. The REAL Python
+        decode→aHash path (`image_ahash`) must (a) reproduce the
+        scene fingerprint arithmetically stated by the oracle and
+        (b) collapse the brightness variants onto it (aHash's mean
+        threshold is shift-invariant), after which the dedup itself
+        is one hash-partitioned window: canonical = min(media_id)
+        per phash.
+
+        Scale shape: synthesis + grouping are codegen/shuffle on the
+        64-char hash; only decode+hash crosses to Python,
+        Arrow-batched. At 100 TB the hash table is (id, 64 bits) —
+        the dedup join state is ~1/1000th of the media bytes."""
+        from pyspark.sql import Window
+
+        docs = tables(spark, sf_dir)["documents"]
+        pix_hex = F.expr(
+            "array_join(transform(sequence(0, 63), i -> "
+            "repeat(lpad(hex(((doc_id % 50) * 31 + i * 7) % 250 "
+            "+ doc_id % 2), 2, '0'), 3)), '')"
+        )
+        payload = F.concat(F.encode(F.lit("P6\n8 8\n255\n"), "UTF-8"), F.unhex(pix_hex))
+        media = docs.where(F.col("doc_id").isNotNull()).select(
+            F.col("doc_id").alias("media_id"), payload.alias("payload")
+        )
+        hashed = image_ahash(media)
+        w = Window.partitionBy("phash")
+        return hashed.select(
+            "media_id",
+            "phash",
+            F.min("media_id").over(w).alias("canonical_id"),
+            (F.col("media_id") != F.min("media_id").over(w)).alias("is_dup"),
+        )
+
+
 _register_header_sniff()
 _register_decode_pixel_stats()
 _register_audio_pcm_stats()
+_register_phash_dedup()

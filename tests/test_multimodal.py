@@ -549,3 +549,69 @@ def test_audio_pcm_stats_end_to_end(spark):
         math.sqrt((30 * 30 + 30 * 30 + 0 + 100 * 100) / 4)
     )
     assert r["peak"] == 100
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (aHash) — unit properties the oracle can't state
+# ---------------------------------------------------------------------------
+
+
+def _ppm(w, h, vals):
+    """Grayscale P6 from a list of w*h 0-255 values."""
+    body = b"".join(bytes([v, v, v]) for v in vals)
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def test_ahash_brightness_invariance_and_sensitivity():
+    """A uniform brightness shift never flips a bit; changing the
+    image content does."""
+    from reddit_can_bigdata_spark.multimodal.binaryops import (
+        ahash_bits,
+        decode_image,
+    )
+
+    vals = [(i * 37) % 240 for i in range(64)]
+    base = ahash_bits(decode_image(_ppm(8, 8, vals)))
+    brighter = ahash_bits(decode_image(_ppm(8, 8, [v + 10 for v in vals])))
+    assert base == brighter and len(base) == 64 and set(base) <= {"0", "1"}
+    different = ahash_bits(decode_image(_ppm(8, 8, list(reversed(vals)))))
+    assert different != base
+
+
+def test_ahash_downsamples_larger_images():
+    """A 16x16 image whose 2x2 blocks replicate an 8x8 pattern hashes
+    like the 8x8 original (nearest-neighbor grid sampling)."""
+    from reddit_can_bigdata_spark.multimodal.binaryops import (
+        ahash_bits,
+        decode_image,
+    )
+
+    small = [(i * 37) % 240 for i in range(64)]
+    big = []
+    for y in range(16):
+        for x in range(16):
+            big.append(small[(y // 2) * 8 + (x // 2)])
+    assert ahash_bits(decode_image(_ppm(16, 16, big))) == ahash_bits(
+        decode_image(_ppm(8, 8, small))
+    )
+
+
+def test_phash_dedup_groups_brightness_variants(spark, sf_dir):
+    """In the registered query, every scene's odd (brightness-shifted)
+    and even variants share one phash and one canonical id."""
+    from reddit_can_bigdata_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = REGISTRY["multimodal_phash_dedup"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    out["scene"] = out.media_id % 50
+    # each phash group spans exactly the media ids of its scene set
+    for ph, g in out.groupby("phash"):
+        assert g.canonical_id.nunique() == 1
+        assert g.canonical_id.iloc[0] == g.media_id.min()
+        # brightness variants (odd ids) must be inside, not separate
+        scenes = set(g.scene)
+        both = g[g.scene.isin(scenes)]
+        assert len(both) == len(g)
+    # scenes map into hashes: a scene never splits across two hashes
+    assert (out.groupby("scene").phash.nunique() == 1).all()
