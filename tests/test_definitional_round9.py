@@ -119,3 +119,30 @@ def test_pyds_sink_roundtrip_matches_hand_rollup(spark, sf_dir):
     got_df = _run("streaming_pyds_sink", spark, sf_dir)
     got = {r.lang: (r.cnt, r.total_chars) for r in got_df.itertuples(index=False)}
     assert got == want
+
+
+def test_phash_dedup_matches_hand_fingerprints(spark, sf_dir):
+    """Third phrasing of the perceptual-hash dedup: scene fingerprints
+    re-derived in pure Python from the synthesis formula (pixel i of
+    scene s is (s*31 + i*7) % 250; brightness offsets cannot flip a
+    mean-threshold bit), canonical = min media_id per fingerprint."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").dropna(subset=["doc_id"])
+
+    def scene_hash(s: int) -> str:
+        vals = [float((s * 31 + i * 7) % 250) for i in range(64)]
+        mean = sum(vals) / 64.0
+        return "".join("1" if v > mean else "0" for v in vals)
+
+    d = docs[["doc_id"]].copy()
+    d["phash"] = (d.doc_id % 50).map(scene_hash)
+    d["canonical_id"] = d.groupby("phash").doc_id.transform("min")
+    want = {
+        int(r.doc_id): (r.phash, int(r.canonical_id), bool(r.doc_id != r.canonical_id))
+        for r in d.itertuples()
+    }
+    got_df = _run("multimodal_phash_dedup", spark, sf_dir)
+    got = {
+        int(r.media_id): (r.phash, int(r.canonical_id), bool(r.is_dup))
+        for r in got_df.itertuples(index=False)
+    }
+    assert got == want

@@ -77,6 +77,11 @@ SHOWCASE = {
     "sim_ivf_balance": "IVF balance: broadcast argmin assignment + K-row counts; the scalar totals ride a 1-row broadcast back onto K rows.",
     "curate_epoch_plan": "Epoch planning: corpus scanned once into a |sources|-row aggregate; all planning arithmetic in a window over that tiny table.",
     "text_readability": "Flesch scoring: single codegen stage, zero Exchange nodes — corpus-linear quality signal.",
+    "layout_partitioned_timeline": "Partitioned-layout read: the widget's [start, end) range sits in PartitionFilters — ten day-directories scanned, not the table.",
+    "maint_backfill_overwrite": "Backfill verification readback: the week window prunes partitions; the overwrite itself touched one day= directory (dynamic mode).",
+    "maint_compaction": "Compaction rollup: round-robin rebalance (no shuffle key) then one partial/final aggregate over the compacted scan.",
+    "streaming_pyds_source": "Python streaming source round trip: per-file partition reads feed a foreachBatch parquet sink; the rollup is one exchange over the sink scan.",
+    "multimodal_phash_dedup": "Perceptual dedup: image synthesis in codegen, one Arrow crossing for decode+aHash, one hash exchange on the 64-bit fingerprint for the canonical window.",
 }
 
 
