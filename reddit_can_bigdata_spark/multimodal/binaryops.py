@@ -567,11 +567,16 @@ FRAMES_SCHEMA = StructType(
 FRAME_BYTES = 8  # fake codec: fixed-size byte chunks stand in for frames
 
 
-def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+def sample_frames(
+    df: DataFrame, every_n: int = 2, frame_bytes: int = FRAME_BYTES
+) -> DataFrame:
     """Frame sampling: one input video row → every Nth frame as its
     own row (1→N inside the Arrow batch — the mapInPandas shape a real
     ffmpeg-backed sampler plugs into; here the deterministic fake
-    'codec' treats the payload as fixed-size byte chunks).
+    'codec' treats the payload as fixed-size byte chunks of
+    ``frame_bytes`` — large enough chunks carry real embedded images,
+    which `multimodal_video_frame_stats` exploits to decode sampled
+    frames end to end).
 
     Scale notes: the fan-out happens executor-side inside the batch —
     no shuffle; frames inherit the input partitioning, so a downstream
@@ -585,8 +590,8 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
                 frames = [
-                    raw[off : off + FRAME_BYTES]
-                    for off in range(0, len(raw), FRAME_BYTES)
+                    raw[off : off + frame_bytes]
+                    for off in range(0, len(raw), frame_bytes)
                 ]
                 for i in range(0, len(frames), every_n):
                     ids.append(mid)
@@ -1136,7 +1141,76 @@ def _register_phash_dedup() -> None:
         )
 
 
+def _register_video_frame_stats() -> None:
+    from reddit_can_bigdata_spark.operators.common import tables
+    from reddit_can_bigdata_spark.registry import register
+
+    @register(
+        "multimodal_video_frame_stats",
+        oracle="""
+        WITH f AS (
+          SELECT doc_id AS media_id, s.j
+          FROM documents CROSS JOIN (VALUES (0), (2)) s(j)
+          WHERE doc_id IS NOT NULL AND s.j < 1 + doc_id % 4
+        )
+        SELECT media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM((media_id * 11 + j * 29) % 250) AS BIGINT)
+                 AS total_gray
+        FROM f GROUP BY media_id
+        """,
+        tags=("multimodal", "binary", "video", "frames"),
+    )
+    def multimodal_video_frame_stats(spark, sf_dir: str) -> DataFrame:
+        """The VIDEO modality end to end, completing the oracled
+        image/audio/video triple: each doc_id becomes a 1-4 frame
+        'video' (fixed 32-byte frame cells, each carrying a real 2×2
+        uniform-gray P6 image whose level is (doc_id*11 + j*29) % 250
+        for frame j, zero-padded — the PPM decoder reads exactly
+        3·w·h pixel bytes, so cell padding is spec-ignored). The REAL
+        operator chain then runs: `sample_frames` (every 2nd frame,
+        executor-side 1→N fan-out), a composite frame key, the
+        Arrow-batched `image_pixel_stats` decode, and a per-media
+        regroup. The oracle states which frame indices survive
+        sampling and what each decoded gray level must be — a
+        mis-sliced cell, off-by-one stride, or decoder framing error
+        breaks the hash.
+
+        Scale shape: synthesis in codegen; fan-out and decode inside
+        Arrow batches (no shuffle until the final media_id regroup);
+        padding overhead is the fixed-cell container's price, exactly
+        like real GOP-aligned chunking."""
+        docs = tables(spark, sf_dir)["documents"]
+        header_hex = "P6\n2 2\n255\n".encode().hex().upper()  # 11 bytes
+        # 32-byte cell = 11 header + 12 pixel + 9 pad
+        pix_hex = F.expr(
+            "array_join(transform(sequence(0, CAST(doc_id % 4 AS INT)), j -> "
+            f"concat('{header_hex}', "
+            "repeat(lpad(hex((doc_id * 11 + j * 29) % 250), 2, '0'), 12), "
+            "repeat('00', 9))), '')"
+        )
+        media = docs.where(F.col("doc_id").isNotNull()).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.unhex(pix_hex).alias("payload"),
+        )
+        frames = sample_frames(media, every_n=2, frame_bytes=32)
+        keyed = frames.select(
+            (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+            F.col("frame_payload").alias("payload"),
+        )
+        stats = image_pixel_stats(keyed)
+        return (
+            stats.groupBy(F.expr("media_id div 10").alias("media_id"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_sampled"),
+                F.sum("mean_r").cast("bigint").alias("total_gray"),
+            )
+        )
+
+
 _register_header_sniff()
 _register_decode_pixel_stats()
 _register_audio_pcm_stats()
 _register_phash_dedup()
+_register_video_frame_stats()
