@@ -1110,6 +1110,7 @@ def table_checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM win
     """,
     tags=("warehouse", "scd1", "merge", "upsert"),
+    deps=("reddit_can_bigdata_spark.sources.storage",),
 )
 def warehouse_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S15 (MERGE / last-write-wins upsert) as an oracle-checkable

@@ -8,7 +8,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import DateType, StructField
+from pyspark.sql.types import DateType, StructField, StructType
 
 
 def _file_stamps(path: str) -> dict[str, tuple[int, float]]:
@@ -56,7 +56,9 @@ def test_backfill_touches_only_target_partition(spark, sf_dir, tmp_path):
     assert set(after) - set(after_others), "target partition vanished"
     assert set(after) != set(before), "target partition was not replaced"
 
-    parted = spark.read.schema(ev.schema.add(StructField("day", DateType()))).parquet(
+    parted = spark.read.schema(
+        StructType(list(ev.schema.fields) + [StructField("day", DateType())])
+    ).parquet(
         path
     )
     stored = (
@@ -88,7 +90,9 @@ def test_backfill_week_readback_prunes_partitions(spark, sf_dir, tmp_path):
     ev = load_tables(spark, sf_dir)["events"]
     path = str(tmp_path / "events_parted")
     write_date_partitioned(ev, path, "ts", part_col="day")
-    parted = spark.read.schema(ev.schema.add(StructField("day", DateType()))).parquet(
+    parted = spark.read.schema(
+        StructType(list(ev.schema.fields) + [StructField("day", DateType())])
+    ).parquet(
         path
     )
     week = parted.where(

@@ -47,13 +47,81 @@ def capture_files(tmp_path_factory):
 
 def test_offset_slicing_plans_only_requested_files(capture_files):
     r = RedditStreamReader({"paths": ",".join(capture_files)})
-    assert r.initialOffset() == {"index": 0}
-    assert r.latestOffset() == {"index": 4}
+    assert r.initialOffset()["index"] == 0
+    assert r.latestOffset()["index"] == 4
     parts = r.partitions({"index": 1}, {"index": 3})
     assert [p.value for p in parts] == sorted(capture_files)[1:3]
     # an end offset beyond the currently-listed files must not plan
-    # phantom partitions (restart with fewer files listed than committed)
+    # phantom partitions (restart with fewer files listed than
+    # committed; bare-index offsets — an old checkpoint — are clamped)
     assert len(r.partitions({"index": 0}, {"index": 99})) == 4
+
+
+def test_offsets_are_self_describing_and_fail_loudly_on_drift(
+    capture_files, tmp_path
+):
+    """Round-9 advice (medium): an offset carries the md5 of the exact
+    file prefix it was committed against. If a late-arriving capture
+    sorts BEFORE already-committed files, bare indices would silently
+    re-read some files and skip others; the prefix check must turn
+    that into a loud planning error instead."""
+    from pathlib import Path
+
+    r = RedditStreamReader({"paths": ",".join(capture_files)})
+    committed = r.latestOffset()  # covers all four sorted files
+    # a fifth file arrives whose name sorts FIRST (same directory, so
+    # full-path sort order is decided by the file name)
+    cap_dir = Path(capture_files[0]).parent
+    early = cap_dir / "capture--00.jsonl"
+    early.write_text(json.dumps({"id": "t3_early", "title": "x"}) + "\n")
+    r2 = RedditStreamReader(
+        {"paths": ",".join(capture_files + [str(early)])}
+    )
+    # same prefix -> fine: planning [committed, latest) after a
+    # late-arriving file that sorts AFTER the committed prefix
+    sane = RedditStreamReader(
+        {"paths": ",".join(capture_files + [str(cap_dir / "z-late.jsonl")])}
+    )
+    assert len(sane.partitions(committed, sane.latestOffset())) == 1
+    # shifted prefix -> refuse
+    with pytest.raises(ValueError, match="no longer matches"):
+        r2.partitions(committed, r2.latestOffset())
+
+
+def test_manifest_listing_picks_up_appended_files(spark, capture_files, tmp_path):
+    """Verdict item #6: the at-scale listing form — an append-only
+    manifest file re-listed per latestOffset call. New capture files
+    appear to the RUNNING query between micro-batches via manifest
+    append; offsets are line counts and resume is unchanged."""
+    manifest = tmp_path / "captures.manifest"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(RedditStreamDataSource)
+
+    def run_available():
+        q = (
+            spark.readStream.format("reddit_rest_stream")
+            .option("manifest", str(manifest))
+            .load()
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    manifest.write_text("\n".join(capture_files[:2]) + "\n")
+    run_available()
+    assert len(_ids(spark, out_dir)) == 50
+    # two more captures arrive: append lines, restart from checkpoint —
+    # only the new files are read (no dupes, no loss)
+    with open(manifest, "a", encoding="utf-8") as fh:
+        fh.write("\n".join(capture_files[2:]) + "\n")
+    run_available()
+    ids = _ids(spark, out_dir)
+    assert len(ids) == 100 and len(set(ids)) == 100
 
 
 def _run_stream(spark, paths, ckpt, out_dir):
@@ -142,6 +210,12 @@ def _writer(path):
     return RedditStreamSinkWriter({"path": str(path)})
 
 
+def _staging_clean(path) -> bool:
+    """True if the staging dir is gone (swept) or empty."""
+    staging = os.path.join(str(path), ".staging")
+    return not os.path.exists(staging) or not os.listdir(staging)
+
+
 def test_sink_commit_publishes_and_replay_is_idempotent(tmp_path):
     """A batchId already in the manifest must not publish twice — the
     crash-between-sink-commit-and-offset-commit replay leg."""
@@ -163,11 +237,54 @@ def test_sink_commit_publishes_and_replay_is_idempotent(tmp_path):
     w.commit([m1b], batchId=0)
     assert [b["batch"] for b in sink_manifest(str(tmp_path))] == [0]
     assert sorted(sink_committed_files(str(tmp_path))) == first
-    assert not os.listdir(tmp_path / ".staging"), "replay staging not cleaned"
+    assert _staging_clean(tmp_path), "replay staging not cleaned"
 
     w.commit([w.write(iter([_Row(doc_id=3, lang="de")]))], batchId=1)
     assert [b["batch"] for b in sink_manifest(str(tmp_path))] == [0, 1]
     assert len(sink_committed_files(str(tmp_path))) == 2
+
+
+def test_sink_restarted_writer_still_skips_replayed_batch(tmp_path):
+    """Verdict item #5's done-criterion: the max-committed batchId is
+    CACHED in the writer (one integer compare per commit instead of an
+    O(batches) manifest re-parse), and a brand-new writer instance —
+    a query restart — re-reads the manifest once and still skips a
+    replayed batchId."""
+    from reddit_can_bigdata_spark.sources.pyds import (
+        sink_committed_files,
+        sink_manifest,
+    )
+
+    w = _writer(tmp_path)
+    w.commit([w.write(iter([_Row(doc_id=1, lang="en")]))], batchId=0)
+    w.commit([w.write(iter([_Row(doc_id=2, lang="fr")]))], batchId=1)
+    published = sorted(sink_committed_files(str(tmp_path)))
+
+    w2 = _writer(tmp_path)  # restart: fresh instance, cold cache
+    w2.commit([w2.write(iter([_Row(doc_id=2, lang="fr")]))], batchId=1)
+    assert [b["batch"] for b in sink_manifest(str(tmp_path))] == [0, 1]
+    assert sorted(sink_committed_files(str(tmp_path))) == published
+    assert _staging_clean(tmp_path)
+
+    w2.commit([w2.write(iter([_Row(doc_id=3, lang="de")]))], batchId=2)
+    assert [b["batch"] for b in sink_manifest(str(tmp_path))] == [0, 1, 2]
+
+
+def test_sink_commit_sweeps_orphaned_staging_from_failed_attempts(tmp_path):
+    """Round-9 advice: a FAILED/retried task attempt leaves a staging
+    file that never reaches commit/abort as a message — each retry
+    used to leak one orphan forever. commit() now sweeps the staging
+    dir wholesale (safe: one batch at a time, all surviving tasks'
+    files already published)."""
+    from reddit_can_bigdata_spark.sources.pyds import sink_committed_files
+
+    w = _writer(tmp_path)
+    orphan = w.write(iter([_Row(doc_id=7, lang="it")]))  # failed attempt
+    survivor = w.write(iter([_Row(doc_id=8, lang="pt")]))
+    w.commit([survivor], batchId=0)  # orphan's message never delivered
+    assert _staging_clean(tmp_path)
+    assert not os.path.exists(orphan.staging_path)
+    assert len(sink_committed_files(str(tmp_path))) == 1
 
 
 def test_sink_abort_never_publishes(tmp_path):
@@ -177,7 +294,7 @@ def test_sink_abort_never_publishes(tmp_path):
     m = w.write(iter([_Row(doc_id=9, lang="xx")]))
     w.abort([m, None], batchId=0)
     assert sink_committed_files(str(tmp_path)) == []
-    assert not os.listdir(tmp_path / ".staging")
+    assert _staging_clean(tmp_path)
 
 
 def test_sink_end_to_end_exactly_once_restart(spark, sf_dir, tmp_path):
