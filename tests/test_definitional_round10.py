@@ -68,3 +68,36 @@ def test_zorder_pruned_scan_matches_hand_filter(spark, sf_dir):
         for r in got_df.itertuples(index=False)
     }
     assert got == want
+
+
+def test_crash_recovery_matches_hand_rollup(spark, sf_dir):
+    """The recovered (promoted) generation must serve exactly the
+    source rollup — by hand: per event_type count, distinct users,
+    decimal-summed value."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    want = {
+        et: (len(g), g.user_id.dropna().nunique(), _dec_sum_round4(g.value))
+        for et, g in ev.groupby("event_type")
+    }
+    got_df = _run("maint_crash_recovery", spark, sf_dir)
+    got = {
+        r.event_type: (r.cnt, r.n_users, r.total_value)
+        for r in got_df.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_pyds_manifest_stream_matches_hand_rollup(spark, sf_dir):
+    """The grown-manifest streaming round trip must equal the plain
+    per-language rollup of the source table, computed by hand."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        lang: (len(g), int(g.n_chars.fillna(0).sum()))
+        for lang, g in docs.groupby("lang")
+    }
+    got_df = _run("streaming_pyds_manifest", spark, sf_dir)
+    got = {
+        r.subreddit: (r.cnt, r.total_score)
+        for r in got_df.itertuples(index=False)
+    }
+    assert got == want
