@@ -82,6 +82,9 @@ SHOWCASE = {
     "maint_compaction": "Compaction rollup: round-robin rebalance (no shuffle key) then one partial/final aggregate over the compacted scan.",
     "streaming_pyds_source": "Python streaming source round trip: per-file partition reads feed a foreachBatch parquet sink; the rollup is one exchange over the sink scan.",
     "multimodal_phash_dedup": "Perceptual dedup: image synthesis in codegen, one Arrow crossing for decode+aHash, one hash exchange on the 64-bit fingerprint for the canonical window.",
+    "layout_incremental_ingest": "Incremental ingest readback: history partitions reused byte-untouched (build-once), the new day landed as ONE directory; the boundary window sits in PartitionFilters.",
+    "layout_zorder_pruned_scan": "Z-order serve: both range predicates in PushedFilters; Morton-clustered files give tight min/max in BOTH columns, so the conjunction skips most row groups.",
+    "maint_crash_recovery": "Recovered-table rollup: the promoted generation scans like any parquet table — recovery itself was two O(1) renames, no data pass.",
 }
 
 
