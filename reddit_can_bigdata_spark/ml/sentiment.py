@@ -181,10 +181,30 @@ def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     feat_train = feat_model.transform(train).cache()
     feat_test = feat_model.transform(test).cache()
 
-    best_name, best_acc, best_clf = "", -1.0, None
-    for mname, clf in classifiers.items():
+    # The three classifier fits are independent given the shared
+    # featurized splits, so submit them CONCURRENTLY (the same
+    # concurrent-job-submission pattern as the influencer composite):
+    # LR's 100 small iteration jobs, RF's per-tree jobs, and NB's one
+    # pass interleave on the cluster instead of leaving it idle
+    # between stages. Results are identical to the serial loop — each
+    # fit's computation is self-contained and seeded — and selection
+    # stays deterministic because the reduce below walks the original
+    # registration order, never completion order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit_and_score(item):
+        mname, clf = item
         model = clf.fit(feat_train)
-        acc = evaluator.evaluate(model.transform(feat_test))
+        # per-thread evaluator copy: evaluate() is read-only over its
+        # params, but copies are free and remove any sharing question
+        acc = evaluator.copy().evaluate(model.transform(feat_test))
+        return mname, (model, acc)
+
+    with ThreadPoolExecutor(max_workers=len(classifiers)) as pool:
+        scored = dict(pool.map(_fit_and_score, classifiers.items()))
+    best_name, best_acc, best_clf = "", -1.0, None
+    for mname in classifiers:
+        model, acc = scored[mname]
         if acc > best_acc:
             best_name, best_acc, best_clf = mname, acc, model
 
