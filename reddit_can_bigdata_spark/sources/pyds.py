@@ -163,14 +163,44 @@ class RedditStreamReader(DataSourceStreamReader):
             None if self._manifest else sorted(_split_paths(options))
         )
         self._scraped_at = options.get("scraped_at", DEFAULT_SCRAPED_AT)
+        # incremental manifest tail: byte position consumed so far +
+        # the lines parsed up to it (driver-side state; a restart just
+        # re-reads once from 0)
+        self._mf_pos = 0
+        self._mf_lines: list[str] = []
 
     def _list_files(self) -> list[str]:
         """Currently-available capture files, in offset order: manifest
-        line order (append order) or the sorted static option."""
+        line order (append order) or the sorted static option.
+
+        The manifest is consumed INCREMENTALLY: only bytes appended
+        since the last call are read (the file is append-only by
+        contract — a 30 s-trigger query over a year-old topic must not
+        re-parse a million-line manifest per trigger, the same
+        O(lifetime)-per-tick trap as the sink's old manifest re-read).
+        Only COMPLETE lines are consumed, so a concurrent appender
+        flushing half a line is simply picked up next call; a manifest
+        that SHRANK (truncated/rewritten — a contract violation) resets
+        the cache and re-reads from zero, after which the offsets'
+        prefix hashes decide loudly whether history still matches."""
         if self._manifest is None:
             return list(self._static_paths)
-        with open(self._manifest, encoding="utf-8") as fh:
-            return [line.strip() for line in fh if line.strip()]
+        size = os.path.getsize(self._manifest)
+        if size < self._mf_pos:
+            self._mf_pos, self._mf_lines = 0, []
+        if size > self._mf_pos:
+            with open(self._manifest, "rb") as fh:
+                fh.seek(self._mf_pos)
+                chunk = fh.read()
+            nl = chunk.rfind(b"\n")
+            if nl >= 0:
+                self._mf_lines.extend(
+                    s
+                    for raw in chunk[:nl].split(b"\n")
+                    if (s := raw.strip().decode("utf-8"))
+                )
+                self._mf_pos += nl + 1
+        return list(self._mf_lines)
 
     def initialOffset(self) -> dict:
         return {"index": 0, "prefix_md5": _prefix_md5([])}

@@ -345,3 +345,32 @@ def test_sink_end_to_end_exactly_once_restart(spark, sf_dir, tmp_path):
     )
     got = sorted(r["doc_id"] for r in back.select("doc_id").collect())
     assert got == sorted(docs["doc_id"].tolist())
+
+
+def test_manifest_is_consumed_incrementally(capture_files, tmp_path):
+    """At-scale listing cost: latestOffset must read only the bytes
+    APPENDED since the last call (byte position advances, cached lines
+    grow), tolerate a half-flushed final line until it completes, and
+    recover from a truncated manifest by re-reading once."""
+    manifest = tmp_path / "m.manifest"
+    manifest.write_text(capture_files[0] + "\n")
+    r = RedditStreamReader({"manifest": str(manifest)})
+    assert r.latestOffset()["index"] == 1
+    pos1 = r._mf_pos
+    assert pos1 == len(capture_files[0]) + 1
+
+    # append one complete line and one HALF line (no newline yet)
+    with open(manifest, "a", encoding="utf-8") as fh:
+        fh.write(capture_files[1] + "\n" + capture_files[2][:7])
+    assert r.latestOffset()["index"] == 2  # half line not consumed
+    assert r._mf_pos == pos1 + len(capture_files[1]) + 1
+    # the half line completes
+    with open(manifest, "a", encoding="utf-8") as fh:
+        fh.write(capture_files[2][7:] + "\n")
+    assert r.latestOffset()["index"] == 3
+    assert r._list_files() == capture_files[:3]
+
+    # truncation (contract violation) resets and re-reads
+    manifest.write_text(capture_files[0] + "\n")
+    assert r.latestOffset()["index"] == 1
+    assert r._list_files() == capture_files[:1]
