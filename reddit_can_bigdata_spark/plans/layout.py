@@ -377,27 +377,47 @@ def zordered_events_path(sf_dir: str) -> str:
     )
 
 
+def quantile_bucket(col: Column, bounds: list[float]) -> Column:
+    """Rank-space bucket of ``col`` against precomputed ascending
+    quantile ``bounds``: the count of boundaries <= col, as one
+    codegen-able array fold (no UDF, no join). NULLs land in bucket 0.
+
+    This is how production OPTIMIZE ZORDER normalizes dimensions —
+    by RANK, not by linear min/max: a skewed column (events.value has
+    a long upper tail) linearly normalized compresses most rows into
+    a sliver of the Morton domain, and the interleave degenerates to
+    a single-column sort. Quantile buckets give every file an equal
+    share of rows per dimension regardless of distribution."""
+    if not bounds:
+        return F.lit(0)
+    arr = F.array(*[F.lit(float(x)) for x in bounds])
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(col >= b, 1).otherwise(0),
+    )
+
+
 def ensure_zordered_events(spark: SparkSession, sf_dir: str) -> str:
     """Build-once Z-ordered copy of events, clustered on
-    (user_id, event_id) range-normalized into the Morton domain. The
-    normalization bounds are one constant-size collect (4 scalars) and
-    only run at build time."""
+    (user_id, value) in QUANTILE-RANK space (see
+    :func:`quantile_bucket`). Build-time-only driver state: 2×255
+    approxQuantile boundaries (a distributed GK sketch, constant-size
+    collect). The per-row cost of the two 255-step folds is paid once
+    at layout-build time — at 100 TB, sample the boundary estimation,
+    not the write."""
     from reddit_can_bigdata_spark.tables import load_tables
 
     path = zordered_events_path(sf_dir)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     ev = load_tables(spark, sf_dir)["events"]
-    b = ev.agg(
-        F.min("user_id"), F.max("user_id"), F.min("event_id"), F.max("event_id")
-    ).collect()[0]
-    lo_a, hi_a, lo_b, hi_b = [x if x is not None else 0 for x in b]
-    top = (1 << ZORDER_BITS) - 1
-    span_a = max(1, hi_a - lo_a)
-    span_b = max(1, hi_b - lo_b)
-    za = F.floor((F.col("user_id") - F.lit(lo_a)) * top / span_a)
-    zb = F.floor((F.col("event_id") - F.lit(lo_b)) * top / span_b)
-    write_zordered(ev, path, za, zb, n_files=8)
+    n_buckets = 256  # 8 bits per dimension — plenty for a 16-file layout
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    ub, vb = ev.stat.approxQuantile(["user_id", "value"], probs, 0.001)
+    za = quantile_bucket(F.col("user_id").cast("double"), ub)
+    zb = quantile_bucket(F.col("value"), vb)
+    write_zordered(ev, path, za, zb, n_files=16)
     return path
 
 
@@ -409,7 +429,7 @@ def ensure_zordered_events(spark: SparkSession, sf_dir: str) -> str:
            CAST(round(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
              AS total_value
     FROM events
-    WHERE user_id BETWEEN 3 AND 7 AND event_id BETWEEN 100 AND 400
+    WHERE user_id BETWEEN 3 AND 4 AND value BETWEEN 10.0 AND 30.0
     GROUP BY event_type
     """,
     tags=("layout", "zorder", "pruning", "row-group-skip"),
@@ -419,7 +439,7 @@ def layout_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     completing the IVF / day-partition pattern): a selective
     TWO-COLUMN predicate served from the Z-ordered events layout.
     Because every file covers a small rectangle of the
-    (user_id, event_id) space, the pushed-down conjunction skips most
+    (user_id, value) space, the pushed-down conjunction skips most
     row groups via footer min/max stats — under a linear single-column
     sort the second column's stats span everything and prune nothing.
     The rollup is oracled against the same predicate on the pristine
@@ -433,7 +453,7 @@ def layout_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     zev = spark.read.schema(ev.schema).parquet(path)
     return (
         zev.where(
-            F.col("user_id").between(3, 7) & F.col("event_id").between(100, 400)
+            F.col("user_id").between(3, 4) & F.col("value").between(10.0, 30.0)
         )
         .groupBy("event_type")
         .agg(

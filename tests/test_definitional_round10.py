@@ -56,7 +56,7 @@ def test_zorder_pruned_scan_matches_hand_filter(spark, sf_dir):
     Z-ordered physical layout must be invisible to the result."""
     ev = pd.read_parquet(f"{sf_dir}/events.parquet")
     hit = ev[
-        ev.user_id.between(3, 7) & ev.event_id.between(100, 400)
+        ev.user_id.between(3, 4) & ev.value.between(10.0, 30.0)
     ]
     want = {
         et: (len(g), _dec_sum_round4(g.value))

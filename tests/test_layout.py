@@ -370,7 +370,7 @@ def test_zorder_pruned_scan_skips_files_and_pushes_filters(spark, sf_dir):
     shutil.rmtree(path, ignore_errors=True)
     q = layout_zorder_pruned_scan(spark, sf_dir)
     plan = formatted_plan(q)
-    assert "PushedFilters" in plan and "user_id" in plan and "event_id" in plan, plan
+    assert "PushedFilters" in plan and "user_id" in plan and "value" in plan, plan
 
     def overlaps(f, col, lo, hi) -> bool:
         md = pq.ParquetFile(f).metadata
@@ -379,11 +379,11 @@ def test_zorder_pruned_scan_skips_files_and_pushes_filters(spark, sf_dir):
         return any(s.min <= hi and s.max >= lo for s in stats if s is not None)
 
     files = sorted(Path(path).glob("*.parquet"))
-    assert len(files) >= 4, files
+    assert len(files) >= 8, files
     candidates = [
         f
         for f in files
-        if overlaps(f, "user_id", 3, 7) and overlaps(f, "event_id", 100, 400)
+        if overlaps(f, "user_id", 3, 4) and overlaps(f, "value", 10.0, 30.0)
     ]
     assert len(candidates) <= len(files) // 2, (
         len(candidates),
@@ -395,7 +395,7 @@ def test_zorder_pruned_scan_skips_files_and_pushes_filters(spark, sf_dir):
 
     ev = load_tables(spark, sf_dir)["events"]
     expected = (
-        ev.where(F.col("user_id").between(3, 7) & F.col("event_id").between(100, 400))
+        ev.where(F.col("user_id").between(3, 4) & F.col("value").between(10.0, 30.0))
         .groupBy("event_type")
         .agg(F.count("*").alias("cnt"))
     )
