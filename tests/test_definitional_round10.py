@@ -101,3 +101,25 @@ def test_pyds_manifest_stream_matches_hand_rollup(spark, sf_dir):
         for r in got_df.itertuples(index=False)
     }
     assert got == want
+
+
+def test_bucketed_join_matches_hand_rollup(spark, sf_dir):
+    """The bucketed-layout join must serve exactly the plain pandas
+    merge rollup — bucketing moves bytes, never rows."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    lineitem = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    j = lineitem.merge(
+        orders[["o_orderkey", "o_orderstatus"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    want = {
+        st: (len(g), _dec_sum_round4(g.l_extendedprice))
+        for st, g in j.groupby("o_orderstatus")
+    }
+    got_df = _run("layout_bucketed_join", spark, sf_dir)
+    got = {
+        r.o_orderstatus: (r.n_items, r.total_price)
+        for r in got_df.itertuples(index=False)
+    }
+    assert got == want

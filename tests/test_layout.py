@@ -483,3 +483,42 @@ def test_lake_lifecycle_append_prune_serve_expire(spark, sf_dir, tmp_path):
     n_after = spark.read.schema(_with_field(ev.schema, "day", DateType())).parquet(path).count()
     assert n_after == n_before - dropped
     assert served.count() == n_expected, "served window changed after expiry"
+
+
+def test_bucketed_join_query_plan_is_shuffle_free(spark, sf_dir):
+    """The oracled `layout_bucketed_join` serves from tables whose
+    bucketing makes the fact-fact join exchange-free: with broadcast
+    disabled, re-deriving the query's join over its persisted tables
+    plans ZERO Exchange nodes."""
+    from reddit_can_bigdata_spark.plans.layout import layout_bucketed_join
+
+    layout_bucketed_join(spark, sf_dir).collect()  # builds the tables
+    bkt = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(("orders_bkt_", "lineitem_bkt_"))
+    ]
+    ot = next(n for n in bkt if n.startswith("orders_bkt_"))
+    lt = next(n for n in bkt if n.startswith("lineitem_bkt_"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # grouped on the BUCKET key: join + agg both reuse the bucket
+        # partitioning -> zero exchanges end to end
+        joined = (
+            spark.table(ot)
+            .join(spark.table(lt), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.count("*").alias("n"))
+        )
+        assert count_exchanges(joined) == 0, formatted_plan(joined)
+        # the query's own status rollup: exactly ONE exchange — the
+        # constant-size partial-aggregate rows, never the fact rows
+        served = (
+            spark.table(ot)
+            .join(spark.table(lt), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        assert count_exchanges(served) == 1, formatted_plan(served)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
