@@ -168,6 +168,53 @@ class RedditStreamReader(DataSourceStreamReader):
         # re-reads once from 0)
         self._mf_pos = 0
         self._mf_lines: list[str] = []
+        # rolling prefix-hash cache (round-10 advice): digests[k] is
+        # _prefix_md5 of the first k listed files, extended through a
+        # single running md5 state as lines arrive — so latestOffset /
+        # partitions validation is O(appended lines) per trigger, not
+        # O(listing lifetime) re-hashed every tick (the same
+        # O(lifetime)-per-tick trap the incremental manifest READ
+        # closed for the bytes). One 32-char digest per listed file:
+        # the same order of driver memory as the listing itself.
+        self._reset_digests()
+        if self._static_paths is not None:
+            self._extend_digests(self._static_paths)
+
+    def _reset_digests(self) -> None:
+        import hashlib
+
+        self._md5_run = hashlib.md5()
+        self._mf_digests: list[str] = [self._md5_run.hexdigest()]
+
+    def __getstate__(self) -> dict:
+        # hashlib objects are not picklable and Spark cloudpickles the
+        # reader at query init; the digest CACHE travels, the live
+        # roller is rebuilt lazily on the first post-unpickle append
+        state = self.__dict__.copy()
+        state["_md5_run"] = None
+        return state
+
+    def _extend_digests(self, new_lines: Sequence[str]) -> None:
+        if self._md5_run is None:
+            # one O(covered) rebuild after unpickling — the same cost
+            # shape as the restart's one-time manifest re-read; every
+            # trigger after it is O(appended) again
+            import hashlib
+
+            self._md5_run = hashlib.md5()
+            covered = (
+                self._mf_lines
+                if self._manifest is not None
+                else list(self._static_paths)
+            )[: len(self._mf_digests) - 1]
+            self._md5_run.update(
+                "\n".join(covered).encode("utf-8")
+            )
+        for line in new_lines:
+            if len(self._mf_digests) > 1:
+                self._md5_run.update(b"\n")
+            self._md5_run.update(line.encode("utf-8"))
+            self._mf_digests.append(self._md5_run.hexdigest())
 
     def _list_files(self) -> list[str]:
         """Currently-available capture files, in offset order: manifest
@@ -188,17 +235,20 @@ class RedditStreamReader(DataSourceStreamReader):
         size = os.path.getsize(self._manifest)
         if size < self._mf_pos:
             self._mf_pos, self._mf_lines = 0, []
+            self._reset_digests()
         if size > self._mf_pos:
             with open(self._manifest, "rb") as fh:
                 fh.seek(self._mf_pos)
                 chunk = fh.read()
             nl = chunk.rfind(b"\n")
             if nl >= 0:
-                self._mf_lines.extend(
+                new = [
                     s
                     for raw in chunk[:nl].split(b"\n")
                     if (s := raw.strip().decode("utf-8"))
-                )
+                ]
+                self._mf_lines.extend(new)
+                self._extend_digests(new)
                 self._mf_pos += nl + 1
         return list(self._mf_lines)
 
@@ -207,7 +257,7 @@ class RedditStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         files = self._list_files()
-        return {"index": len(files), "prefix_md5": _prefix_md5(files)}
+        return {"index": len(files), "prefix_md5": self._mf_digests[len(files)]}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         files = self._list_files()
@@ -215,7 +265,12 @@ class RedditStreamReader(DataSourceStreamReader):
         e = min(end["index"], len(files))
         for label, off, upto in (("start", start, s), ("end", end, e)):
             want = off.get("prefix_md5")
-            if want is not None and _prefix_md5(files[:upto]) != want:
+            have = (
+                self._mf_digests[upto]
+                if 0 <= upto < len(self._mf_digests)
+                else None  # offset beyond the live listing: drift
+            )
+            if want is not None and have != want:
                 raise ValueError(
                     f"reddit_rest_stream: committed {label} offset "
                     f"(index={off['index']}) no longer matches the live "

@@ -616,9 +616,14 @@ def streaming_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         posts = spark.read.schema(POST_SCHEMA).parquet(out_dir)
+        # mirror the oracle's SUM(COALESCE(n_chars, 0)) shape exactly:
+        # 0, never NULL, for a group whose inputs were all NULL (see
+        # streaming_pyds_manifest)
         out = posts.groupBy("subreddit").agg(
             F.count("*").cast("bigint").alias("cnt"),
-            F.sum("score").cast("bigint").alias("total_score"),
+            F.coalesce(F.sum("score"), F.lit(0))
+            .cast("bigint")
+            .alias("total_score"),
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -708,9 +713,15 @@ def streaming_pyds_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh.write("\n".join(files[half:]) + "\n")
             consume()
         posts = spark.read.schema(POST_SCHEMA).parquet(out_dir)
+        # extract_post already pins a missing/null score to 0, but the
+        # oracle's SUM(COALESCE(n_chars, 0)) yields 0 (not NULL) even
+        # for a group whose inputs were all NULL — mirror that shape
+        # explicitly instead of relying on the normalization default
         out = posts.groupBy("subreddit").agg(
             F.count("*").cast("bigint").alias("cnt"),
-            F.sum("score").cast("bigint").alias("total_score"),
+            F.coalesce(F.sum("score"), F.lit(0))
+            .cast("bigint")
+            .alias("total_score"),
         )
         return out.localCheckpoint(eager=True)
     finally:

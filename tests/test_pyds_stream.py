@@ -374,3 +374,56 @@ def test_manifest_is_consumed_incrementally(capture_files, tmp_path):
     manifest.write_text(capture_files[0] + "\n")
     assert r.latestOffset()["index"] == 1
     assert r._list_files() == capture_files[:1]
+
+
+def test_prefix_hash_is_maintained_incrementally(
+    capture_files, tmp_path, monkeypatch
+):
+    """At-scale validation cost (round-10 advice): the offsets'
+    prefix-md5 must be extended through a rolling state, not recomputed
+    over the whole listing each trigger — after the initial listing is
+    consumed, appending one line feeds exactly that line to the roller
+    in latestOffset, and partitions() validates both offsets with ZERO
+    from-scratch hashing. The cached digests must equal the
+    from-scratch _prefix_md5 at every index, so the loud-failure drift
+    semantics are unchanged."""
+    from reddit_can_bigdata_spark.sources import pyds
+    from reddit_can_bigdata_spark.sources.pyds import _prefix_md5
+
+    manifest = tmp_path / "m.manifest"
+    manifest.write_text("".join(f + "\n" for f in capture_files[:3]))
+    r = RedditStreamReader({"manifest": str(manifest)})
+    start = r.latestOffset()
+    assert start["prefix_md5"] == _prefix_md5(capture_files[:3])
+
+    # meter the roller: count every line fed to it from now on
+    fed = {"chars": 0}
+    real_extend = r._extend_digests
+
+    def metered(lines):
+        fed["chars"] += sum(len(line) for line in lines)
+        real_extend(lines)
+
+    r._extend_digests = metered
+    # and forbid any from-scratch re-hash on the hot path entirely
+    monkeypatch.setattr(
+        pyds,
+        "_prefix_md5",
+        lambda paths: (_ for _ in ()).throw(
+            AssertionError("from-scratch prefix hash on the hot path")
+        ),
+    )
+    with open(manifest, "a", encoding="utf-8") as fh:
+        fh.write(capture_files[3] + "\n")
+    end = r.latestOffset()
+    assert fed["chars"] == len(capture_files[3]), fed
+    # partitions() validates BOTH offsets without any further hashing
+    parts = r.partitions(start, end)
+    assert [p.value for p in parts] == [capture_files[3]]
+    assert fed["chars"] == len(capture_files[3]), fed
+
+    monkeypatch.undo()
+    assert end["prefix_md5"] == _prefix_md5(capture_files[:4])
+    # every cached index agrees with the from-scratch definition
+    for k in range(5):
+        assert r._mf_digests[k] == _prefix_md5(capture_files[:k])
