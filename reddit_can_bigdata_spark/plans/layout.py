@@ -81,15 +81,39 @@ def _source_fingerprint(sf_dir: str, table: str = "events") -> str:
         return "na"
 
 
+def _sweep_superseded(parent: str, prefix: str, keep: str) -> None:
+    """Remove sibling generations of a fingerprinted build-once
+    artifact: entries under ``parent`` that share ``prefix`` but are
+    not ``keep`` were built from a PREVIOUS source generation (the
+    fingerprint changed because the source was regenerated) and would
+    otherwise accumulate forever (round-10 advice)."""
+    import shutil
+
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    for entry in entries:
+        if entry.startswith(prefix) and entry != keep:
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+
+
+def _fingerprinted_tmp_path(base: str, sf_dir: str) -> str:
+    """Deterministic ``/tmp`` location ``<base>_<sftag>_<fingerprint>``
+    for a build-once layout copy, sweeping superseded fingerprints of
+    the same (base, sf) pair on the way."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    name = f"{base}_{tag}_{_source_fingerprint(sf_dir)}"
+    _sweep_superseded(tempfile.gettempdir(), f"{base}_{tag}_", name)
+    return os.path.join(tempfile.gettempdir(), name)
+
+
 def partitioned_events_path(sf_dir: str) -> str:
     """Canonical temp location of the day-partitioned events copy for
     ``sf_dir`` (deterministic so repeat invocations reuse the path;
-    fingerprinted so a regenerated source invalidates it)."""
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"events_day_parted_{tag}_{_source_fingerprint(sf_dir)}",
-    )
+    fingerprinted so a regenerated source invalidates it, superseded
+    fingerprints swept)."""
+    return _fingerprinted_tmp_path("events_day_parted", sf_dir)
 
 
 def _with_field(schema, name: str, dtype):
@@ -194,11 +218,7 @@ def incremental_events_path(sf_dir: str) -> str:
     """Deterministic, fingerprinted location of the incremental-ingest
     demo table (history < 2024-01-15 built once; the 15th arrives via
     :func:`ingest_day`)."""
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"events_ingest_{tag}_{_source_fingerprint(sf_dir)}",
-    )
+    return _fingerprinted_tmp_path("events_ingest", sf_dir)
 
 
 @register(
@@ -369,12 +389,9 @@ def write_zordered(
 
 def zordered_events_path(sf_dir: str) -> str:
     """Deterministic, fingerprinted location of the Z-ordered events
-    copy (built once per source generation)."""
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"events_zorder_{tag}_{_source_fingerprint(sf_dir)}",
-    )
+    copy (built once per source generation; superseded fingerprints
+    swept)."""
+    return _fingerprinted_tmp_path("events_zorder", sf_dir)
 
 
 def quantile_bucket(col: Column, bounds: list[float]) -> Column:
@@ -490,19 +507,25 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match plain SQL over the pristine tables, proving the
     bucketed copies are complete and the co-located join loses
     nothing. Tables are built once per (session, source generation) —
-    the catalog is session-scoped, the name carries the source
-    fingerprint."""
+    the catalog is session-scoped, the name carries BOTH sources'
+    fingerprints (a lineitem regenerated while orders' mtime+size held
+    would otherwise silently serve a stale bucketed lineitem —
+    round-10 advice), and superseded fingerprint generations are
+    swept."""
     import re
 
     from reddit_can_bigdata_spark.tables import load_tables
 
     t = load_tables(spark, sf_dir)
+    sftag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     tag = re.sub(
         r"[^0-9A-Za-z_]",
         "_",
-        (os.path.basename(sf_dir.rstrip("/")) or "sf")
+        sftag
         + "_"
-        + _source_fingerprint(sf_dir, "orders"),
+        + _source_fingerprint(sf_dir, "orders")
+        + "_"
+        + _source_fingerprint(sf_dir, "lineitem"),
     )
     ot, lt = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
     for name, df, key in (
@@ -511,14 +534,23 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         if not spark.catalog.tableExists(name):
             # the catalog is session-scoped but the warehouse dir is
-            # not: a table location left by a PREVIOUS session is an
-            # orphan (unknown to this catalog) and would fail the
-            # create with LOCATION_ALREADY_EXISTS — sweep it first
+            # not: a table location left by a PREVIOUS session (same
+            # name) or a previous SOURCE GENERATION (same prefix,
+            # different fingerprint) is an orphan that would fail the
+            # create with LOCATION_ALREADY_EXISTS or accumulate
+            # forever — drop stale catalog entries and sweep both
             import shutil
 
             wh = spark.conf.get(
                 "spark.sql.warehouse.dir", "spark-warehouse"
             ).removeprefix("file:")
+            base = name.split("_bkt_")[0].lower()
+            safe_sftag = re.sub(r"[^0-9A-Za-z_]", "_", sftag).lower()
+            prefix = f"{base}_bkt_{safe_sftag}_"
+            for tbl in spark.catalog.listTables():
+                if tbl.name.startswith(prefix) and tbl.name != name.lower():
+                    spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+            _sweep_superseded(wh, prefix, name.lower())
             shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
             write_bucketed(df, name, key, n_buckets=8, sort_col=key)
     joined = spark.table(ot).join(

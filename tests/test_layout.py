@@ -522,3 +522,54 @@ def test_bucketed_join_query_plan_is_shuffle_free(spark, sf_dir):
         assert count_exchanges(served) == 1, formatted_plan(served)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_fingerprinted_layouts_sweep_superseded_generations(sf_dir):
+    """Round-10 advice: build-once layout copies are keyed by a source
+    fingerprint, but superseded fingerprints (the source was
+    regenerated) used to accumulate in /tmp forever. Resolving the
+    path for the CURRENT generation must sweep siblings of the same
+    (base, sf) pair and leave everything else alone."""
+    import os
+    import tempfile
+
+    from reddit_can_bigdata_spark.plans.layout import (
+        zordered_events_path,
+    )
+
+    current = zordered_events_path(sf_dir)
+    # basename is events_zorder_<sftag>_<mtime>_<size>; the shared
+    # prefix of all generations of this (base, sf) pair drops the
+    # fingerprint's two trailing components
+    base_prefix = os.path.basename(current).rsplit("_", 2)[0]
+    # a superseded generation of the SAME pair, and an unrelated dir
+    stale_dir = os.path.join(
+        tempfile.gettempdir(), f"{base_prefix}_111_222"
+    )
+    other_dir = os.path.join(tempfile.gettempdir(), "events_zorder_keepme")
+    os.makedirs(stale_dir, exist_ok=True)
+    os.makedirs(other_dir, exist_ok=True)
+    try:
+        resolved = zordered_events_path(sf_dir)
+        assert resolved == current
+        assert not os.path.exists(stale_dir), "superseded gen not swept"
+        assert os.path.exists(other_dir), "unrelated sibling was swept"
+    finally:
+        import shutil
+
+        shutil.rmtree(other_dir, ignore_errors=True)
+        shutil.rmtree(stale_dir, ignore_errors=True)
+
+
+def test_bucketed_join_fingerprint_covers_both_sources(spark, sf_dir):
+    """Round-10 advice: the bucketed-table tag must change if EITHER
+    source is regenerated — a lineitem rewritten while orders'
+    mtime+size held would otherwise silently serve a stale bucketed
+    lineitem copy."""
+    import inspect
+
+    from reddit_can_bigdata_spark.plans import layout
+
+    src = inspect.getsource(layout.layout_bucketed_join)
+    assert '_source_fingerprint(sf_dir, "orders")' in src
+    assert '_source_fingerprint(sf_dir, "lineitem")' in src
