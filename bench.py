@@ -115,6 +115,78 @@ class _CpuMeter:
 #: the line outgrew the window, so the cap is enforced by construction.
 STDOUT_LINE_BUDGET = 1000
 
+#: a per-query cpu_s move beyond this ratio vs the previous round's
+#: artifact, on a query whose defining code CHANGED this round, is
+#: flagged as a regression on the stdout line
+REGRESSION_RATIO = 1.5
+
+
+def _bench_round_no(p: Path) -> int:
+    import re
+
+    m = re.search(r"_r(\d+)", p.stem)
+    return int(m.group(1)) if m else -1
+
+
+def previous_round_cpu(
+    repo: Path, sf: float | None = None
+) -> tuple[int, dict[str, float]]:
+    """(round number, per-query cpu_s) from the NEWEST driver bench
+    artifact carrying a parsed cpu_s map; (-1, {}) if none. With
+    ``sf``, artifacts at a different scale factor are skipped — a
+    cpu ratio across scale factors is meaningless."""
+    files = sorted(repo.glob("BENCH_r*.json"), key=_bench_round_no)
+    for p in reversed(files):
+        try:
+            parsed = json.loads(p.read_text()).get("parsed") or {}
+            cpu = parsed.get("cpu_s") or {}
+            if cpu and (sf is None or parsed.get("sf") == sf):
+                return _bench_round_no(p), {
+                    k: float(v) for k, v in cpu.items()
+                }
+        except (OSError, ValueError, AttributeError):
+            continue
+    return -1, {}
+
+
+def changed_query_names(repo: Path) -> set[str]:
+    """Queries whose source+oracle hash no longer matches the stamp
+    that earned their last green external check, plus never-stamped
+    newcomers — the set a cpu regression is CHARGED to (round-10
+    verdict item #4: a >1.5x move on an unchanged query is host noise
+    until proven otherwise; on a changed query it must not hide
+    behind the variance narrative)."""
+    try:
+        from reddit_can_bigdata_spark.registry import _stamp_state
+
+        edited, unverified = _stamp_state(str(repo))
+        return edited | unverified
+    except Exception as e:  # no stamps/artifacts: nothing attributable
+        print(f"# changed-query detection off: {e!r}"[:200], file=sys.stderr)
+        return set()
+
+
+def compute_regressions(
+    cpu: dict[str, float],
+    prev_cpu: dict[str, float],
+    changed: set[str],
+    threshold: float = REGRESSION_RATIO,
+    cap: int = 8,
+) -> dict[str, float]:
+    """{name: cpu ratio} for queries whose defining code changed AND
+    whose cpu_s moved beyond ``threshold`` vs the previous round —
+    cpu_s, not wall, so host contention cannot raise a false alarm.
+    Largest ratios first, capped so the stdout line stays bounded."""
+    flagged = {}
+    for name, now in cpu.items():
+        before = prev_cpu.get(name)
+        if before and before > 0 and name in changed:
+            ratio = now / before
+            if ratio > threshold:
+                flagged[name] = round(ratio, 2)
+    top = sorted(flagged, key=flagged.get, reverse=True)[:cap]
+    return {n: flagged[n] for n in top}
+
 
 def build_stdout_line(
     timings: dict[str, float],
@@ -122,6 +194,7 @@ def build_stdout_line(
     sf: float,
     reps: int,
     budget: int = STDOUT_LINE_BUDGET,
+    regressions: dict[str, float] | None = None,
 ) -> str:
     """One compact JSON line: totals always, per-query detail only while
     it fits.
@@ -131,8 +204,12 @@ def build_stdout_line(
     the serialized line still exceeds ``budget`` bytes, the smallest
     entries are dropped first — the total and query count are the
     contract, the detail is best-effort. Full maps are always in
-    BENCH_SPREADS.json.
+    BENCH_SPREADS.json. ``regressions`` (>REGRESSION_RATIO cpu moves
+    on changed queries, see :func:`compute_regressions`) is part of
+    the contract and survives trimming — it is the alert the rest of
+    the detail exists to support.
     """
+    regressions = regressions or {}
     total = round(sum(timings.values()), 3)
     heavy = sorted(
         (n for n, t in timings.items() if t >= 3.0),
@@ -151,6 +228,7 @@ def build_stdout_line(
                 "n_queries": len(timings),
                 "queries": {n: timings[n] for n in sorted(names)},
                 "cpu_s": {n: cpu[n] for n in sorted(names) if n in cpu},
+                "regressions": regressions,
                 "sf": sf,
                 "reps": reps,
             },
@@ -212,7 +290,22 @@ def main() -> None:
     # stdout JSON line: harnesses that capture only the tail of stdout
     # truncated the r4/r5 result line (spreads) and the r7 line (full
     # medians + cpu_s). The stdout contract stays one capped line.
-    spread_path = Path(__file__).resolve().parent / "BENCH_SPREADS.json"
+    # regression guard (round-10 verdict item #4): cpu_s ratios vs the
+    # previous round's driver artifact, flagged only on queries whose
+    # defining code changed since their last green external check — a
+    # real regression can no longer hide behind the host-variance
+    # narrative, and host variance can no longer raise a false alarm
+    repo = Path(__file__).resolve().parent
+    prev_round, prev_cpu = previous_round_cpu(repo, sf=sf)
+    changed = changed_query_names(repo)
+    ratios = {
+        n: round(cpu[n] / prev_cpu[n], 3)
+        for n in cpu
+        if prev_cpu.get(n, 0) > 0
+    }
+    regressions = compute_regressions(cpu, prev_cpu, changed)
+
+    spread_path = repo / "BENCH_SPREADS.json"
     try:
         spread_path.write_text(
             json.dumps(
@@ -222,6 +315,10 @@ def main() -> None:
                     "queries": timings,
                     "spread": spread,
                     "cpu_s": cpu,
+                    "cpu_ratio_vs_round": prev_round,
+                    "cpu_ratio": ratios,
+                    "changed_queries": sorted(changed & set(cpu)),
+                    "regressions": regressions,
                 },
                 indent=1,
             )
@@ -231,7 +328,12 @@ def main() -> None:
     print(f"# queries: {json.dumps(timings)}", file=sys.stderr)
     print(f"# spread: {json.dumps(spread)}", file=sys.stderr)
     print(f"# cpu_s: {json.dumps(cpu)}", file=sys.stderr)
-    print(build_stdout_line(timings, cpu, sf, reps))
+    print(
+        f"# cpu ratio vs r{prev_round}: {json.dumps(ratios)}",
+        file=sys.stderr,
+    )
+    print(f"# regressions: {json.dumps(regressions)}", file=sys.stderr)
+    print(build_stdout_line(timings, cpu, sf, reps, regressions=regressions))
 
 
 if __name__ == "__main__":
