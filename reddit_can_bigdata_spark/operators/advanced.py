@@ -762,6 +762,19 @@ def g4_closeness_centrality(
 # over. Mirrors the `_state_mode` broadcast/shuffle gate.
 CLOSENESS_EXACT_MAX_NODES = 50_000
 
+# Second axis of the exact-closeness gate (round 11): the node ceiling
+# alone missed a real blow-up the sf1 probe found — the sf1 co-order
+# graph has only ~10k nodes but V·E_sym ≈ 2.1e11 RELAXATION rows
+# (every BFS frontier pass touches every symmetric edge once per
+# source, so the all-sources join shuffles ~V·E_sym rows across the
+# run; at ~24 bytes/row that is ~5 TB of shuffle for a graph 5× under
+# the node ceiling, and it filled the test host's disk). Co-occurrence
+# graphs densify superlinearly — 10× the orders gave 235× the relax
+# volume — so the gate must budget WORK, not just state. The budget is
+# per task slot: local[32] flips sf1 to the sampled estimator, while a
+# 1000-executor cluster (~16k slots) can still afford it exact.
+CLOSENESS_RELAX_ROWS_PER_SLOT = 100_000_000
+
 
 def closeness_for_scale(
     spark: SparkSession,
@@ -776,8 +789,18 @@ def closeness_for_scale(
     overrides: 'exact' | 'sampled' | None (auto by node count).
 
     This is what composites (`influencer_composite_top20`,
-    `user_network_table`) call so the one O(N²) component never runs
-    on a graph where it would be the first thing to die at 100×.
+    `user_network_table`) and `run_pipeline`'s network stage call so
+    the one O(N²) component never runs on a graph where it would be
+    the first thing to die at 100×.
+
+    Two gate axes (both must pass for exact):
+
+    - ``n_nodes <= CLOSENESS_EXACT_MAX_NODES`` — bounds the O(N²)
+      distance STATE;
+    - ``n_nodes · E_sym <= CLOSENESS_RELAX_ROWS_PER_SLOT · slots`` —
+      bounds the relaxation WORK (total frontier-join rows across all
+      sources). Added in round 11 after the honest 10× probe showed a
+      10k-node graph under the state ceiling shuffling ~5 TB.
 
     The chosen mode is LOGGED (round-3 advice: the auto-switch must
     not be silent — sampled closeness diverges from an exact oracle).
@@ -789,20 +812,40 @@ def closeness_for_scale(
     import logging
 
     if mode is None:
-        if n_nodes is None:
-            e = edges if edges is not None else _edges(spark, sf_dir)
-            n_nodes = (
-                e.select(F.col("u").alias("n"))
-                .unionAll(e.select(F.col("v").alias("n")))
-                .distinct()
-                .count()
+        e = edges if edges is not None else _edges(spark, sf_dir)
+        # one pass over the symmetric node column gives both gate
+        # inputs: distinct nodes and E_sym (= 2·|E|, each undirected
+        # edge relaxed in both directions every frontier pass)
+        stats = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .agg(
+                F.count_distinct(F.col("n")).alias("nn"),
+                F.count("*").alias("e_sym"),
             )
-        mode = "exact" if n_nodes <= CLOSENESS_EXACT_MAX_NODES else "sampled"
+            .collect()[0]
+        )
+        if n_nodes is None:
+            n_nodes = stats["nn"]
+        e_sym = stats["e_sym"]
+        slots = spark.sparkContext.defaultParallelism
+        relax_rows = n_nodes * e_sym
+        relax_budget = CLOSENESS_RELAX_ROWS_PER_SLOT * slots
+        mode = (
+            "exact"
+            if n_nodes <= CLOSENESS_EXACT_MAX_NODES
+            and relax_rows <= relax_budget
+            else "sampled"
+        )
         logging.getLogger(__name__).info(
-            "closeness_for_scale: auto mode=%s (n_nodes=%d, ceiling=%d)",
+            "closeness_for_scale: auto mode=%s (n_nodes=%d, ceiling=%d; "
+            "relax_rows=%d, budget=%d over %d slots)",
             mode,
             n_nodes,
             CLOSENESS_EXACT_MAX_NODES,
+            relax_rows,
+            relax_budget,
+            slots,
         )
     if mode == "exact":
         return g4_closeness_centrality(spark, sf_dir, edges=edges)

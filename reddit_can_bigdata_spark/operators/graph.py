@@ -306,7 +306,9 @@ def g8_graph_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "triangles"),
     bench=True,
 )
-def g9_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g9_triangles_clustering(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """G9: triangle counting with DEGREE ORIENTATION — every edge is
     directed from its lower-(degree, id) endpoint to the higher one,
     so each triangle {x,y,z} with pi(x)<pi(y)<pi(z) is enumerated
@@ -323,7 +325,7 @@ def g9_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached; the wedge join and the closing-edge join shuffle on vertex
     ids.
     """
-    e = _edges(spark, sf_dir).select("u", "v").cache()
+    e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v").cache()
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -448,6 +450,209 @@ def _triangles_per_node_complement(e: DataFrame, deg: DataFrame) -> DataFrame:
         )
         .cast("long")
         .alias("n_tri"),
+    )
+
+
+# Wedge-sample hash: neighbors are ranked by (id · MULT) mod PRIME —
+# a multiplicative hash both engines compute identically on BIGINT
+# (products stay far under 2^63 for any realistic id space). The
+# multiplicative constant (Knuth's 2654435761) decorrelates rank
+# order from id order, which matters because co-occurrence graphs are
+# id-correlated (consecutive suppkeys co-order): an order-preserving
+# key ((id + C) % P, or the ids themselves) keeps adjacent ids
+# adjacent in rank order, so the "consecutive pair" sample
+# over-covers true edges — measured +46% to +55% triangle
+# overestimate on local-window graphs (u ~ u±k), vs −12% to −37% for
+# the multiplicative hash on the same adversarial structure and
+# ±0.5–5% on md5-keyed G(n,p) where id order carries no signal
+# (measurement script in tests/test_graph_invariants.py's synthetic
+# generators; single fixed hash ⇒ per-node sampling errors correlate
+# on translation-symmetric graphs instead of averaging out — the
+# known cost of a deterministic, oracle-reproducible sample).
+WEDGE_HASH_MULT = 2654435761
+WEDGE_HASH_MOD = 2147483647  # 2^31 - 1, prime
+
+# Per-task-slot budget for the EXACT triangle count's dominant term
+# (Σdeg² wedge rows on the oriented path, |missing|·avg_deg candidate
+# rows on the complement path — whichever g9 would pick). The sf1
+# probe measured the co-order graph at 2.3e10 wedges (~550 GB of
+# one-shot shuffle) for a 10× data scale-up: triangle counting is the
+# second graph metric (after exact closeness) whose cost grows
+# superlinearly in data size, so it gets the same work-budget gate.
+TRIANGLE_WEDGE_ROWS_PER_SLOT = 100_000_000
+
+
+@register(
+    "g9b_triangles_wedge_sampled",
+    oracle=f"""
+    WITH e AS MATERIALIZED (SELECT u, v FROM ({_EDGES_SQL})),
+    sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+    ordered AS (
+      SELECT src, dst,
+             lead(dst) OVER (
+               PARTITION BY src
+               ORDER BY (dst * {WEDGE_HASH_MULT}) % {WEDGE_HASH_MOD}, dst
+             ) AS nxt
+      FROM sym
+    ),
+    tested AS (
+      SELECT src, least(dst, nxt) AS a, greatest(dst, nxt) AS b
+      FROM ordered WHERE nxt IS NOT NULL
+    ),
+    closed AS (
+      SELECT t.src AS node, CAST(COUNT(*) AS BIGINT) AS n_closed
+      FROM tested t JOIN e ON e.u = t.a AND e.v = t.b
+      GROUP BY t.src
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node
+    )
+    SELECT CAST(SUM(COALESCE(c.n_closed, 0) * d.degree) AS BIGINT)
+             AS sum_closed_deg,
+           round(CAST(SUM(COALESCE(c.n_closed, 0) * d.degree) AS DOUBLE)
+             / 6.0, 2) AS triangles_est,
+           round(CAST(SUM(CASE WHEN d.degree >= 2
+                      THEN CAST(COALESCE(c.n_closed, 0) AS DOUBLE)
+                           / (d.degree - 1.0)
+                      ELSE 0.0 END) AS DOUBLE)
+             / NULLIF(COUNT(*), 0), 6) AS avg_clustering_est
+    FROM deg d LEFT JOIN closed c ON c.node = d.node
+    """,
+    tags=("graph", "triangles", "sampled"),
+)
+def g9b_triangles_wedge_sampled(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """G9 at the scale where exact counting dies: estimate triangles
+    and average clustering from O(E_sym) wedge samples instead of
+    Σdeg² enumerated wedges.
+
+    Each node ranks its neighbors by the portable multiplicative hash
+    above and tests ONLY the d−1 consecutive pairs in that order —
+    d−1 of the C(d,2) wedges at the node, a deterministic
+    pseudo-uniform sample (so the DuckDB oracle reproduces it bit-for-
+    bit; a random sample could not be oracled). With ``closed``
+    closures observed among d−1 tested wedges, the closed-wedge count
+    at v estimates as closed·C(d,2)/(d−1) = closed·d/2, hence
+
+        T̂ = Σ_v closed(v)·d(v) / 6      (each triangle has 3 corners)
+        Ĉ(v) = closed(v)/(d(v)−1),  avg over ALL nodes (deg<2 → 0)
+
+    ``sum_closed_deg`` (Σ closed·d) stays BIGINT-exact — the one
+    hash-stable integer both engines must agree on — with a single
+    final division producing the float estimates. Zero triangles ⇒
+    zero estimate identically (no closed consecutive pair exists), and
+    a complete graph estimates exactly (every tested wedge closed ⇒
+    closed = d−1 ⇒ Ĉ(v) = 1).
+
+    Scale shape: one window over the symmetric edge list (shuffle on
+    src, O(E_sym) rows), one edge-set semi-probe of the tested pairs
+    (O(E_sym) rows), one |nodes|-sized aggregate — no term grows with
+    Σdeg². The reference computes `nx.average_clustering` in driver
+    memory (`network-analysis/network_analysis.py:335`); this is the
+    form that survives the graph NetworkX cannot hold.
+    """
+    e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v").cache()
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    hk = (F.col("dst") * F.lit(WEDGE_HASH_MULT)) % F.lit(WEDGE_HASH_MOD)
+    w = Window.partitionBy("src").orderBy(hk.asc(), F.col("dst").asc())
+    tested = (
+        sym.withColumn("nxt", F.lead("dst").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "src",
+            F.least("dst", "nxt").alias("a"),
+            F.greatest("dst", "nxt").alias("b"),
+        )
+    )
+    closed = (
+        tested.join(
+            e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            ["a", "b"],
+            "left_semi",
+        )
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("n_closed"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    nc = F.coalesce(F.col("n_closed"), F.lit(0))
+    local = F.when(
+        F.col("degree") >= 2, nc.cast("double") / (F.col("degree") - 1.0)
+    ).otherwise(0.0)
+    return deg.join(closed, "node", "left").agg(
+        F.sum(nc * F.col("degree")).cast("bigint").alias("sum_closed_deg"),
+        F.round(
+            F.sum(nc * F.col("degree")).cast("double") / 6.0, 2
+        ).alias("triangles_est"),
+        F.round(
+            F.try_divide(F.sum(local).cast("double"), F.count("*")), 6
+        ).alias("avg_clustering_est"),
+    )
+
+
+def triangles_for_scale(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    mode: str | None = None,
+) -> DataFrame:
+    """Work-budget-gated triangle counting: exact `g9` while the
+    cheaper of its two strategies fits the per-slot wedge budget,
+    wedge-sampled `g9b` (renamed to the exact columns) above it.
+    ``mode`` overrides: 'exact' | 'sampled' | None (auto by measured
+    Σdeg² / complement cost — the same quantities g9's own strategy
+    switch measures).
+
+    This is what production metadata tables (`network_metadata`) call;
+    registered oracle queries pin their mode so parity can't drift
+    with data size (g9 exact, g9b sampled each have their own oracle).
+    The chosen mode is LOGGED, mirroring `closeness_for_scale`.
+    """
+    import logging
+
+    e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
+    if mode is None:
+        e = e.cache()
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+        )
+        row = deg.agg(
+            F.sum(F.col("degree") * F.col("degree")).alias("s"),
+            F.count("*").alias("nn"),
+            (F.sum("degree") / 2).alias("ne"),
+        ).collect()[0]
+        direct_cost = row["s"] or 0
+        n_nodes, n_edges = row["nn"], int(row["ne"] or 0)
+        n_missing = n_nodes * (n_nodes - 1) // 2 - n_edges
+        avg_deg = 2.0 * n_edges / max(n_nodes, 1)
+        exact_cost = min(direct_cost, n_missing * avg_deg)
+        budget = (
+            TRIANGLE_WEDGE_ROWS_PER_SLOT
+            * spark.sparkContext.defaultParallelism
+        )
+        mode = "exact" if exact_cost <= budget else "sampled"
+        logging.getLogger(__name__).info(
+            "triangles_for_scale: auto mode=%s (exact_cost=%d, budget=%d)",
+            mode,
+            exact_cost,
+            budget,
+        )
+    if mode == "exact":
+        return g9_triangles_clustering(spark, sf_dir, edges=e)
+    return g9b_triangles_wedge_sampled(spark, sf_dir, edges=e).select(
+        F.round("triangles_est").cast("long").alias("total_triangles"),
+        F.col("avg_clustering_est").alias("avg_clustering"),
     )
 
 

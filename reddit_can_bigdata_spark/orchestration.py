@@ -154,7 +154,14 @@ def run_pipeline(spark: SparkSession, sf_dir: str) -> PipelineRun:
             influencer_composite_top20,
         )
 
-        influencers = influencer_composite_top20(spark, sf_dir)
+        # auto size gate (round 11): the PRODUCTION lifecycle must not
+        # pin exact closeness — the report row only consumes the top-20
+        # row count, which is mode-independent, so the e2e oracle holds
+        # at every sf while the network stage survives graphs where
+        # exact closeness would be the first component to die
+        influencers = influencer_composite_top20(
+            spark, sf_dir, closeness_mode=None
+        )
         network_users = influencers.count()
 
     coverage = (

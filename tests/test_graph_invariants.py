@@ -416,3 +416,110 @@ def test_g12_kcore_invariants(spark, sf_dir):
             break
         alive -= drop
     assert alive == core
+
+
+def _synthetic_edges(spark, n, mod):
+    """Deterministic sparse G(n, 1/mod): pair (u,v) is an edge iff the
+    md5 of its label falls in the 1/mod bucket. md5-keyed so edge
+    presence is uncorrelated with id order — the regime where the
+    wedge sampler's hash-rank order must behave like a uniform pair
+    sample (an id-correlated generator would mask sampler bias)."""
+    import hashlib
+
+    edges = [
+        (u, v)
+        for u in range(n)
+        for v in range(u + 1, n)
+        if int(hashlib.md5(f"{u}-{v}".encode()).hexdigest(), 16) % mod == 0
+    ]
+    return spark.createDataFrame(edges, "u long, v long")
+
+
+def test_wedge_sampled_zero_on_triangle_free(spark):
+    """A bipartite graph has no triangles; the estimator must return
+    EXACTLY zero (no closed consecutive pair can exist), not merely a
+    small number — the property that makes it safe to gate onto."""
+    from reddit_can_bigdata_spark.operators.graph import (
+        g9b_triangles_wedge_sampled,
+    )
+
+    bip = spark.createDataFrame(
+        [(u, v) for u in range(10) for v in range(10, 25)], "u long, v long"
+    )
+    row = g9b_triangles_wedge_sampled(spark, "", edges=bip).collect()[0]
+    assert row["sum_closed_deg"] == 0
+    assert row["triangles_est"] == 0.0
+    assert row["avg_clustering_est"] == 0.0
+
+
+def test_wedge_sampled_exact_on_complete_graph(spark):
+    """On K_n every tested wedge is closed, so the estimate collapses
+    to the exact count C(n,3) and clustering exactly 1.0."""
+    from reddit_can_bigdata_spark.operators.graph import (
+        g9b_triangles_wedge_sampled,
+    )
+
+    n = 20
+    kn = spark.createDataFrame(
+        [(u, v) for u in range(n) for v in range(u + 1, n)], "u long, v long"
+    )
+    row = g9b_triangles_wedge_sampled(spark, "", edges=kn).collect()[0]
+    assert row["triangles_est"] == n * (n - 1) * (n - 2) / 6
+    assert row["avg_clustering_est"] == 1.0
+
+
+def test_wedge_sampled_close_to_exact_on_sparse_graph(spark):
+    """Measured estimator quality on a deterministic sparse md5-keyed
+    G(n,p): the wedge sample's triangle and clustering estimates land
+    within a few percent of g9's exact values."""
+    from reddit_can_bigdata_spark.operators.graph import (
+        g9_triangles_clustering,
+        g9b_triangles_wedge_sampled,
+    )
+
+    df = _synthetic_edges(spark, 200, 10)
+    exact = g9_triangles_clustering(spark, "", edges=df).collect()[0]
+    est = g9b_triangles_wedge_sampled(spark, "", edges=df).collect()[0]
+    t, te = exact["total_triangles"], est["triangles_est"]
+    assert t > 100, "graph too sparse to be a meaningful quality probe"
+    assert abs(te - t) / t < 0.10, (t, te)
+    assert abs(est["avg_clustering_est"] - exact["avg_clustering"]) < 0.02
+
+
+def test_triangles_for_scale_gate_swap(spark, sf_dir, monkeypatch):
+    """`triangles_for_scale` serves exact g9 under the wedge budget and
+    the renamed g9b estimate above it (budget forced to 0); explicit
+    mode overrides the auto gate."""
+    from reddit_can_bigdata_spark.operators import graph
+
+    exact = graph.triangles_for_scale(spark, sf_dir).collect()[0]
+    want = graph.g9_triangles_clustering(spark, sf_dir).collect()[0]
+    assert (exact["total_triangles"], exact["avg_clustering"]) == (
+        want["total_triangles"],
+        want["avg_clustering"],
+    )
+
+    monkeypatch.setattr(graph, "TRIANGLE_WEDGE_ROWS_PER_SLOT", 0)
+    sampled = graph.triangles_for_scale(spark, sf_dir).collect()[0]
+    est = graph.g9b_triangles_wedge_sampled(spark, sf_dir).collect()[0]
+    assert sampled["total_triangles"] == round(est["triangles_est"])
+    assert sampled["avg_clustering"] == est["avg_clustering_est"]
+    forced = graph.triangles_for_scale(spark, sf_dir, mode="exact").collect()[0]
+    assert forced["total_triangles"] == want["total_triangles"]
+
+
+def test_closeness_relax_volume_gate(spark, sf_dir, monkeypatch):
+    """Round 11: the exact-closeness gate budgets relaxation WORK
+    (V·E_sym rows), not just node-count state — with the per-slot
+    budget forced to 0 the auto gate must pick the sampled estimator
+    even though the node ceiling passes."""
+    from reddit_can_bigdata_spark.operators import advanced
+
+    monkeypatch.setattr(advanced, "CLOSENESS_RELAX_ROWS_PER_SLOT", 0)
+    gated = advanced.closeness_for_scale(spark, sf_dir)
+    assert gated.columns == ["node", "closeness"]
+    want = {
+        (r["node"], r["closeness_est"])
+        for r in advanced.g4c_closeness_sampled(spark, sf_dir).collect()
+    }
+    assert {(r["node"], r["closeness"]) for r in gated.collect()} == want
