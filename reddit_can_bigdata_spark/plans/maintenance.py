@@ -362,3 +362,116 @@ def maint_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         drop_table(path)
+
+
+@register(
+    "maint_concurrent_writers",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(round(SUM(CAST(value * 2 AS DECIMAL(20,6))), 4) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE user_id % 10 <> 0
+    GROUP BY event_type
+    """,
+    tags=("maintenance", "concurrency", "optimistic", "atomic-swap"),
+    deps=("reddit_can_bigdata_spark.sources.storage",),
+)
+def maint_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency as an oracled surface (round-11
+    companion to the fault-injection tests in
+    tests/test_atomic_rewrite.py): two writers race the same table
+    from the SAME observed generation.
+
+    Writer A snapshots generation g, DELETES the ``user_id % 10 == 0``
+    rows, and commits. Writer B — whose read-modify-write plan was
+    built against the same generation-g snapshot (it DOUBLES every
+    ``value``) — then tries to commit with ``read_generation=g``. That
+    commit MUST raise
+    :class:`~reddit_can_bigdata_spark.sources.storage.ConcurrentWriteError`:
+    a silent success would publish B's stale snapshot and resurrect
+    every row A just deleted (the classic lost update). B's documented
+    retry re-reads the LIVE generation — which already carries A's
+    deletion — re-applies its own change, and commits cleanly.
+
+    The served rollup is oracled against plain SQL with BOTH changes
+    applied (``WHERE user_id % 10 <> 0`` and ``value * 2``), so every
+    driver sample externally proves the writers serialized A-then-B
+    instead of last-writer-wins. This query exercises the
+    deterministic stale-read CAS branch (B's read generation is
+    already superseded when it commits); the nondeterministic
+    staged-then-beaten interleave — both writers staging concurrently,
+    put-if-absent deciding the winner — is covered by the
+    fault-injection tests, which inject the race at the publication
+    point. The reference never faces this (single-writer MongoDB,
+    `consumer/kafka_consumer.py:53-55`); a 100 TB lake with scheduled
+    compaction + retention jobs faces it weekly."""
+    from reddit_can_bigdata_spark.sources.storage import (
+        ConcurrentWriteError,
+        atomic_rewrite,
+        drop_table,
+        resolve_table,
+        table_generation,
+    )
+    from reddit_can_bigdata_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    path = os.path.join(
+        tempfile.gettempdir(), f"events_ccwriters_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        ev.write.mode("overwrite").parquet(path)
+
+        # both writers snapshot the SAME generation before either
+        # commits — the concrete generation dir, not the symlink, so
+        # each plan is immune to the pointer repointing mid-build
+        gen_a = table_generation(path)
+        live_a = resolve_table(path)
+        gen_b, live_b = gen_a, live_a
+
+        # writer A: delete a row class, commit against its snapshot
+        df_a = spark.read.schema(ev.schema).parquet(live_a).where(
+            F.col("user_id") % 10 != 0
+        )
+        atomic_rewrite(df_a, path, read_generation=gen_a)
+
+        # writer B: stale commit MUST be rejected, not last-writer-win
+        df_b = (
+            spark.read.schema(ev.schema)
+            .parquet(live_b)
+            .withColumn("value", F.col("value") * 2)
+        )
+        try:
+            atomic_rewrite(df_b, path, read_generation=gen_b)
+        except ConcurrentWriteError:
+            pass
+        else:  # pragma: no cover - protocol violation
+            raise RuntimeError(
+                "concurrent writer B committed a stale snapshot: "
+                "writer A's delete was silently lost"
+            )
+
+        # B's retry: re-read the LIVE generation (carries A's delete),
+        # re-apply B's change, commit against the fresh snapshot
+        gen_2 = table_generation(path)
+        live_2 = resolve_table(path)
+        df_b2 = (
+            spark.read.schema(ev.schema)
+            .parquet(live_2)
+            .withColumn("value", F.col("value") * 2)
+        )
+        atomic_rewrite(df_b2, path, read_generation=gen_2)
+
+        final = spark.read.schema(ev.schema).parquet(resolve_table(path))
+        out = final.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        drop_table(path)
