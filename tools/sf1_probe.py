@@ -61,6 +61,43 @@ DEFAULT = {
 }
 
 
+def _production_forms():
+    """For queries whose REGISTERED form pins an exact algorithm with a
+    known superlinear cost model (oracle stability demands the pin),
+    the probe times the GATED production form at both scales — the
+    exact pin at sf1 is not slow, it is fatal (the first probe run
+    filled the host's disk inside exact closeness: V·E_sym ≈ 2.1e11
+    relaxation rows ≈ 5 TB of shuffle). The gate's mode choice is
+    logged by the gate itself; the probe tags these names so the
+    PERF.md table says which form the exponent measures."""
+    from reddit_can_bigdata_spark.operators.advanced import (
+        closeness_for_scale,
+    )
+    from reddit_can_bigdata_spark.operators.graph import (
+        triangles_for_scale,
+    )
+    from reddit_can_bigdata_spark.operators.influencer import (
+        influencer_composite_top20,
+    )
+
+    return {
+        "g4_closeness_centrality": (
+            "closeness_for_scale(auto)",
+            lambda spark, d: closeness_for_scale(spark, d),
+        ),
+        "g9_triangles_clustering": (
+            "triangles_for_scale(auto)",
+            lambda spark, d: triangles_for_scale(spark, d),
+        ),
+        "influencer_composite_top20": (
+            "influencer_composite_top20(closeness auto)",
+            lambda spark, d: influencer_composite_top20(
+                spark, d, closeness_mode=None
+            ),
+        ),
+    }
+
+
 def main() -> int:
     args = sys.argv[1:]
     reps_default = 2
@@ -87,6 +124,7 @@ def main() -> int:
     spark = get_spark("sf1_probe")
     spark.sparkContext.setLogLevel("ERROR")
     meter = _CpuMeter(spark.sparkContext)
+    prod = _production_forms()
 
     out: dict[str, dict] = {}
     for sf_dir, tag in ((SF01, "sf0.1"), (sf1_dir, "sf1")):
@@ -97,11 +135,15 @@ def main() -> int:
         warm["lineitem"].groupBy("l_returnflag").count().collect()
         meter.delta()
         for name, reps in plan.items():
-            spec = REGISTRY[name]
+            if name in prod:
+                form, fn = prod[name]
+                out.setdefault(name, {})["form"] = form
+            else:
+                fn = REGISTRY[name].fn
             walls, cpus = [], []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                df = spec.fn(spark, sf_dir)
+                df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 walls.append(time.perf_counter() - t0)
                 c = meter.delta()
