@@ -475,3 +475,201 @@ def maint_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         drop_table(path)
+
+
+@register(
+    "maint_time_travel",
+    oracle="""
+    WITH live AS (SELECT * FROM events WHERE user_id % 7 <> 0)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt_asof_g0,
+           CAST(COUNT(*) FILTER (WHERE l.event_id IS NOT NULL) AS BIGINT)
+             AS cnt_live,
+           CAST(COUNT(*) FILTER (WHERE l.event_id IS NULL) AS BIGINT)
+             AS cnt_expired
+    FROM events e LEFT JOIN live l ON l.event_id = e.event_id
+    GROUP BY e.event_type
+    """,
+    tags=("maintenance", "time-travel", "atomic-swap"),
+    deps=("reddit_can_bigdata_spark.sources.storage",),
+)
+def maint_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the version-pointer commit protocol: read the
+    SUPERSEDED generation of a rewritten table while the live one
+    serves — Delta's ``VERSION AS OF`` / Iceberg's snapshot read, on
+    plain parquet.
+
+    The events table is adopted as generation 0, then a retention pass
+    deletes the ``user_id % 7 == 0`` rows (generation 1). Generation
+    0's directory survives inside ``keep_generations``'s grace window,
+    so :func:`~reddit_can_bigdata_spark.sources.storage.resolve_generation`
+    serves BOTH versions concurrently — the served rollup joins the
+    as-of-g0 read against the live read per event_type and counts how
+    many rows the rewrite expired. The oracle recomputes all three
+    counts from the source table and the known predicate, so a driver
+    sample proves (a) the old generation still reads complete and (b)
+    the live generation carries exactly the retention delete — neither
+    a half-swept history nor a half-applied rewrite can hash-match.
+
+    :func:`table_history` is also exercised: it must list exactly
+    {0, 1} after the rewrite (committed AND complete on disk). At
+    100 TB this read path is what an auditor's "what did the table say
+    yesterday" query and a slow reader mid-scan during compaction both
+    depend on; the reference has no table versioning at all (MongoDB
+    collections are overwritten in place,
+    `network-analysis/network_analysis.py:324-325`)."""
+    from reddit_can_bigdata_spark.sources.storage import (
+        atomic_rewrite,
+        drop_table,
+        resolve_generation,
+        resolve_table,
+        table_generation,
+        table_history,
+    )
+    from reddit_can_bigdata_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    path = os.path.join(
+        tempfile.gettempdir(), f"events_timetravel_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        ev.write.mode("overwrite").parquet(path)
+
+        # retention rewrite: adoption commits the original as g0, the
+        # filtered result commits as g1; g0 stays in the grace window
+        gen0 = table_generation(path)
+        src = spark.read.schema(ev.schema).parquet(resolve_table(path))
+        atomic_rewrite(
+            src.where(F.col("user_id") % 7 != 0), path, read_generation=gen0
+        )
+
+        hist = table_history(path)
+        if hist != [gen0, gen0 + 1]:  # pragma: no cover - protocol violation
+            raise RuntimeError(
+                f"table_history after one rewrite should be "
+                f"[{gen0}, {gen0 + 1}], got {hist}"
+            )
+
+        asof = spark.read.schema(ev.schema).parquet(
+            resolve_generation(path, gen0)
+        )
+        live = spark.read.schema(ev.schema).parquet(
+            resolve_generation(path, gen0 + 1)
+        )
+        out = (
+            asof.alias("e")
+            .join(
+                live.select(F.col("event_id").alias("live_id")),
+                F.col("e.event_id") == F.col("live_id"),
+                "left",
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("cnt_asof_g0"),
+                F.count("live_id").cast("bigint").alias("cnt_live"),
+                F.sum(
+                    F.when(F.col("live_id").isNull(), 1).otherwise(0)
+                ).cast("bigint").alias("cnt_expired"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        drop_table(path)
+
+
+@register(
+    "maint_cdc_diff",
+    oracle="""
+    WITH live AS (
+      SELECT event_id, user_id, event_type, ts,
+             CASE WHEN event_type = 'click' THEN value * 2 ELSE value END
+               AS value,
+             props
+      FROM events WHERE user_id % 10 <> 0
+    ),
+    prev AS (
+      SELECT event_id, user_id, event_type, ts, value, props FROM events
+    ),
+    del AS (SELECT * FROM prev EXCEPT ALL SELECT * FROM live),
+    ins AS (SELECT * FROM live EXCEPT ALL SELECT * FROM prev)
+    SELECT change_type, event_type, n FROM (
+      SELECT 'delete' AS change_type, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM del GROUP BY event_type
+      UNION ALL
+      SELECT 'insert', event_type, CAST(COUNT(*) AS BIGINT)
+      FROM ins GROUP BY event_type
+    )
+    """,
+    tags=("maintenance", "cdc", "atomic-swap"),
+    deps=("reddit_can_bigdata_spark.sources.storage",),
+)
+def maint_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture BETWEEN generations: the full-row diff of a
+    table's superseded and live versions, served as a
+    (change_type, event_type, n) rollup — Delta's ``table_changes``
+    read shape, reconstructed from the two generation directories the
+    commit protocol already keeps.
+
+    One rewrite both deletes (``user_id % 10 == 0``) and updates
+    (clicks' ``value`` doubles — IEEE-exact, so both engines agree
+    bitwise). The diff is two ``EXCEPT ALL`` legs over the full rows:
+    a deleted row appears only in the delete leg, an updated row
+    appears in BOTH legs (preimage deleted, postimage inserted), an
+    untouched row in neither — so the counts pin exactly which rows
+    the rewrite touched, and a rewrite that dropped or duplicated an
+    unrelated row cannot hash-match the oracle.
+
+    Scale shape: ``exceptAll`` is one hash-repartition of each side on
+    all columns (two linear shuffles, no quadratic term); on a
+    day-partitioned table the diff prunes to the partitions the
+    rewrite touched. On Delta/Iceberg the transaction log serves this
+    without reading either snapshot (CDC files / changelog scan); this
+    is the plain-parquet fallback an auditor can always run. The
+    reference overwrites MongoDB collections in place and keeps no
+    history to diff at all."""
+    from reddit_can_bigdata_spark.sources.storage import (
+        atomic_rewrite,
+        drop_table,
+        resolve_generation,
+        resolve_table,
+        table_generation,
+    )
+    from reddit_can_bigdata_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    cols = ["event_id", "user_id", "event_type", "ts", "value", "props"]
+    path = os.path.join(
+        tempfile.gettempdir(), f"events_cdc_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        ev.select(*cols).write.mode("overwrite").parquet(path)
+
+        gen0 = table_generation(path)
+        src = spark.read.parquet(resolve_table(path))
+        rewritten = src.where(F.col("user_id") % 10 != 0).withColumn(
+            "value",
+            F.when(
+                F.col("event_type") == "click", F.col("value") * 2
+            ).otherwise(F.col("value")),
+        )
+        atomic_rewrite(rewritten.select(*cols), path, read_generation=gen0)
+
+        prev = spark.read.parquet(resolve_generation(path, gen0)).select(*cols)
+        live = spark.read.parquet(
+            resolve_generation(path, gen0 + 1)
+        ).select(*cols)
+        deletes = prev.exceptAll(live).withColumn(
+            "change_type", F.lit("delete")
+        )
+        inserts = live.exceptAll(prev).withColumn(
+            "change_type", F.lit("insert")
+        )
+        out = (
+            deletes.unionAll(inserts)
+            .groupBy("change_type", "event_type")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        drop_table(path)

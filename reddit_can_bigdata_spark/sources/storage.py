@@ -132,6 +132,50 @@ def table_generation(path: str) -> int:
     return commits[-1][0] if commits else 0
 
 
+def table_history(path: str) -> list[int]:
+    """Generation numbers that are both committed in the log AND still
+    complete on disk — the set :func:`resolve_generation` can serve.
+    The live generation is always present; older ones survive while
+    inside :func:`atomic_rewrite`'s ``keep_generations`` grace window
+    (Delta keeps superseded files until VACUUM the same way). Empty
+    for a pre-protocol table."""
+    parent = os.path.dirname(path) or "."
+    out = []
+    for gen, dirname in _list_commits(path):
+        if os.path.exists(os.path.join(parent, dirname, "_SUCCESS")):
+            out.append(gen)
+    return out
+
+
+def resolve_generation(path: str, generation: int) -> str:
+    """Time travel: the directory holding committed generation
+    ``generation`` of the table at ``path`` — the ``VERSION AS OF``
+    read (Delta) / snapshot read (Iceberg), scaled down to the same
+    two primitives the writer protocol uses (a commit-log listing and
+    a completeness check).
+
+    Raises ``KeyError`` if the generation was never committed and
+    ``FileNotFoundError`` if it was committed but its directory has
+    been swept past the ``keep_generations`` grace window — the two
+    failures a caller must distinguish (wrong version asked vs history
+    expired), mirroring Delta's VERSION_NOT_FOUND vs
+    FILES_NO_LONGER_EXIST errors."""
+    commits = dict(_list_commits(path))
+    if generation not in commits:
+        raise KeyError(
+            f"{path}: generation {generation} was never committed "
+            f"(log has {sorted(commits) or 'nothing'})"
+        )
+    parent = os.path.dirname(path) or "."
+    full = os.path.join(parent, commits[generation])
+    if not os.path.exists(os.path.join(full, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"{path}: generation {generation} is committed but its "
+            "files were swept past the keep_generations grace window"
+        )
+    return full
+
+
 def _relink(path: str, gen_dir: str) -> None:
     """Point the ``path`` symlink at ``gen_dir`` atomically (symlink
     to a temp name, then rename over the old link)."""

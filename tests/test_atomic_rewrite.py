@@ -399,3 +399,55 @@ def test_drop_table_removes_every_protocol_artifact(spark, tmp_path):
     os.makedirs(other)
     drop_table(path)
     assert sorted(os.listdir(tmp_path)) == ["t.other"]
+
+
+def test_time_travel_reads_superseded_generation(spark, tmp_path):
+    """resolve_generation serves the VERSION AS OF read: after a
+    rewrite, the superseded generation still reads complete (grace
+    window), the live one carries the rewrite, and table_history
+    lists exactly the generations that are committed AND on disk."""
+    path = str(tmp_path / "t")
+    _seed_table(spark, path)
+    atomic_rewrite(spark.read.parquet(path).where(F.col("id") < 40), path)
+    assert storage.table_history(path) == [0, 1]
+    asof = sorted(
+        r.id
+        for r in spark.read.parquet(
+            storage.resolve_generation(path, 0)
+        ).collect()
+    )
+    assert asof == list(range(100))
+    live = sorted(
+        r.id
+        for r in spark.read.parquet(
+            storage.resolve_generation(path, 1)
+        ).collect()
+    )
+    assert live == list(range(40))
+
+
+def test_time_travel_distinguishes_never_committed_from_swept(
+    spark, tmp_path
+):
+    """KeyError for a generation the log never saw (wrong version);
+    FileNotFoundError for one committed but swept past the grace
+    window (history expired) — the two failures a caller handles
+    differently, mirroring Delta's VERSION_NOT_FOUND vs
+    FILES_NO_LONGER_EXIST."""
+    path = str(tmp_path / "t")
+    _seed_table(spark, path)
+    for hi in (80, 60, 40):  # g0 adopted, then g1..g3; g0/g1 swept
+        atomic_rewrite(
+            spark.read.parquet(path).where(F.col("id") < hi), path
+        )
+    with pytest.raises(KeyError):
+        storage.resolve_generation(path, 99)
+    with pytest.raises(FileNotFoundError):
+        storage.resolve_generation(path, 0)
+    assert storage.table_history(path) == [2, 3]
+
+
+def test_table_history_empty_for_preprotocol_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed_table(spark, path)
+    assert storage.table_history(path) == []
