@@ -583,6 +583,7 @@ def g4c_closeness_sampled(
     sf_dir: str,
     edges: DataFrame | None = None,
     until_converged: bool = False,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """G4 at scale: pivot-SAMPLED closeness (Eppstein–Wang estimator).
 
@@ -598,13 +599,20 @@ def g4c_closeness_sampled(
     frontier relaxation, and hop bound are byte-identical to the exact
     g4 path (same `_bfs_distances`), only the seed set shrinks. All
     arithmetic is integer until one double division → exact oracle
-    parity."""
+    parity.
+
+    ``sample_mod`` is the COST KNOB (default ``CLOSENESS_SAMPLE_MOD`` =
+    7, the registered oracle's K; the k/n rescale in the estimator
+    makes any K consistent). `closeness_for_scale`'s auto gate derives
+    it from a relax-row budget when the graph densifies past what
+    1-in-7 affords (round-11 probe finding)."""
+    sample_mod = CLOSENESS_SAMPLE_MOD if sample_mod is None else sample_mod
     e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).cache()
     nodes = sym.select("src").distinct()
-    srcs = nodes.where(F.col("src") % CLOSENESS_SAMPLE_MOD == 0)
+    srcs = nodes.where(F.col("src") % sample_mod == 0)
     dist = _bfs_distances(
         sym, CLOSENESS_HOPS, F.lit(1), sources=srcs, unweighted=True,
         until_converged=until_converged,
@@ -802,15 +810,28 @@ def closeness_for_scale(
       sources). Added in round 11 after the honest 10× probe showed a
       10k-node graph under the state ceiling shuffling ~5 TB.
 
+    On the auto path the SAMPLED arm's source count is itself
+    budgeted: a fixed 1-in-7 sample keeps k proportional to the graph,
+    so k·E_sym work grows superquadratically when the graph densifies
+    — the round-11 honest 10× probe measured mod-7 sampled closeness
+    burning 73× the cpu inside `pipeline_e2e` at sf1 (the co-order
+    graph has 23.5× the edges for 10× the data). The pivot estimator's
+    error depends on the ABSOLUTE sample count, so the auto gate
+    derives the modulus from the same relax-row budget
+    (:func:`~reddit_can_bigdata_spark.operators.common.budgeted_sample_mod`):
+    sample size scales with the cluster, not the data.
+
     The chosen mode is LOGGED (round-3 advice: the auto-switch must
     not be silent — sampled closeness diverges from an exact oracle).
-    Registered oracle queries pass ``mode='exact'`` explicitly so
-    their parity can't drift with data size; production callers use
-    the default auto gate (the sampled estimator has its own green
-    oracle rows, `g4c`/`g4d`).
+    Registered oracle queries pass ``mode='exact'`` or
+    ``mode='sampled'`` explicitly (forced modes keep the pinned mod-7
+    sample, so their parity can't drift with data size); production
+    callers use the default auto gate (the sampled estimator has its
+    own green oracle rows, `g4c`/`g4d`).
     """
     import logging
 
+    sample_mod = None
     if mode is None:
         e = edges if edges is not None else _edges(spark, sf_dir)
         # one pass over the symmetric node column gives both gate
@@ -837,18 +858,32 @@ def closeness_for_scale(
             and relax_rows <= relax_budget
             else "sampled"
         )
+        if mode == "sampled":
+            from reddit_can_bigdata_spark.operators.common import (
+                budgeted_sample_mod,
+            )
+
+            sample_mod = budgeted_sample_mod(
+                n_nodes,
+                e_sym,
+                CLOSENESS_HOPS,
+                slots,
+                CLOSENESS_SAMPLE_MOD,
+                rows_per_slot=CLOSENESS_RELAX_ROWS_PER_SLOT,
+            )
         logging.getLogger(__name__).info(
             "closeness_for_scale: auto mode=%s (n_nodes=%d, ceiling=%d; "
-            "relax_rows=%d, budget=%d over %d slots)",
+            "relax_rows=%d, budget=%d over %d slots; sample_mod=%s)",
             mode,
             n_nodes,
             CLOSENESS_EXACT_MAX_NODES,
             relax_rows,
             relax_budget,
             slots,
+            sample_mod,
         )
     if mode == "exact":
         return g4_closeness_centrality(spark, sf_dir, edges=edges)
-    return g4c_closeness_sampled(spark, sf_dir, edges=edges).select(
-        "node", F.col("closeness_est").alias("closeness")
-    )
+    return g4c_closeness_sampled(
+        spark, sf_dir, edges=edges, sample_mod=sample_mod
+    ).select("node", F.col("closeness_est").alias("closeness"))

@@ -1153,6 +1153,9 @@ def g7_connected_components(
 
 BW_LEVELS = 6  # >= test-graph diameter, like CLOSENESS_HOPS
 BW_SAMPLE_MOD = 7  # deterministic 1-in-7 source sample (node % 7 == 0)
+#: relax-row budget per task slot for the gated production form
+#: (`betweenness_for_scale`); same class as CLOSENESS_RELAX_ROWS_PER_SLOT
+BW_RELAX_ROWS_PER_SLOT = 100_000_000
 
 
 def _brandes_forward(
@@ -1434,6 +1437,72 @@ def g3b_betweenness_sampled(
                 "betweenness_est"
             ),
         )
+    )
+
+
+def betweenness_for_scale(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Work-budget-gated sampled betweenness: `g3b` with a sampling
+    modulus the relax-row budget can afford — the production form.
+
+    The registered `g3b_betweenness_sampled` pins mod-7 (k = n/7
+    sources) for oracle stability, which makes its work k·E_sym·levels
+    grow superquadratically when the graph densifies: the round-11
+    honest 10× probe measured the sf1 co-order graph (23.5× the edges
+    for 10× the data) pushing mod-7 Brandes past 80 GB of spill —
+    disk-full, job dead. The Brandes-pivot estimator's error depends
+    on the ABSOLUTE source count (~sqrt(log n / k), Eppstein–Wang
+    analysis; the n/k rescale makes any k consistent), so the budget
+    clamps k to what the cluster affords
+    (:func:`~reddit_can_bigdata_spark.operators.common.budgeted_sample_mod`
+    with 2·``BW_LEVELS`` — forward sweep + backward accumulation each
+    touch every symmetric edge per level per source). At the driver's
+    scale factors the budget keeps mod-7, so this form is
+    bit-identical to the registered oracle query there; the chosen
+    modulus is LOGGED when it departs."""
+    import logging
+
+    e = (edges if edges is not None else _edges(spark, sf_dir)).select(
+        "u", "v"
+    )
+    if sample_mod is None:
+        from reddit_can_bigdata_spark.operators.common import (
+            budgeted_sample_mod,
+        )
+
+        e = e.cache()
+        stats = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .agg(
+                F.count_distinct(F.col("n")).alias("nn"),
+                F.count("*").alias("e_sym"),
+            )
+            .collect()[0]
+        )
+        slots = spark.sparkContext.defaultParallelism
+        sample_mod = budgeted_sample_mod(
+            stats["nn"],
+            stats["e_sym"],
+            2 * BW_LEVELS,
+            slots,
+            BW_SAMPLE_MOD,
+            rows_per_slot=BW_RELAX_ROWS_PER_SLOT,
+        )
+        logging.getLogger(__name__).info(
+            "betweenness_for_scale: sample_mod=%d (n_nodes=%d, e_sym=%d, "
+            "%d slots)",
+            sample_mod,
+            stats["nn"],
+            stats["e_sym"],
+            slots,
+        )
+    return g3b_betweenness_sampled(
+        spark, sf_dir, edges=e, sample_mod=sample_mod
     )
 
 

