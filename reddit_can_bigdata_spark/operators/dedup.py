@@ -131,7 +131,9 @@ _MINHASH_EST_CTES = f"""perms AS ({_PERM_SQL}),
     tags=("dedup", "minhash", "lsh"),
     bench=True,
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """MinHash + LSH near-dup candidates with estimated jaccard.
 
     Pipeline: distinct 3-word shingles → portable 32-bit hash → K=16
@@ -146,7 +148,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from reddit_can_bigdata_spark.functions.text import portable_hash32
 
-    hashed = _shingles(spark, sf_dir).select(
+    sh = shingles if shingles is not None else _shingles(spark, sf_dir)
+    hashed = sh.select(
         "doc_id", portable_hash32(F.col("shingle")).alias("h")
     )
     # Wide signature: ONE aggregation with K min-expressions instead of
@@ -316,7 +319,10 @@ _NGRAM_JACCARD_EXPR = "CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_com
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, sample_mod: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    sample_mod: int = 1,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over *discriminative* shingles (document
     frequency ≤ 20). The df-bound is the blocking step: joining docs
@@ -338,7 +344,7 @@ def dedup_ngram_jaccard(
     blocking self-join still shrinks ~K² (both sides are sliced docs).
     Default 1 = full population, the registered-oracle form; the plan
     is untouched at the default."""
-    sh = _shingles(spark, sf_dir)
+    sh = shingles if shingles is not None else _shingles(spark, sf_dir)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
     doc_side = sh if sample_mod <= 1 else sh.where(
         F.col("doc_id") % sample_mod == 0
@@ -679,6 +685,10 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold — one constant, so retuning dedup_ngram_jaccard can never
 # leave the metric measuring a stale ground truth.
 LSH_QUALITY_TAU = NGRAM_JACCARD_TAU
+#: corpus size above which dedup_lsh_quality caches the shared shingle
+#: base instead of relying on ReusedExchange (measured crossover:
+#: reuse wins at 5k docs, breaks by 50k — see the docstring A/B)
+LSH_QUALITY_CACHE_DOCS = 20_000
 
 
 @register(
@@ -741,12 +751,29 @@ def dedup_lsh_quality(
     the population values (pair survival is doc-hash-independent of
     the sketch quality being measured). Default 1 = full population,
     identical to the registered-oracle form (invariance pinned in
-    tests/test_sample_knob.py)."""
-    exact = dedup_ngram_jaccard(spark, sf_dir, sample_mod=sample_mod).select(
-        "doc_a", "doc_b", F.lit(1).alias("fe")
-    )
+    tests/test_sample_knob.py).
+
+    The shingle base is computed ONCE and threaded through both arms,
+    cached above a measured corpus-size crossover: uncached, the
+    composed plan re-derives the explode+distinct shuffle across the
+    exact arm's self-join legs and the LSH signatures — free while
+    Spark's ReusedExchange dedupes it (sf0.1: composed ran CHEAPER
+    than the two arms separately), but broken at sf1 where the
+    round-11 probe measured the composition at 5.6× the cpu of its
+    arms combined (477 vs 85 cpu-s). Forcing the cache at sf0.1
+    measured 3-4× the cpu of the reuse path (74-90 vs 22-37 cpu-s A/B,
+    same session) — InMemoryRelation reads cost more than a reused
+    shuffle — so the cache engages only when the corpus outgrows the
+    optimizer's reuse (measured crossover between 5k and 50k docs).
+    Output values are identical on every path."""
+    sh = _shingles(spark, sf_dir)
+    if tables(spark, sf_dir)["documents"].count() >= LSH_QUALITY_CACHE_DOCS:
+        sh = sh.cache()
+    exact = dedup_ngram_jaccard(
+        spark, sf_dir, sample_mod=sample_mod, shingles=sh
+    ).select("doc_a", "doc_b", F.lit(1).alias("fe"))
     lsh = (
-        dedup_minhash_lsh(spark, sf_dir)
+        dedup_minhash_lsh(spark, sf_dir, shingles=sh)
         .where(F.col("est_jaccard") >= LSH_QUALITY_TAU)
         .select("doc_a", "doc_b", F.lit(1).alias("fl"))
     )
