@@ -83,8 +83,20 @@ def _production_forms():
     from reddit_can_bigdata_spark.operators.graph import (
         betweenness_for_scale,
     )
+    from reddit_can_bigdata_spark.operators.similarity import (
+        embedding_lsh_for_scale,
+        semantic_dedup_for_scale,
+    )
 
     return {
+        "dedup_embedding_lsh": (
+            "embedding_lsh_for_scale(auto)",
+            lambda spark, d: embedding_lsh_for_scale(spark, d),
+        ),
+        "sim_semantic_dedup": (
+            "semantic_dedup_for_scale(auto)",
+            lambda spark, d: semantic_dedup_for_scale(spark, d),
+        ),
         "g4_closeness_centrality": (
             "closeness_for_scale(auto)",
             lambda spark, d: closeness_for_scale(spark, d),
