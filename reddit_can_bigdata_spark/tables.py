@@ -28,6 +28,31 @@ TABLE_NAMES = (
 )
 
 
+#: per-process catalog memo: {(session id, sf_dir, listing fingerprint):
+#: tables dict}. ``tables()`` is called several times inside a single
+#: query builder (and 58 x 3 times per bench run); each cold call costs
+#: ten ``spark.read.parquet`` footer reads plus ten temp-view
+#: registrations of driver latency for identical DataFrames. The memo
+#: key includes every table file's (mtime_ns, size), so a regenerated
+#: fixture — the maintenance/layout tests rewrite tables in place —
+#: always gets a fresh scan (a parquet DataFrame pins its file listing
+#: at read time, so reusing one across a rewrite would serve stale
+#: files). Plan-handle reuse only: no data or results are cached.
+_CATALOG_MEMO: dict[tuple, dict[str, DataFrame]] = {}
+
+
+def _dir_fingerprint(sf_dir: str) -> tuple:
+    parts = []
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            st = os.stat(path)
+            parts.append((name, st.st_mtime_ns, st.st_size))
+        except OSError:
+            parts.append((name, None, None))
+    return tuple(parts)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every testdata table as a DataFrame and register temp views.
 
@@ -36,6 +61,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     metastore; the query code below only depends on the view names, so
     swapping the physical layout is transparent to every operator.
     """
+    # applicationId (not id(spark)): a restarted session can reuse the
+    # same Python object address, but never the same application id.
+    key = (spark.sparkContext.applicationId, sf_dir, _dir_fingerprint(sf_dir))
+    hit = _CATALOG_MEMO.get(key)
+    if hit is not None:
+        # Re-register the temp views: an interleaved load of a DIFFERENT
+        # sf_dir (tests do this) would have repointed the view names.
+        # View registration is a driver-side catalog write — no footer
+        # I/O — so the hit path stays cheap.
+        for name, df in hit.items():
+            df.createOrReplaceTempView(name)
+        return dict(hit)
     # events.parquet stores TIMESTAMP(NANOS), which Spark rejects unless
     # read as long (converted back to timestamp below). Set defensively
     # here: the harness/driver may hand us a session built without it.
@@ -62,4 +99,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
+    _CATALOG_MEMO[key] = dict(out)
     return out
