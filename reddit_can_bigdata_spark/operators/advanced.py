@@ -420,6 +420,15 @@ def g5_eigenvector_centrality(
     iteration on the destination key; the norm is a scalar aggregate
     broadcast back."""
     e = edges if edges is not None else _edges(spark, sf_dir)
+    if state_mode is None:
+        from reddit_can_bigdata_spark.operators.graphkernel import (
+            collect_graph,
+            eigenvector_kernel_df,
+        )
+
+        g = collect_graph(e, spark)
+        if g is not None:
+            return eigenvector_kernel_df(spark, g, EIGEN_ITERS)
     sym = e.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), F.col("weight").cast("double").alias("w")
     ).unionAll(
@@ -608,6 +617,16 @@ def g4c_closeness_sampled(
     1-in-7 affords (round-11 probe finding)."""
     sample_mod = CLOSENESS_SAMPLE_MOD if sample_mod is None else sample_mod
     e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
+    from reddit_can_bigdata_spark.operators.graphkernel import (
+        closeness_sampled_kernel_df,
+        collect_graph,
+    )
+
+    g = collect_graph(e, spark)
+    if g is not None:
+        return closeness_sampled_kernel_df(
+            spark, g, CLOSENESS_HOPS, sample_mod, until_converged
+        )
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).cache()
@@ -743,6 +762,16 @@ def g4_closeness_centrality(
     a sampled src set (SURVEY §7.3 risk 2).
     """
     e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
+    from reddit_can_bigdata_spark.operators.graphkernel import (
+        closeness_kernel_df,
+        collect_graph,
+    )
+
+    g = collect_graph(e, spark)
+    if g is not None:
+        return closeness_kernel_df(
+            spark, g, CLOSENESS_HOPS, until_converged, out_col="closeness"
+        )
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).cache()

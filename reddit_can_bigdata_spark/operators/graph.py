@@ -227,12 +227,23 @@ def g2_degree_centrality(
     broadcasts. ``edges`` lets a composite share one materialized
     edge table across several centralities."""
     e = edges if edges is not None else _edges(spark, sf_dir)
-    both = e.select(F.col("u").alias("node"), "weight").unionAll(
-        e.select(F.col("v").alias("node"), "weight")
-    )
+    # One edge-table pass, not four: the u/v union as a generator over
+    # a single scan (explode of the two endpoint structs), and the
+    # |V|-row degree table cached so the n-count broadcast job and the
+    # output both read it instead of re-running the edge build (the
+    # before-plan showed four full lineitem→pairs subtrees; guide §2.4
+    # "remove shuffles outright" / duplicated-subtree case).
+    both = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("node"), F.col("weight")),
+                F.struct(F.col("v").alias("node"), F.col("weight")),
+            )
+        ).alias("s")
+    ).select("s.node", "s.weight")
     deg = both.groupBy("node").agg(
         F.count("*").alias("degree"), F.sum("weight").alias("weighted_degree")
-    )
+    ).cache()
     n = deg.agg(F.count("*").cast("double").alias("n_nodes"))
     return deg.crossJoin(F.broadcast(n)).select(
         "node",
@@ -325,7 +336,31 @@ def g9_triangles_clustering(
     cached; the wedge join and the closing-edge join shuffle on vertex
     ids.
     """
-    e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v").cache()
+    e0 = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
+    from reddit_can_bigdata_spark.operators.graphkernel import (
+        TRIANGLE_DENSE_MAX_NODES,
+        collect_graph,
+        triangles_kernel_df,
+    )
+
+    g = collect_graph(e0, spark)
+    if g is not None and g.n_nodes <= TRIANGLE_DENSE_MAX_NODES:
+        tk = triangles_kernel_df(spark, g)
+        local_k = F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce(F.col("n_tri"), F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1.0)),
+        ).otherwise(0.0)
+        return tk.agg(
+            (F.coalesce(F.sum("n_tri"), F.lit(0)) / 3)
+            .cast("long")
+            .alias("total_triangles"),
+            F.round(
+                F.try_divide(F.sum(local_k).cast("double"), F.count("*")), 6
+            ).alias("avg_clustering"),
+        )
+    e = e0.cache()
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -715,6 +750,15 @@ def g6_pagerank(
     edge table across several centralities.
     """
     e = edges if edges is not None else _edges(spark, sf_dir)
+    if state_mode is None:
+        from reddit_can_bigdata_spark.operators.graphkernel import (
+            collect_graph,
+            pagerank_kernel_df,
+        )
+
+        g = collect_graph(e, spark)
+        if g is not None:
+            return pagerank_kernel_df(spark, g, PAGERANK_ITERS, PAGERANK_DAMPING)
     sym = e.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), F.col("weight").cast("double").alias("w")
     ).unionAll(
@@ -999,11 +1043,34 @@ def min_label_components(
     depends on full components (the leakage-safe cluster split) must
     set it, because a silently-truncated propagation leaves two linked
     docs with different canonical ids."""
+    rounds_budget = UNTIL_CONVERGED_MAX_ROUNDS if until_converged else iters
+    if state_mode is None:
+        from reddit_can_bigdata_spark.operators.graphkernel import (
+            collect_sym,
+            min_label_kernel,
+        )
+
+        spark = sym.sparkSession
+        ga = collect_sym(sym, spark)
+        if ga is not None:
+            nodes_arr, labels_arr, executed, converged = min_label_kernel(
+                ga, rounds_budget, shortcut=shortcut
+            )
+            LAST_COMPONENT_ROUNDS = executed
+            if require_converged and not converged:
+                _raise_unconverged(rounds_budget, until_converged, shortcut)
+            if nodes_arr.shape[0] == 0:
+                return spark.createDataFrame([], "node long, label long")
+            import pandas as pd
+
+            return spark.createDataFrame(
+                pd.DataFrame({"node": nodes_arr, "label": labels_arr})
+            )
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     mode = _state_mode(labels.count(), state_mode)
-    rounds = UNTIL_CONVERGED_MAX_ROUNDS if until_converged else iters
+    rounds = rounds_budget
     converged = False
     executed_rounds = 0
     for _ in range(rounds):
@@ -1052,38 +1119,42 @@ def min_label_components(
         if changed == 0:
             converged = True
             break
-    global LAST_COMPONENT_ROUNDS
     LAST_COMPONENT_ROUNDS = executed_rounds
     if require_converged and not converged:
-        # include the ACTIVE settings so the diagnostic never suggests a
-        # flag the caller already passed (round-8 advice)
-        applied = [
-            f for f, on in (
-                ("until_converged", until_converged), ("shortcut", shortcut)
-            ) if on
-        ]
-        remedies = [
-            f for f, on in (
-                ("until_converged=True", until_converged),
-                ("shortcut=True", shortcut),
-            ) if not on
-        ]
-        detail = (
-            f" (already set: {', '.join(applied)})" if applied else ""
-        )
-        hint = (
-            f"; rerun with {' or '.join(remedies)}"
-            if remedies
-            else "; all convergence aids are already on — the graph's"
-            " diameter exceeds even the doubled-path budget, raise"
-            " UNTIL_CONVERGED_MAX_ROUNDS"
-        )
-        raise RuntimeError(
-            f"min_label_components: no fixed point within {rounds} rounds"
-            f" — component labels may be truncated (diameter > budget)"
-            f"{detail}{hint}"
-        )
+        _raise_unconverged(rounds, until_converged, shortcut)
     return labels
+
+
+def _raise_unconverged(
+    rounds: int, until_converged: bool, shortcut: bool
+) -> None:
+    """Shared non-convergence diagnostic for both min-label paths:
+    include the ACTIVE settings so it never suggests a flag the caller
+    already passed (round-8 advice)."""
+    applied = [
+        f for f, on in (
+            ("until_converged", until_converged), ("shortcut", shortcut)
+        ) if on
+    ]
+    remedies = [
+        f for f, on in (
+            ("until_converged=True", until_converged),
+            ("shortcut=True", shortcut),
+        ) if not on
+    ]
+    detail = f" (already set: {', '.join(applied)})" if applied else ""
+    hint = (
+        f"; rerun with {' or '.join(remedies)}"
+        if remedies
+        else "; all convergence aids are already on — the graph's"
+        " diameter exceeds even the doubled-path budget, raise"
+        " UNTIL_CONVERGED_MAX_ROUNDS"
+    )
+    raise RuntimeError(
+        f"min_label_components: no fixed point within {rounds} rounds"
+        f" — component labels may be truncated (diameter > budget)"
+        f"{detail}{hint}"
+    )
 
 
 def min_label_rounds_sql(sym_cte: str, iters: int) -> list[str]:
@@ -1411,6 +1482,16 @@ def g3b_betweenness_sampled(
     (src, node) keys — no collected adjacency, no O(N²) blowup."""
     sample_mod = BW_SAMPLE_MOD if sample_mod is None else sample_mod
     e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
+    from reddit_can_bigdata_spark.operators.graphkernel import (
+        betweenness_kernel_df,
+        collect_graph,
+    )
+
+    g = collect_graph(e, spark)
+    if g is not None:
+        return betweenness_kernel_df(
+            spark, g, BW_LEVELS, sample_mod, until_converged
+        )
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).cache()
