@@ -46,10 +46,21 @@ _SHINGLES_SQL = """
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — 3-word shingles."""
+def _shingles(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) pairs — 3-word shingles.
+
+    ``distinct=True`` (set semantics) is required wherever shingles are
+    COUNTED (the exact-Jaccard arm's df/doc_sizes/inter aggregates).
+    The MinHash arm only ever takes ``min()`` over a doc's shingle
+    hashes, and min over a multiset equals min over its set — callers
+    that feed the signature aggregate alone pass ``distinct=False`` to
+    skip the full (doc_id, shingle) deduplicating shuffle (the corpus's
+    largest intermediate; guide §2.4 "a distinct on data where the
+    consumer is duplicate-insensitive")."""
     docs = spread(tables(spark, sf_dir)["documents"])
-    return (
+    sh = (
         docs.select("doc_id", F.split("text", " ").alias("w"))
         .where(F.size("w") >= 3)
         .select(
@@ -61,8 +72,8 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
+    return sh.distinct() if distinct else sh
 
 
 @register(
@@ -148,7 +159,17 @@ def dedup_minhash_lsh(
     """
     from reddit_can_bigdata_spark.functions.text import portable_hash32
 
-    sh = shingles if shingles is not None else _shingles(spark, sf_dir)
+    # When building its own shingle base this query skips the distinct:
+    # the signature aggregate below is min-only, so duplicate shingles
+    # can't change any m_i, and dropping the dedup shuffle removes one
+    # full exchange of the corpus's largest intermediate (shared bases
+    # passed in by dedup_lsh_quality stay distinct — the exact arm
+    # counts shingles).
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingles(spark, sf_dir, distinct=False)
+    )
     hashed = sh.select(
         "doc_id", portable_hash32(F.col("shingle")).alias("h")
     )

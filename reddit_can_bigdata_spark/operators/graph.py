@@ -131,30 +131,43 @@ _EDGES_SQL = """
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G1: build the undirected edge list via one self-join + group-agg.
+    """G1: build the undirected edge list — per-order supplier set →
+    in-row pair expansion → pair-count aggregate.
 
     Reference builds edges with CPython dict loops
-    (`network-analysis/network_analysis.py:42-121`); here the
-    canonicalized pair (u<v, the least/greatest trick) plus a count
-    aggregate. (orderkey, suppkey) is deduped BEFORE the self-join, so
-    each co-order contributes exactly one pair row and the weight is a
-    plain count — no distinct-aggregate (its extra expand+dedup
-    shuffle measured ~5x slower) — and the join input is the smallest
-    it can be. The self-join shuffles on orderkey once; the pair
-    aggregate shuffles pair-count rows only.
+    (`network-analysis/network_analysis.py:42-121`). Round 11
+    (optimization, guide §2.4 "remove shuffles outright"): the previous
+    form deduped (orderkey, suppkey) with a DISTINCT (one shuffle on
+    both columns), self-joined on orderkey (second shuffle — the
+    distinct's partitioning doesn't serve an orderkey join), then
+    aggregated pairs (third shuffle). Collapsing the dedup + self-join
+    into ``collect_set`` per orderkey + an in-row combination explode
+    produces the identical pair multiset with ONE shuffle before the
+    pair aggregate, and the shuffle carries one set row per order
+    instead of the join's row pairs. Per-order sets are tiny (bounded
+    by order line count), so the explode is skew-free and
+    corpus-linear — the same shape at 100 TB.
+
+    Equivalence: each order contributes exactly one row per unordered
+    supplier pair in both forms (the old DISTINCT made (orderkey,
+    suppkey) unique before the u<v join; a set is unique by
+    construction, and array_sort makes every emitted pair u<v), so
+    weight = COUNT(*) is unchanged.
     """
-    li = (
-        tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_suppkey").distinct()
+    li = tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("s")
     )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
-        .agg(F.count("*").cast("bigint").alias("weight"))
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(s, (x, i) ->"
+                " transform(slice(s, i + 2, size(s)), y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v")).agg(
+        F.count("*").cast("bigint").alias("weight")
     )
 
 

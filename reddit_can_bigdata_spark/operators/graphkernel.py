@@ -194,6 +194,22 @@ def _gather(indptr: np.ndarray, indices: np.ndarray, frontier: np.ndarray):
     return reps, indices[offs].astype(np.int64)
 
 
+def _gather_nbrs(
+    indptr: np.ndarray, indices: np.ndarray, frontier: np.ndarray
+) -> np.ndarray:
+    """Neighbor positions only — skips :func:`_gather`'s repeated-
+    frontier array for callers (plain BFS) that never use it."""
+    starts = indptr[frontier]
+    counts = indptr[frontier + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.repeat(starts + counts - np.cumsum(counts), counts) + np.arange(
+        total, dtype=np.int64
+    )
+    return indices[offs].astype(np.int64)
+
+
 def _empty_result(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
@@ -201,7 +217,13 @@ def _empty_result(spark: SparkSession, schema: str) -> DataFrame:
 def _sources_df(
     spark: SparkSession, ids: np.ndarray, parts: int | None = None
 ) -> DataFrame:
-    """Distribute a (tiny) work list of node ids across the cluster."""
+    """Distribute a (tiny) work list of node ids across the cluster.
+
+    ``createDataFrame(pandas)`` already slices the list into
+    ``defaultParallelism`` contiguous partitions on the driver, so no
+    ``repartition`` shuffle (one whole exchange + stage per kernel
+    query, measured ~0.5-1s of pure latency) is needed — ``coalesce``
+    merges down to ``parts`` without moving anything."""
     import pandas as pd
 
     n = int(ids.shape[0])
@@ -210,7 +232,9 @@ def _sources_df(
     if parts is None:
         parts = max(1, min(spark.sparkContext.defaultParallelism, (n + 7) // 8))
     df = spark.createDataFrame(pd.DataFrame({"node": ids.astype(np.int64)}))
-    return df.repartition(parts)
+    if parts < spark.sparkContext.defaultParallelism:
+        df = df.coalesce(parts)
+    return df
 
 
 # ---------------------------------------------------------------- closeness
@@ -246,6 +270,7 @@ def closeness_kernel_df(
         indptr, indices = ga.indptr, ga.indices
         nv = ga.n_nodes
         visited = np.zeros(nv, dtype=bool)
+        nxt = np.zeros(nv, dtype=bool)
         for batch in batches:
             srcs = batch.column("node").to_numpy(zero_copy_only=False)
             pos = np.searchsorted(ga.nodes, srcs)
@@ -256,13 +281,20 @@ def closeness_kernel_df(
                 visited[p] = True
                 frontier = np.array([p], dtype=np.int64)
                 cnt, dsum, depth = 1, 0, 0
-                while frontier.shape[0] and depth < cap:
+                # level-set membership via an O(V) boolean mask, not
+                # np.unique's O(E log E) sort of the gathered edges;
+                # and stop as soon as every node is visited — the next
+                # gather over a near-full frontier could touch all 2E
+                # slots just to find nothing (same BFS, same counts)
+                while frontier.shape[0] and depth < cap and cnt < nv:
                     depth += 1
-                    _, nbrs = _gather(indptr, indices, frontier)
-                    cand = nbrs[~visited[nbrs]]
-                    if cand.shape[0] == 0:
+                    nbrs = _gather_nbrs(indptr, indices, frontier)
+                    nxt[:] = False
+                    nxt[nbrs] = True
+                    nxt &= ~visited
+                    frontier = np.flatnonzero(nxt)
+                    if frontier.shape[0] == 0:
                         break
-                    frontier = np.unique(cand)
                     visited[frontier] = True
                     cnt += frontier.shape[0]
                     dsum += depth * frontier.shape[0]
@@ -322,6 +354,7 @@ def closeness_sampled_kernel_df(
         sdist = np.zeros(nv, dtype=np.int64)
         touched = np.zeros(nv, dtype=bool)
         visited = np.zeros(nv, dtype=bool)
+        nxt = np.zeros(nv, dtype=bool)
         for batch in batches:
             srcs = batch.column("node").to_numpy(zero_copy_only=False)
             for p in np.searchsorted(ga.nodes, srcs):
@@ -330,16 +363,22 @@ def closeness_sampled_kernel_df(
                 touched[p] = True
                 frontier = np.array([p], dtype=np.int64)
                 depth = 0
-                while frontier.shape[0] and depth < cap:
+                nvis = 1
+                # mask-based level sets + all-visited early exit (see
+                # closeness_kernel_df) — identical Σd per target
+                while frontier.shape[0] and depth < cap and nvis < nv:
                     depth += 1
-                    _, nbrs = _gather(indptr, indices, frontier)
-                    cand = nbrs[~visited[nbrs]]
-                    if cand.shape[0] == 0:
+                    nbrs = _gather_nbrs(indptr, indices, frontier)
+                    nxt[:] = False
+                    nxt[nbrs] = True
+                    nxt &= ~visited
+                    frontier = np.flatnonzero(nxt)
+                    if frontier.shape[0] == 0:
                         break
-                    frontier = np.unique(cand)
                     visited[frontier] = True
                     touched[frontier] = True
                     sdist[frontier] += depth
+                    nvis += frontier.shape[0]
         sel = np.flatnonzero(touched)
         yield pa.RecordBatch.from_arrays(
             [
@@ -408,6 +447,7 @@ def betweenness_kernel_df(
         reached_any = np.zeros(nv, dtype=bool)
         dist = np.empty(nv, dtype=np.int64)
         sigma = np.empty(nv, dtype=np.int64)
+        nxt_mask = np.zeros(nv, dtype=bool)
         for batch in batches:
             srcs = batch.column("node").to_numpy(zero_copy_only=False)
             for p in np.searchsorted(ga.nodes, srcs):
@@ -417,15 +457,22 @@ def betweenness_kernel_df(
                 sigma[p] = 1
                 frontiers = [np.array([p], dtype=np.int64)]
                 depth = 0
-                while frontiers[-1].shape[0] and depth < cap:
+                nvis = 1
+                # mask-based level sets (no np.unique edge sort) + stop
+                # once all nodes are reached: the iteration after that
+                # discovers nothing and adds no σ in either form
+                while frontiers[-1].shape[0] and depth < cap and nvis < nv:
                     depth += 1
                     cur = frontiers[-1]
                     reps, nbrs = _gather(indptr, indices, cur)
-                    unvisited = dist[nbrs] == -1
-                    if not unvisited.any():
+                    nxt_mask[:] = False
+                    nxt_mask[nbrs] = True
+                    nxt_mask &= dist == -1
+                    nxt = np.flatnonzero(nxt_mask)
+                    if nxt.shape[0] == 0:
                         break
-                    nxt = np.unique(nbrs[unvisited])
                     dist[nxt] = depth
+                    nvis += nxt.shape[0]
                     sel = dist[nbrs] == depth
                     if int(sigma[cur].max(initial=0)) < sigma_safe:
                         adds = np.bincount(
