@@ -105,7 +105,6 @@ def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     regParam=0.01), RF(numTrees=50, maxDepth=10, seed=42),
     NB(smoothing=1.0), IndexToString for readable labels.
     """
-    from pyspark.ml import Pipeline
     from pyspark.ml.classification import (
         LogisticRegression,
         NaiveBayes,
@@ -124,6 +123,13 @@ def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
 
     from reddit_can_bigdata_spark.functions.text import emoji_counts, word_count_expr
 
+    # Partitioning note (optimization round 11): rebalancing the input
+    # here was MEASURED and REJECTED — LR's 100 treeAggregate
+    # iterations are per-job-latency bound, so going 1 → 32 cached
+    # partitions took its fit from 6.6s to 21.4s while the feature fits
+    # (driver-latency bound) barely moved; and any repartition ahead of
+    # randomSplit changes split membership, breaking byte-equality with
+    # the reference-shaped form pinned in tests/test_ml_sentiment.py.
     _, _, emoji_score = emoji_counts(F.col(text_col))
     labeled = (
         lexicon_score(docs, text_col)
@@ -177,7 +183,31 @@ def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     # are deterministic given `train`, so each full pipeline would fit
     # byte-identical feature models — this just stops re-scanning and
     # re-featurizing the corpus once per classifier.
-    feat_model = Pipeline(stages=base).fit(train)
+    #
+    # The fit itself is hand-sequenced rather than `Pipeline.fit`
+    # (optimization round 11, guide §2.6 overlap + §5 caching): the
+    # token transform is cached so the CountVectorizer and IDF fits
+    # don't each re-tokenize the corpus, and the StringIndexer fit —
+    # which reads only the untouched ``lex_label`` column, so its
+    # model is identical wherever in the sequence it fits — runs
+    # CONCURRENTLY with the CV→IDF chain. The assembled PipelineModel
+    # transforms in the exact stage order Pipeline.fit would produce
+    # (equivalence pinned by the refactor guard in
+    # tests/test_ml_sentiment.py).
+    from concurrent.futures import ThreadPoolExecutor
+    from pyspark.ml import PipelineModel
+
+    tokenizer, remover, cv, idf, indexer, assembler = base
+    toks = remover.transform(tokenizer.transform(train)).cache()
+    with ThreadPoolExecutor(2) as fpool:
+        f_si = fpool.submit(indexer.fit, train)
+        cv_model = cv.fit(toks)
+        idf_model = idf.fit(cv_model.transform(toks))
+        si_model = f_si.result()
+    toks.unpersist()
+    feat_model = PipelineModel(
+        stages=[tokenizer, remover, cv_model, idf_model, si_model, assembler]
+    )
     feat_train = feat_model.transform(train).cache()
     feat_test = feat_model.transform(test).cache()
 

@@ -412,6 +412,7 @@ def g5_eigenvector_centrality(
     sf_dir: str,
     state_mode: str | None = None,
     edges: DataFrame | None = None,
+    graph=None,
 ) -> DataFrame:
     """G5: weighted eigenvector centrality
     (`network-analysis/network_analysis.py:163`) by power iteration —
@@ -426,7 +427,7 @@ def g5_eigenvector_centrality(
             eigenvector_kernel_df,
         )
 
-        g = collect_graph(e, spark)
+        g = graph if graph is not None else collect_graph(e, spark)
         if g is not None:
             return eigenvector_kernel_df(spark, g, EIGEN_ITERS)
     sym = e.select(
@@ -593,6 +594,7 @@ def g4c_closeness_sampled(
     edges: DataFrame | None = None,
     until_converged: bool = False,
     sample_mod: int | None = None,
+    graph=None,
 ) -> DataFrame:
     """G4 at scale: pivot-SAMPLED closeness (Eppstein–Wang estimator).
 
@@ -622,7 +624,7 @@ def g4c_closeness_sampled(
         collect_graph,
     )
 
-    g = collect_graph(e, spark)
+    g = graph if graph is not None else collect_graph(e, spark)
     if g is not None:
         return closeness_sampled_kernel_df(
             spark, g, CLOSENESS_HOPS, sample_mod, until_converged
@@ -749,6 +751,7 @@ def g4_closeness_centrality(
     sf_dir: str,
     edges: DataFrame | None = None,
     until_converged: bool = False,
+    graph=None,
 ) -> DataFrame:
     """G4: closeness centrality over hop distances
     (`network-analysis/network_analysis.py:154` uses edge weights as
@@ -767,7 +770,7 @@ def g4_closeness_centrality(
         collect_graph,
     )
 
-    g = collect_graph(e, spark)
+    g = graph if graph is not None else collect_graph(e, spark)
     if g is not None:
         return closeness_kernel_df(
             spark, g, CLOSENESS_HOPS, until_converged, out_col="closeness"
@@ -819,6 +822,7 @@ def closeness_for_scale(
     edges: DataFrame | None = None,
     n_nodes: int | None = None,
     mode: str | None = None,
+    graph=None,
 ) -> DataFrame:
     """Size-gated closeness: exact `g4` below
     ``CLOSENESS_EXACT_MAX_NODES`` graph nodes, sampled `g4c`
@@ -862,22 +866,31 @@ def closeness_for_scale(
 
     sample_mod = None
     if mode is None:
-        e = edges if edges is not None else _edges(spark, sf_dir)
-        # one pass over the symmetric node column gives both gate
-        # inputs: distinct nodes and E_sym (= 2·|E|, each undirected
-        # edge relaxed in both directions every frontier pass)
-        stats = (
-            e.select(F.col("u").alias("n"))
-            .unionAll(e.select(F.col("v").alias("n")))
-            .agg(
-                F.count_distinct(F.col("n")).alias("nn"),
-                F.count("*").alias("e_sym"),
+        if graph is not None:
+            # a pre-collected CSR already carries both gate inputs —
+            # no extra edge-table pass (same numbers: its node
+            # vocabulary is distinct(u ∪ v) and its symmetric slot
+            # count is 2·|E|)
+            if n_nodes is None:
+                n_nodes = graph.n_nodes
+            e_sym = graph.n_sym_edges
+        else:
+            e = edges if edges is not None else _edges(spark, sf_dir)
+            # one pass over the symmetric node column gives both gate
+            # inputs: distinct nodes and E_sym (= 2·|E|, each undirected
+            # edge relaxed in both directions every frontier pass)
+            stats = (
+                e.select(F.col("u").alias("n"))
+                .unionAll(e.select(F.col("v").alias("n")))
+                .agg(
+                    F.count_distinct(F.col("n")).alias("nn"),
+                    F.count("*").alias("e_sym"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        if n_nodes is None:
-            n_nodes = stats["nn"]
-        e_sym = stats["e_sym"]
+            if n_nodes is None:
+                n_nodes = stats["nn"]
+            e_sym = stats["e_sym"]
         slots = spark.sparkContext.defaultParallelism
         relax_rows = n_nodes * e_sym
         relax_budget = CLOSENESS_RELAX_ROWS_PER_SLOT * slots
@@ -912,7 +925,7 @@ def closeness_for_scale(
             sample_mod,
         )
     if mode == "exact":
-        return g4_closeness_centrality(spark, sf_dir, edges=edges)
+        return g4_closeness_centrality(spark, sf_dir, edges=edges, graph=graph)
     return g4c_closeness_sampled(
-        spark, sf_dir, edges=edges, sample_mod=sample_mod
+        spark, sf_dir, edges=edges, sample_mod=sample_mod, graph=graph
     ).select("node", F.col("closeness_est").alias("closeness"))

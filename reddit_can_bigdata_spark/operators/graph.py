@@ -232,13 +232,22 @@ def g1_a14_edge_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def g2_degree_centrality(
-    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    graph=None,
 ) -> DataFrame:
     """G2+G10: degree and weighted degree per node, plus
     degree/(n-1) centrality (`network-analysis/network_analysis.py:138`).
     Explode both endpoints → one hash aggregate; the n-1 scalar
     broadcasts. ``edges`` lets a composite share one materialized
-    edge table across several centralities."""
+    edge table across several centralities; ``graph`` (a pre-collected
+    ``GraphArrays``) lets it read degrees off the shared CSR with zero
+    edge-table passes (optimization round 11)."""
+    if graph is not None:
+        from reddit_can_bigdata_spark.operators.graphkernel import degree_kernel_df
+
+        return degree_kernel_df(spark, graph)
     e = edges if edges is not None else _edges(spark, sf_dir)
     # One edge-table pass, not four: the u/v union as a generator over
     # a single scan (explode of the two endpoint structs), and the
@@ -748,6 +757,7 @@ def g6_pagerank(
     sf_dir: str,
     state_mode: str | None = None,
     edges: DataFrame | None = None,
+    graph=None,
 ) -> DataFrame:
     """G6: weighted PageRank (`nx.pagerank`,
     `network-analysis/network_analysis.py:171`) as an iterative
@@ -769,7 +779,7 @@ def g6_pagerank(
             pagerank_kernel_df,
         )
 
-        g = collect_graph(e, spark)
+        g = graph if graph is not None else collect_graph(e, spark)
         if g is not None:
             return pagerank_kernel_df(spark, g, PAGERANK_ITERS, PAGERANK_DAMPING)
     sym = e.select(
@@ -1471,6 +1481,7 @@ def g3b_betweenness_sampled(
     edges: DataFrame | None = None,
     until_converged: bool = False,
     sample_mod: int | None = None,
+    graph=None,
 ) -> DataFrame:
     """G3 at scale: source-SAMPLED Brandes betweenness, fully
     distributed (the scale path `network-analysis/network_analysis.py:145`
@@ -1500,7 +1511,7 @@ def g3b_betweenness_sampled(
         collect_graph,
     )
 
-    g = collect_graph(e, spark)
+    g = graph if graph is not None else collect_graph(e, spark)
     if g is not None:
         return betweenness_kernel_df(
             spark, g, BW_LEVELS, sample_mod, until_converged

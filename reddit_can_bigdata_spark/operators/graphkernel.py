@@ -571,6 +571,52 @@ def triangles_kernel_df(spark: SparkSession, g: GraphArrays) -> DataFrame:
     return src_df.mapInArrow(run, "node long, n_tri long, degree long")
 
 
+def degree_kernel_df(spark: SparkSession, g: GraphArrays) -> DataFrame:
+    """Degree / weighted degree straight off the CSR (row length and
+    per-row weight sum — the same integers g2's explode + hash
+    aggregate produces), with the n−1 normalization left to the SAME
+    Spark expressions as the DataFrame path so the doubles are
+    bit-identical. Used when a composite already holds the collected
+    graph — standalone g2 keeps its one-aggregate plan (collecting
+    just to count row lengths would cost more than it saves)."""
+    import pandas as pd
+
+    if g.n_nodes == 0:
+        return _empty_result(
+            spark,
+            "node long, degree long, weighted_degree long,"
+            " degree_centrality double",
+        )
+    counts = np.diff(g.indptr)
+    if (counts == 0).any():  # defensive: edge-derived graphs have none
+        wdeg = np.zeros(g.n_nodes, dtype=np.int64)
+        np.add.at(
+            wdeg,
+            np.repeat(np.arange(g.n_nodes, dtype=np.int64), counts),
+            g.weights,
+        )
+    else:
+        wdeg = np.add.reduceat(g.weights, g.indptr[:-1])
+    deg = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "node": g.nodes,
+                "degree": counts.astype(np.int64),
+                "weighted_degree": wdeg.astype(np.int64),
+            }
+        )
+    )
+    n = deg.agg(F.count("*").cast("double").alias("n_nodes"))
+    return deg.crossJoin(F.broadcast(n)).select(
+        "node",
+        "degree",
+        "weighted_degree",
+        F.round(F.col("degree") / (F.col("n_nodes") - 1), 6).alias(
+            "degree_centrality"
+        ),
+    )
+
+
 # ------------------------------------------------- whole-graph iterations
 
 

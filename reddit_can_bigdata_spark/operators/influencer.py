@@ -144,8 +144,15 @@ def influencer_composite_ref_weights(spark: SparkSession, sf_dir: str) -> DataFr
         g6_pagerank,
     )
 
-    ed = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    deg = g2_degree_centrality(spark, sf_dir, edges=ed).select(
+    from reddit_can_bigdata_spark.operators.graphkernel import collect_graph
+
+    # One shared CSR across all four metrics under the kernel gate
+    # (see influencer_composite_top20)
+    ed = _edges(spark, sf_dir)
+    g = collect_graph(ed, spark)
+    if g is None:
+        ed = ed.localCheckpoint(eager=True)
+    deg = g2_degree_centrality(spark, sf_dir, edges=ed, graph=g).select(
         "node", "degree_centrality"
     )
     # independent iterative metrics — submit concurrently (see
@@ -154,17 +161,19 @@ def influencer_composite_ref_weights(spark: SparkSession, sf_dir: str) -> DataFr
 
     with ThreadPoolExecutor(3) as pool:
         fpr = pool.submit(
-            lambda: g6_pagerank(spark, sf_dir, edges=ed).localCheckpoint(eager=True)
+            lambda: g6_pagerank(spark, sf_dir, edges=ed, graph=g).localCheckpoint(
+                eager=True
+            )
         )
         fev = pool.submit(
-            lambda: g5_eigenvector_centrality(spark, sf_dir, edges=ed).localCheckpoint(
-                eager=True
-            )
+            lambda: g5_eigenvector_centrality(
+                spark, sf_dir, edges=ed, graph=g
+            ).localCheckpoint(eager=True)
         )
         fbw = pool.submit(
-            lambda: g3b_betweenness_sampled(spark, sf_dir, edges=ed).localCheckpoint(
-                eager=True
-            )
+            lambda: g3b_betweenness_sampled(
+                spark, sf_dir, edges=ed, graph=g
+            ).localCheckpoint(eager=True)
         )
         pr, ev, bw = fpr.result(), fev.result(), fbw.result()
     m = (
@@ -239,9 +248,20 @@ def influencer_composite_top20(
         g2_degree_centrality,
         g6_pagerank,
     )
+    from reddit_can_bigdata_spark.operators.graphkernel import collect_graph
 
-    ed = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    deg = g2_degree_centrality(spark, sf_dir, edges=ed).select(
+    # Optimization round 11: collect the (gate-bounded) edge aggregate
+    # ONCE and share the CSR across all four centralities — previously
+    # each kernel-tier centrality re-ran its own gate count + Arrow
+    # collect + broadcast over the checkpointed edge table (4x the
+    # collect latency for identical arrays). Above the gate, fall back
+    # to the distributed loops over one localCheckpointed edge table,
+    # exactly as before.
+    ed = _edges(spark, sf_dir)
+    g = collect_graph(ed, spark)
+    if g is None:
+        ed = ed.localCheckpoint(eager=True)
+    deg = g2_degree_centrality(spark, sf_dir, edges=ed, graph=g).select(
         "node", "degree_centrality"
     )
     # The three iterative centralities are independent until the final
@@ -254,20 +274,23 @@ def influencer_composite_top20(
 
     with ThreadPoolExecutor(3) as pool:
         fpr = pool.submit(
-            lambda: g6_pagerank(spark, sf_dir, edges=ed).localCheckpoint(eager=True)
-        )
-        fev = pool.submit(
-            lambda: g5_eigenvector_centrality(spark, sf_dir, edges=ed).localCheckpoint(
+            lambda: g6_pagerank(spark, sf_dir, edges=ed, graph=g).localCheckpoint(
                 eager=True
             )
+        )
+        fev = pool.submit(
+            lambda: g5_eigenvector_centrality(
+                spark, sf_dir, edges=ed, graph=g
+            ).localCheckpoint(eager=True)
         )
         # closeness_for_scale counts nodes for its gate (auto mode)
         # INSIDE the pooled thread — a serial pre-count would add one
         # edge-list pass of latency that all three pooled jobs wait
-        # behind
+        # behind (with a shared CSR the gate reads the arrays and the
+        # count disappears entirely)
         fcl = pool.submit(
             lambda: closeness_for_scale(
-                spark, sf_dir, edges=ed, mode=closeness_mode
+                spark, sf_dir, edges=ed, mode=closeness_mode, graph=g
             ).localCheckpoint(eager=True)
         )
         pr, ev, cl = fpr.result(), fev.result(), fcl.result()

@@ -136,20 +136,29 @@ def run_pipeline(spark: SparkSession, sf_dir: str) -> PipelineRun:
     coverage rate, sentiment distribution, analyzed-network size."""
     gates = pipeline_gate_report(spark, sf_dir).collect()[0].asDict()
 
-    ml = None
-    sentiment_count = 0
-    if gates["ml_branch"] == "run_ml_analysis":
+    # The ML stage (documents) and the network stage (lineitem) are
+    # independent given the gate row — the reference DAG itself runs
+    # them as parallel branches after the threshold checks
+    # (`reddit_can_complete_pipeline.py:90-148`). Submit both from a
+    # small thread pool (optimization round 11, guide §2.6 "overlap
+    # independent jobs"): the network stage's jobs back-fill executors
+    # the ML stage's iteration tail leaves idle. Results are identical
+    # to the sequential form — each stage is self-contained and the
+    # report consumes only their counts.
+    def _ml_stage():
+        if gates["ml_branch"] != "run_ml_analysis":
+            return None, 0
         from reddit_can_bigdata_spark.ml.sentiment import train_sentiment
 
         docs = tables(spark, sf_dir)["documents"].where(
             F.length("text") > MIN_TEXT_LENGTH
         )
-        ml = train_sentiment(docs)
-        sentiment_count = ml.predictions.count()
+        res = train_sentiment(docs)
+        return res, res.predictions.count()
 
-    influencers = None
-    network_users = 0
-    if gates["network_branch"] == "run_network_analysis":
+    def _network_stage():
+        if gates["network_branch"] != "run_network_analysis":
+            return None, 0
         from reddit_can_bigdata_spark.operators.influencer import (
             influencer_composite_top20,
         )
@@ -159,10 +168,16 @@ def run_pipeline(spark: SparkSession, sf_dir: str) -> PipelineRun:
         # row count, which is mode-independent, so the e2e oracle holds
         # at every sf while the network stage survives graphs where
         # exact closeness would be the first component to die
-        influencers = influencer_composite_top20(
-            spark, sf_dir, closeness_mode=None
-        )
-        network_users = influencers.count()
+        inf = influencer_composite_top20(spark, sf_dir, closeness_mode=None)
+        return inf, inf.count()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_ml = pool.submit(_ml_stage)
+        f_net = pool.submit(_network_stage)
+        ml, sentiment_count = f_ml.result()
+        influencers, network_users = f_net.result()
 
     coverage = (
         100.0 * sentiment_count / gates["processed_posts"]
