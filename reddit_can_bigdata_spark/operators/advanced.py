@@ -420,16 +420,16 @@ def g5_eigenvector_centrality(
     Same Pregel-as-DataFrame loop as PageRank (G6): one shuffle per
     iteration on the destination key; the norm is a scalar aggregate
     broadcast back."""
-    e = edges if edges is not None else _edges(spark, sf_dir)
     if state_mode is None:
         from reddit_can_bigdata_spark.operators.graphkernel import (
-            collect_graph,
+            collect_graph_auto,
             eigenvector_kernel_df,
         )
 
-        g = graph if graph is not None else collect_graph(e, spark)
+        g = collect_graph_auto(spark, sf_dir, edges, graph)
         if g is not None:
             return eigenvector_kernel_df(spark, g, EIGEN_ITERS)
+    e = edges if edges is not None else _edges(spark, sf_dir)
     sym = e.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), F.col("weight").cast("double").alias("w")
     ).unionAll(
@@ -618,17 +618,17 @@ def g4c_closeness_sampled(
     it from a relax-row budget when the graph densifies past what
     1-in-7 affords (round-11 probe finding)."""
     sample_mod = CLOSENESS_SAMPLE_MOD if sample_mod is None else sample_mod
-    e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
     from reddit_can_bigdata_spark.operators.graphkernel import (
         closeness_sampled_kernel_df,
-        collect_graph,
+        collect_graph_auto,
     )
 
-    g = graph if graph is not None else collect_graph(e, spark)
+    g = collect_graph_auto(spark, sf_dir, edges, graph)
     if g is not None:
         return closeness_sampled_kernel_df(
             spark, g, CLOSENESS_HOPS, sample_mod, until_converged
         )
+    e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).cache()
@@ -764,17 +764,17 @@ def g4_closeness_centrality(
     this becomes sampled-sources (pivot nodes) with identical code on
     a sampled src set (SURVEY §7.3 risk 2).
     """
-    e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
     from reddit_can_bigdata_spark.operators.graphkernel import (
         closeness_kernel_df,
-        collect_graph,
+        collect_graph_auto,
     )
 
-    g = graph if graph is not None else collect_graph(e, spark)
+    g = collect_graph_auto(spark, sf_dir, edges, graph)
     if g is not None:
         return closeness_kernel_df(
             spark, g, CLOSENESS_HOPS, until_converged, out_col="closeness"
         )
+    e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).cache()
@@ -866,6 +866,15 @@ def closeness_for_scale(
 
     sample_mod = None
     if mode is None:
+        if graph is None:
+            # resolve the kernel-tier graph ONCE here: it answers the
+            # gate for free and flows down to whichever closeness arm
+            # the gate picks (no second collect)
+            from reddit_can_bigdata_spark.operators.graphkernel import (
+                collect_graph_auto,
+            )
+
+            graph = collect_graph_auto(spark, sf_dir, edges)
         if graph is not None:
             # a pre-collected CSR already carries both gate inputs —
             # no extra edge-table pass (same numbers: its node

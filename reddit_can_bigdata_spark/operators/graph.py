@@ -358,14 +358,13 @@ def g9_triangles_clustering(
     cached; the wedge join and the closing-edge join shuffle on vertex
     ids.
     """
-    e0 = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
     from reddit_can_bigdata_spark.operators.graphkernel import (
         TRIANGLE_DENSE_MAX_NODES,
-        collect_graph,
+        collect_graph_auto,
         triangles_kernel_df,
     )
 
-    g = collect_graph(e0, spark)
+    g = collect_graph_auto(spark, sf_dir, edges)
     if g is not None and g.n_nodes <= TRIANGLE_DENSE_MAX_NODES:
         tk = triangles_kernel_df(spark, g)
         local_k = F.when(
@@ -382,7 +381,7 @@ def g9_triangles_clustering(
                 F.try_divide(F.sum(local_k).cast("double"), F.count("*")), 6
             ).alias("avg_clustering"),
         )
-    e = e0.cache()
+    e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v").cache()
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -772,16 +771,16 @@ def g6_pagerank(
     teleport term). ``edges`` lets a composite share one materialized
     edge table across several centralities.
     """
-    e = edges if edges is not None else _edges(spark, sf_dir)
     if state_mode is None:
         from reddit_can_bigdata_spark.operators.graphkernel import (
-            collect_graph,
+            collect_graph_auto,
             pagerank_kernel_df,
         )
 
-        g = graph if graph is not None else collect_graph(e, spark)
+        g = collect_graph_auto(spark, sf_dir, edges, graph)
         if g is not None:
             return pagerank_kernel_df(spark, g, PAGERANK_ITERS, PAGERANK_DAMPING)
+    e = edges if edges is not None else _edges(spark, sf_dir)
     sym = e.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), F.col("weight").cast("double").alias("w")
     ).unionAll(
@@ -1039,12 +1038,13 @@ def g7c_modularity(
 
 
 def min_label_components(
-    sym: DataFrame,
+    sym: DataFrame | None,
     iters: int,
     state_mode: str | None = None,
     until_converged: bool = False,
     shortcut: bool = False,
     require_converged: bool = False,
+    graph=None,
 ) -> DataFrame:
     """Min-label propagation over a symmetric edge list (src, dst):
     every node repeatedly adopts the smallest label among itself and
@@ -1068,13 +1068,17 @@ def min_label_components(
     docs with different canonical ids."""
     rounds_budget = UNTIL_CONVERGED_MAX_ROUNDS if until_converged else iters
     if state_mode is None:
+        from pyspark.sql import SparkSession
+
         from reddit_can_bigdata_spark.operators.graphkernel import (
             collect_sym,
             min_label_kernel,
         )
 
-        spark = sym.sparkSession
-        ga = collect_sym(sym, spark)
+        spark = (
+            sym.sparkSession if sym is not None else SparkSession.getActiveSession()
+        )
+        ga = graph if graph is not None else collect_sym(sym, spark)
         if ga is not None:
             nodes_arr, labels_arr, executed, converged = min_label_kernel(
                 ga, rounds_budget, shortcut=shortcut
@@ -1235,11 +1239,26 @@ def g7_connected_components(
     which is inherently sequential; SURVEY §7.3 risk 1 keeps exact
     Louvain as a driver-side small-scale fallback (tests/test_graph).
     Output: one row per component with its size."""
-    e = _edges(spark, sf_dir).select("u", "v")
-    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).repartition("dst").cache()
-    labels = min_label_components(sym, CC_ITERS, state_mode, until_converged=until_converged)
+    g = None
+    if state_mode is None:
+        from reddit_can_bigdata_spark.operators.graphkernel import collect_graph_auto
+
+        # the CSR's indices ARE the symmetric pair list — under the
+        # kernel gate the whole sym-DataFrame build (edge aggregate +
+        # union + repartition + cache + re-collect) disappears
+        g = collect_graph_auto(spark, sf_dir)
+    if g is not None:
+        labels = min_label_components(
+            None, CC_ITERS, state_mode, until_converged=until_converged, graph=g
+        )
+    else:
+        e = _edges(spark, sf_dir).select("u", "v")
+        sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        ).repartition("dst").cache()
+        labels = min_label_components(
+            sym, CC_ITERS, state_mode, until_converged=until_converged
+        )
     return labels.groupBy(F.col("label").cast("long").alias("component")).agg(
         F.count("*").alias("n_nodes")
     )
@@ -1505,17 +1524,17 @@ def g3b_betweenness_sampled(
     Scale: state is O(K·N) per phase, every round is join+agg on
     (src, node) keys — no collected adjacency, no O(N²) blowup."""
     sample_mod = BW_SAMPLE_MOD if sample_mod is None else sample_mod
-    e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
     from reddit_can_bigdata_spark.operators.graphkernel import (
         betweenness_kernel_df,
-        collect_graph,
+        collect_graph_auto,
     )
 
-    g = graph if graph is not None else collect_graph(e, spark)
+    g = collect_graph_auto(spark, sf_dir, edges, graph)
     if g is not None:
         return betweenness_kernel_df(
             spark, g, BW_LEVELS, sample_mod, until_converged
         )
+    e = (edges if edges is not None else _edges(spark, sf_dir)).select("u", "v")
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).cache()

@@ -142,6 +142,164 @@ def collect_graph(
     return build_arrays(u, v, w)
 
 
+#: conf knob: ceiling on the ON-DISK byte size of the raw table the
+#: driver will collect to build the edge aggregate in numpy instead of
+#: running the distributed dedup + pair-explode + aggregate job chain.
+#: A stat() gate costs ZERO Spark jobs (a count gate was itself one
+#: full scan job of latency per graph query).
+GRAPH_RAW_COLLECT_MAX_BYTES_CONF = "spark.redditCan.graphRawCollectMaxBytes"
+#: 1 GiB of parquet ≈ 16-40M full-width lineitem rows; only the two
+#: key columns cross to the driver (≲ 640 MB of Arrow). Above it (any
+#: serious cluster scale) the distributed aggregate + collect_graph
+#: gate runs unchanged.
+GRAPH_RAW_COLLECT_MAX_BYTES = 1 << 30
+
+
+def _path_bytes(path: str) -> int:
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _edges_from_raw(
+    ok: np.ndarray, sk: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The _edges aggregate in numpy: distinct (orderkey, suppkey) →
+    per-order u<v pair expansion → (u, v) multiplicity counts.
+    Integer-exact and multiset-identical to the SQL form by
+    construction (a sorted distinct list per order yields exactly the
+    u<v pairs the old DISTINCT + self-join emitted once each)."""
+    empty = np.empty(0, dtype=np.int64)
+    if ok.shape[0] == 0:
+        return empty, empty, empty
+
+    def _pack_unique(a: np.ndarray, b: np.ndarray, counts: bool):
+        if (
+            a.min(initial=0) >= 0
+            and b.min(initial=0) >= 0
+            and a.max(initial=0) < (1 << 31)
+            and b.max(initial=0) < (1 << 31)
+        ):
+            packed = (a.astype(np.uint64) << 32) | b.astype(np.uint64)
+            if counts:
+                uniq, cnt = np.unique(packed, return_counts=True)
+            else:
+                uniq, cnt = np.unique(packed), None
+            return (
+                (uniq >> 32).astype(np.int64),
+                (uniq & 0xFFFFFFFF).astype(np.int64),
+                cnt,
+            )
+        arr = np.stack([a, b], axis=1)
+        if counts:
+            uniq, cnt = np.unique(arr, axis=0, return_counts=True)
+        else:
+            uniq, cnt = np.unique(arr, axis=0), None
+        return uniq[:, 0].astype(np.int64), uniq[:, 1].astype(np.int64), cnt
+
+    uok, usk, _ = _pack_unique(ok, sk, counts=False)
+    # group boundaries per order (uok ascending; usk ascending within)
+    starts = np.concatenate(
+        [np.zeros(1, dtype=np.int64), np.flatnonzero(np.diff(uok)) + 1]
+    )
+    counts = np.diff(np.concatenate([starts, [uok.shape[0]]]))
+    us, vs = [], []
+    for k in np.unique(counts):
+        k = int(k)
+        if k < 2:
+            continue
+        sel = np.flatnonzero(counts == k)
+        mat = usk[starts[sel][:, None] + np.arange(k)[None, :]]
+        iu, iv = np.triu_indices(k, 1)
+        us.append(mat[:, iu].ravel())
+        vs.append(mat[:, iv].ravel())
+    if not us:
+        return empty, empty, empty
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    eu, ev, w = _pack_unique(u, v, counts=True)
+    return eu, ev, w.astype(np.int64)
+
+
+def collect_graph_raw(
+    spark: SparkSession, sf_dir: str, max_bytes: int | None = None
+) -> GraphArrays | None:
+    """Build GraphArrays from ONE zero-shuffle scan of the raw
+    (orderkey, suppkey) columns, or None above the raw gate.
+
+    The distributed edge build is three narrow jobs (aggregate, gate
+    count, Arrow collect) whose wall cost at bench scale is almost
+    entirely stage latency; under the raw gate the same exact edge
+    aggregate falls out of ~0.3s of numpy on the driver (guide §1.2:
+    the cheapest execution is the one with no shuffle at all), and the
+    gate itself is a filesystem stat, not a job. Every fallback —
+    nulls in the key columns, too big on disk, a pair multiset past
+    the kernel edge gate — returns None and the caller proceeds with
+    the unchanged distributed build."""
+    import os
+
+    if max_bytes is None:
+        try:
+            max_bytes = int(
+                spark.conf.get(
+                    GRAPH_RAW_COLLECT_MAX_BYTES_CONF,
+                    str(GRAPH_RAW_COLLECT_MAX_BYTES),
+                )
+            )
+        except ValueError:
+            max_bytes = GRAPH_RAW_COLLECT_MAX_BYTES
+    if max_bytes <= 0 or kernel_edge_limit(spark) <= 0:
+        return None
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    if not os.path.exists(path) or _path_bytes(path) > max_bytes:
+        return None
+    from reddit_can_bigdata_spark.operators.common import tables
+
+    li = tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_suppkey")
+    tbl = li.toArrow()
+    c_ok, c_sk = tbl.column("l_orderkey"), tbl.column("l_suppkey")
+    if c_ok.null_count or c_sk.null_count:
+        return None  # SQL NULL-key semantics: let the oracle-shaped path decide
+    ok = c_ok.to_numpy(zero_copy_only=False).astype(np.int64)
+    sk = c_sk.to_numpy(zero_copy_only=False).astype(np.int64)
+    u, v, w = _edges_from_raw(ok, sk)
+    if u.shape[0] > kernel_edge_limit(spark):
+        return None
+    return build_arrays(u, v, w)
+
+
+def collect_graph_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    graph: GraphArrays | None = None,
+) -> GraphArrays | None:
+    """Kernel-tier graph resolution shared by every graph query: a
+    pre-collected graph wins; building from the default source tries
+    the raw-collect fast path first; an explicit ``edges`` frame (or a
+    raw-gate miss) goes through the distributed aggregate +
+    :func:`collect_graph` gate."""
+    if graph is not None:
+        return graph
+    if edges is None:
+        g = collect_graph_raw(spark, sf_dir)
+        if g is not None:
+            return g
+        from reddit_can_bigdata_spark.operators.graph import _edges
+
+        edges = _edges(spark, sf_dir)
+    return collect_graph(edges, spark)
+
+
 def collect_sym(
     sym: DataFrame, spark: SparkSession, max_edges: int | None = None
 ) -> GraphArrays | None:
@@ -531,44 +689,36 @@ def betweenness_kernel_df(
 
 
 def triangles_kernel_df(spark: SparkSession, g: GraphArrays) -> DataFrame:
-    """Per-node triangle counts + degrees via dense block matmul.
+    """Per-node triangle counts + degrees via dense matmul:
+    T(v) = ((A · A) ∘ A)·1 / 2 with float32 BLAS — exact while counts
+    < 2^24, guaranteed by the ``TRIANGLE_DENSE_MAX_NODES`` gate
+    (V ≤ 4096 ⇒ a 64 MB dense matrix, 137 GFLOP worst case).
 
-    Each task takes a block of node rows, builds the (gate-bounded)
-    dense 0/1 adjacency from the broadcast CSR and computes
-    T(v) = ((A_block · A) ∘ A_block)·1 / 2 with one float32 BLAS
-    matmul — exact while counts < 2^24, guaranteed by the
-    ``TRIANGLE_DENSE_MAX_NODES`` gate. Emits (node, n_tri, degree)."""
+    Driver-direct (optimization round 11): the earlier executor
+    version had every task rebuild the SAME full dense matrix from
+    the broadcast CSR just to multiply its row block — n_tasks × the
+    build plus a broadcast plus a job, where one threaded BLAS call
+    does the whole product in well under a second at the gate
+    ceiling. Emits (node, n_tri, degree)."""
     if g.n_nodes == 0:
         return _empty_result(spark, "node long, n_tri long, degree long")
-    nv = g.n_nodes
-    parts = max(1, min(spark.sparkContext.defaultParallelism, (nv + 31) // 32))
-    src_df = _sources_df(spark, g.nodes, parts)
-    bc = spark.sparkContext.broadcast(g)
+    import pandas as pd
 
-    def run(batches: Iterator) -> Iterator:
-        import pyarrow as pa
-
-        ga: GraphArrays = bc.value
-        n = ga.n_nodes
-        dense = np.zeros((n, n), dtype=np.float32)
-        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ga.indptr))
-        dense[rows, ga.indices] = 1.0
-        deg = np.diff(ga.indptr).astype(np.int64)
-        for batch in batches:
-            ids = batch.column("node").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ga.nodes, ids)
-            blk = dense[pos]
-            tri = ((blk @ dense) * blk).sum(axis=1) / 2.0
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(ids, type=pa.int64()),
-                    pa.array(tri.astype(np.int64), type=pa.int64()),
-                    pa.array(deg[pos], type=pa.int64()),
-                ],
-                names=["node", "n_tri", "degree"],
-            )
-
-    return src_df.mapInArrow(run, "node long, n_tri long, degree long")
+    n = g.n_nodes
+    dense = np.zeros((n, n), dtype=np.float32)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(g.indptr))
+    dense[rows, g.indices] = 1.0
+    deg = np.diff(g.indptr).astype(np.int64)
+    tri = ((dense @ dense) * dense).sum(axis=1) / 2.0
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "node": g.nodes,
+                "n_tri": tri.astype(np.int64),
+                "degree": deg,
+            }
+        )
+    )
 
 
 def degree_kernel_df(spark: SparkSession, g: GraphArrays) -> DataFrame:
@@ -618,51 +768,39 @@ def degree_kernel_df(spark: SparkSession, g: GraphArrays) -> DataFrame:
 
 
 # ------------------------------------------------- whole-graph iterations
-
-
-def _single_task_df(spark: SparkSession, g: GraphArrays) -> DataFrame:
-    """All node ids in ONE partition — the input for whole-graph
-    single-vector kernels (the iteration loop must see every node)."""
-    import pandas as pd
-
-    return spark.createDataFrame(
-        pd.DataFrame({"node": g.nodes.astype(np.int64)})
-    ).coalesce(1)
+# (single-vector kernels run directly on the driver over the
+# gate-bounded CSR, like min_label_kernel — no broadcast, no job)
 
 
 def pagerank_kernel_df(
     spark: SparkSession, g: GraphArrays, iters: int, damping: float
 ) -> DataFrame:
     """Weighted PageRank, fixed ``iters`` rounds — the loop's
-    rank' = (1-d)/N + d·Σ_in rank·w/wdeg as gather + bincount."""
+    rank' = (1-d)/N + d·Σ_in rank·w/wdeg as gather + bincount.
+
+    Runs DIRECTLY on the driver (optimization round 11): the whole
+    graph already lives there as the gate-bounded CSR — exactly like
+    :func:`min_label_kernel` — so shipping it back out through a
+    broadcast + single mapInArrow task bought nothing but one
+    broadcast pickle and one job of latency per query. Work is
+    bounded by the same edge gate as any broadcast build side."""
     if g.n_nodes == 0:
         return _empty_result(spark, "node long, pagerank double")
-    bc = spark.sparkContext.broadcast(g)
+    import pandas as pd
 
-    def run(batches: Iterator) -> Iterator:
-        import pyarrow as pa
-
-        for _batch in batches:  # consume the single input partition
-            pass
-        ga: GraphArrays = bc.value
-        nv = ga.n_nodes
-        rows = np.repeat(np.arange(nv, dtype=np.int64), np.diff(ga.indptr))
-        w = ga.weights.astype(np.float64)
-        wdeg = np.bincount(rows, weights=w, minlength=nv)
-        p = w / wdeg[rows]
-        dst = ga.indices.astype(np.int64)
-        rank = np.full(nv, 1.0 / nv, dtype=np.float64)
-        teleport = (1.0 - damping) / nv
-        for _ in range(iters):
-            rank = teleport + damping * np.bincount(
-                dst, weights=rank[rows] * p, minlength=nv
-            )
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(ga.nodes, type=pa.int64()), pa.array(rank, type=pa.float64())],
-            names=["node", "rank"],
+    nv = g.n_nodes
+    rows = np.repeat(np.arange(nv, dtype=np.int64), np.diff(g.indptr))
+    w = g.weights.astype(np.float64)
+    wdeg = np.bincount(rows, weights=w, minlength=nv)
+    p = w / wdeg[rows]
+    dst = g.indices.astype(np.int64)
+    rank = np.full(nv, 1.0 / nv, dtype=np.float64)
+    teleport = (1.0 - damping) / nv
+    for _ in range(iters):
+        rank = teleport + damping * np.bincount(
+            dst, weights=rank[rows] * p, minlength=nv
         )
-
-    raw = _single_task_df(spark, g).mapInArrow(run, "node long, rank double")
+    raw = spark.createDataFrame(pd.DataFrame({"node": g.nodes, "rank": rank}))
     return raw.select("node", F.round("rank", 6).alias("pagerank"))
 
 
@@ -670,31 +808,21 @@ def eigenvector_kernel_df(
     spark: SparkSession, g: GraphArrays, iters: int
 ) -> DataFrame:
     """Weighted eigenvector centrality: v' = normalize_L2(A·v), fixed
-    ``iters`` rounds, starting from all-ones — the loop verbatim."""
+    ``iters`` rounds, starting from all-ones — the loop verbatim.
+    Driver-direct for the same reason as :func:`pagerank_kernel_df`."""
     if g.n_nodes == 0:
         return _empty_result(spark, "node long, eigenvector double")
-    bc = spark.sparkContext.broadcast(g)
+    import pandas as pd
 
-    def run(batches: Iterator) -> Iterator:
-        import pyarrow as pa
-
-        for _batch in batches:
-            pass
-        ga: GraphArrays = bc.value
-        nv = ga.n_nodes
-        rows = np.repeat(np.arange(nv, dtype=np.int64), np.diff(ga.indptr))
-        dst = ga.indices.astype(np.int64)
-        w = ga.weights.astype(np.float64)
-        val = np.ones(nv, dtype=np.float64)
-        for _ in range(iters):
-            m = np.bincount(dst, weights=val[rows] * w, minlength=nv)
-            val = m / np.sqrt((m * m).sum())
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(ga.nodes, type=pa.int64()), pa.array(val, type=pa.float64())],
-            names=["node", "val"],
-        )
-
-    raw = _single_task_df(spark, g).mapInArrow(run, "node long, val double")
+    nv = g.n_nodes
+    rows = np.repeat(np.arange(nv, dtype=np.int64), np.diff(g.indptr))
+    dst = g.indices.astype(np.int64)
+    w = g.weights.astype(np.float64)
+    val = np.ones(nv, dtype=np.float64)
+    for _ in range(iters):
+        m = np.bincount(dst, weights=val[rows] * w, minlength=nv)
+        val = m / np.sqrt((m * m).sum())
+    raw = spark.createDataFrame(pd.DataFrame({"node": g.nodes, "val": val}))
     return raw.select("node", F.round("val", 6).alias("eigenvector"))
 
 

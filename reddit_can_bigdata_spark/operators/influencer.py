@@ -144,14 +144,14 @@ def influencer_composite_ref_weights(spark: SparkSession, sf_dir: str) -> DataFr
         g6_pagerank,
     )
 
-    from reddit_can_bigdata_spark.operators.graphkernel import collect_graph
+    from reddit_can_bigdata_spark.operators.graphkernel import collect_graph_auto
 
     # One shared CSR across all four metrics under the kernel gate
     # (see influencer_composite_top20)
-    ed = _edges(spark, sf_dir)
-    g = collect_graph(ed, spark)
+    g = collect_graph_auto(spark, sf_dir)
+    ed = None
     if g is None:
-        ed = ed.localCheckpoint(eager=True)
+        ed = _edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = g2_degree_centrality(spark, sf_dir, edges=ed, graph=g).select(
         "node", "degree_centrality"
     )
@@ -248,7 +248,7 @@ def influencer_composite_top20(
         g2_degree_centrality,
         g6_pagerank,
     )
-    from reddit_can_bigdata_spark.operators.graphkernel import collect_graph
+    from reddit_can_bigdata_spark.operators.graphkernel import collect_graph_auto
 
     # Optimization round 11: collect the (gate-bounded) edge aggregate
     # ONCE and share the CSR across all four centralities — previously
@@ -257,10 +257,10 @@ def influencer_composite_top20(
     # collect latency for identical arrays). Above the gate, fall back
     # to the distributed loops over one localCheckpointed edge table,
     # exactly as before.
-    ed = _edges(spark, sf_dir)
-    g = collect_graph(ed, spark)
+    g = collect_graph_auto(spark, sf_dir)
+    ed = None
     if g is None:
-        ed = ed.localCheckpoint(eager=True)
+        ed = _edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = g2_degree_centrality(spark, sf_dir, edges=ed, graph=g).select(
         "node", "degree_centrality"
     )
@@ -429,12 +429,19 @@ def user_network_table(
         min_label_components,
     )
 
-    ed = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    deg = g2_degree_centrality(spark, sf_dir, edges=ed)
-    pr = g6_pagerank(spark, sf_dir, edges=ed)
-    ev = g5_eigenvector_centrality(spark, sf_dir, edges=ed)
+    from reddit_can_bigdata_spark.operators.graphkernel import collect_graph_auto
+
+    # one shared CSR across every metric under the kernel gate (same
+    # shape as the composites)
+    g = collect_graph_auto(spark, sf_dir)
+    ed = None
+    if g is None:
+        ed = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = g2_degree_centrality(spark, sf_dir, edges=ed, graph=g)
+    pr = g6_pagerank(spark, sf_dir, edges=ed, graph=g)
+    ev = g5_eigenvector_centrality(spark, sf_dir, edges=ed, graph=g)
     # size-gated: exact g4 at test scale, sampled g4c at 100x
-    cl = closeness_for_scale(spark, sf_dir, edges=ed, mode=closeness_mode)
+    cl = closeness_for_scale(spark, sf_dir, edges=ed, mode=closeness_mode, graph=g)
     # propagate the caller's mode: the registered composite defaults
     # to 'exact' for oracle stability, but inside this (non-oracle)
     # table a None/auto/sampled caller must not silently trigger the
@@ -444,13 +451,18 @@ def user_network_table(
     ).select("node", "influencer_rank")
     # components via the shared guarded loop (broadcast-ceiling +
     # early-exit), not a private copy of it
-    e = ed.select("u", "v")
-    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).cache()
-    labels = min_label_components(sym, CC_ITERS).select(
-        "node", F.col("label").alias("community_id")
-    )
+    if g is not None:
+        labels = min_label_components(None, CC_ITERS, graph=g).select(
+            "node", F.col("label").alias("community_id")
+        )
+    else:
+        e = ed.select("u", "v")
+        sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        ).cache()
+        labels = min_label_components(sym, CC_ITERS).select(
+            "node", F.col("label").alias("community_id")
+        )
 
     return (
         deg.join(pr, "node")

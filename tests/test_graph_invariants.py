@@ -593,3 +593,58 @@ def test_closeness_budgeted_mod_still_estimates(spark, sf_dir):
         for r in advanced.g4c_closeness_sampled(spark, sf_dir).collect()
     }
     assert {r["node"] for r in rows} >= base_nodes
+
+
+def test_raw_numpy_edge_build_matches_distributed_aggregate(spark, sf_dir):
+    """Round-11 optimization guard: the driver-side numpy edge build
+    (`graphkernel._edges_from_raw` over the raw (orderkey, suppkey)
+    columns, used by `collect_graph_raw` under the raw gate) must
+    produce the EXACT (u, v, weight) multiset of the distributed
+    `_edges` aggregate — dedup per order, u<v orientation, co-order
+    counts — or every kernel-tier graph query silently drifts."""
+    import numpy as np
+
+    from reddit_can_bigdata_spark.operators import graphkernel as gk
+    from reddit_can_bigdata_spark.operators.graph import _edges
+    from reddit_can_bigdata_spark.operators.common import tables
+
+    df = _edges(spark, sf_dir).orderBy("u", "v").toArrow()
+    li = tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_suppkey"
+    ).toArrow()
+    u, v, w = gk._edges_from_raw(
+        li.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64),
+        li.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    assert u.shape[0] == df.num_rows
+    assert (u == df.column("u").to_numpy(zero_copy_only=False)).all()
+    assert (v == df.column("v").to_numpy(zero_copy_only=False)).all()
+    assert (w == df.column("weight").to_numpy(zero_copy_only=False)).all()
+
+
+def test_raw_numpy_edge_build_edge_cases():
+    """Duplicate (order, supplier) rows collapse; single-supplier
+    orders emit nothing; weights count co-orders; empty input yields
+    empty arrays; values past the 32-bit packing range fall back to
+    the lexicographic path with identical results."""
+    import numpy as np
+
+    from reddit_can_bigdata_spark.operators import graphkernel as gk
+
+    ok = np.array([7, 7, 7, 8, 9, 9, 9, 9], dtype=np.int64)
+    sk = np.array([2, 1, 2, 5, 1, 2, 3, 1], dtype=np.int64)
+    u, v, w = gk._edges_from_raw(ok, sk)
+    assert list(zip(u.tolist(), v.tolist(), w.tolist())) == [
+        (1, 2, 2),  # co-ordered in orders 7 and 9
+        (1, 3, 1),
+        (2, 3, 1),
+    ]
+    e = np.empty(0, dtype=np.int64)
+    eu, ev, ew = gk._edges_from_raw(e, e)
+    assert eu.shape == ev.shape == ew.shape == (0,)
+    # force the unpackable branch with a > 2^31 supplier id
+    big = np.int64(1) << 33
+    ok2 = np.array([1, 1, 2, 2], dtype=np.int64)
+    sk2 = np.array([big, 4, big, 4], dtype=np.int64)
+    u2, v2, w2 = gk._edges_from_raw(ok2, sk2)
+    assert list(zip(u2.tolist(), v2.tolist(), w2.tolist())) == [(4, int(big), 2)]
