@@ -85,6 +85,14 @@ class GraphArrays:
 
 
 def kernel_edge_limit(spark: SparkSession) -> int:
+    # Reliable-checkpoint mode pins the distributed loops: the conf is
+    # set exactly when the caller wants per-round fault tolerance on a
+    # real cluster, which a driver-resident kernel cannot provide (and
+    # the loop's checkpoint side effects are part of that contract).
+    from reddit_can_bigdata_spark.operators.common import ITER_CHECKPOINT_DIR_CONF
+
+    if spark.conf.get(ITER_CHECKPOINT_DIR_CONF, None):
+        return 0
     try:
         return int(spark.conf.get(GRAPH_KERNEL_MAX_EDGES_CONF, str(GRAPH_KERNEL_MAX_EDGES)))
     except ValueError:
