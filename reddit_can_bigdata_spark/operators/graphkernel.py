@@ -425,9 +425,24 @@ def closeness_kernel_df(
     if g.n_nodes == 0:
         return _empty_result(spark, f"node long, {out_col} double")
     ids = g.nodes if sample_mod is None else g.nodes[g.nodes % sample_mod == 0]
+    cap = (1 << 62) if until_converged else hops
+    if g.n_nodes <= TRIANGLE_DENSE_MAX_NODES and ids.shape[0]:
+        import pandas as pd
+
+        cnt, dsum, _ = _dense_closeness_counts(
+            g, np.searchsorted(g.nodes, ids), cap
+        )
+        raw = spark.createDataFrame(
+            pd.DataFrame({"node": ids, "cnt": cnt, "dsum": dsum})
+        )
+        return raw.where(F.col("dsum") > 0).select(
+            "node",
+            F.round(
+                (F.col("cnt").cast("double") - 1) / F.col("dsum"), 6
+            ).alias(out_col),
+        )
     src_df = _sources_df(spark, ids)
     bc = spark.sparkContext.broadcast(g)
-    cap = (1 << 62) if until_converged else hops
 
     def run(batches: Iterator) -> Iterator:
         import pyarrow as pa
@@ -507,9 +522,26 @@ def closeness_sampled_kernel_df(
     k = int(ids.shape[0])
     if k == 0:
         return _empty_result(spark, f"node long, {out_col} double")
+    cap = (1 << 62) if until_converged else hops
+    kk, nn = float(k), float(n_nodes)
+    if n_nodes <= TRIANGLE_DENSE_MAX_NODES:
+        import pandas as pd
+
+        sdist, touched = _dense_target_distsums(
+            g, np.searchsorted(g.nodes, ids), cap
+        )
+        sel = np.flatnonzero(touched)
+        raw = spark.createDataFrame(
+            pd.DataFrame({"node": g.nodes[sel], "sdist": sdist[sel]})
+        )
+        return raw.where(F.col("sdist") > 0).select(
+            "node",
+            F.round(
+                F.lit(kk) * (F.lit(nn) - 1) / (F.lit(nn) * F.col("sdist")), 6
+            ).alias(out_col),
+        )
     src_df = _sources_df(spark, ids)
     bc = spark.sparkContext.broadcast(g)
-    cap = (1 << 62) if until_converged else hops
 
     def run(batches: Iterator) -> Iterator:
         import pyarrow as pa
@@ -569,6 +601,140 @@ def closeness_sampled_kernel_df(
     )
 
 
+# ------------------------------------------------------ dense BLAS tier
+# Multi-source kernels under the SAME V <= 4096 dense gate as the
+# triangle kernel: at bench scale the per-source executor kernels are
+# wall-bound by mapInArrow plumbing (broadcast pickle + Python worker
+# feed + result exchange ~1.5-2s per query for <0.2s of BFS work),
+# while one driver-side BLAS matmul per BFS level walks ALL sources at
+# once (guide §1.2: fix the algorithm's shape before its constants —
+# k x V x V flops per level is microseconds-per-source at the gate).
+# Above the gate the executor kernels (and above the broadcast gate
+# the distributed loops) run unchanged.
+
+
+def _dense_adj(g: GraphArrays, dtype=np.float32) -> np.ndarray:
+    n = g.n_nodes
+    dense = np.zeros((n, n), dtype=dtype)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(g.indptr))
+    dense[rows, g.indices] = 1.0
+    return dense
+
+
+def _dense_closeness_counts(
+    g: GraphArrays, srcpos: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cnt, dsum) per source and the visited matrix, via one float32
+    matmul per BFS level over all sources at once. Purely integer
+    outputs — bit-identical to the per-source loops (same level sets,
+    same hop cap, same all-visited early exit: a row whose frontier
+    empties or whose BFS finishes simply stops advancing)."""
+    nv = g.n_nodes
+    k = int(srcpos.shape[0])
+    A = _dense_adj(g, np.float32)
+    visited = np.zeros((k, nv), dtype=bool)
+    visited[np.arange(k), srcpos] = True
+    frontier = visited.copy()
+    cnt = np.ones(k, dtype=np.int64)
+    dsum = np.zeros(k, dtype=np.int64)
+    depth = 0
+    while depth < cap and frontier.any():
+        depth += 1
+        reach = frontier.astype(np.float32) @ A
+        nxt = (reach > 0) & ~visited
+        if not nxt.any():
+            break
+        visited |= nxt
+        c = nxt.sum(axis=1)
+        cnt += c
+        dsum += depth * c
+        frontier = nxt
+    return cnt, dsum, visited
+
+
+def _dense_target_distsums(
+    g: GraphArrays, srcpos: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Eppstein-Wang accumulation: Σ over sources of d(s, v) PER
+    TARGET v, plus the touched mask — the column-sum view of the same
+    dense BFS as :func:`_dense_closeness_counts` (integer outputs,
+    bit-identical to the per-source executor loop)."""
+    nv = g.n_nodes
+    k = int(srcpos.shape[0])
+    A = _dense_adj(g, np.float32)
+    visited = np.zeros((k, nv), dtype=bool)
+    visited[np.arange(k), srcpos] = True
+    frontier = visited.copy()
+    sdist = np.zeros(nv, dtype=np.int64)
+    touched = np.zeros(nv, dtype=bool)
+    touched[srcpos] = True
+    depth = 0
+    while depth < cap and frontier.any():
+        depth += 1
+        reach = frontier.astype(np.float32) @ A
+        nxt = (reach > 0) & ~visited
+        if not nxt.any():
+            break
+        visited |= nxt
+        newly = nxt.sum(axis=0)
+        sdist += depth * newly
+        touched |= newly > 0
+        frontier = nxt
+    return sdist, touched
+
+
+def _dense_brandes(
+    g: GraphArrays, srcpos: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Accumulated Brandes delta over all sources via per-level BLAS
+    matmuls; returns (delta_acc, reached_any) or None when sigma could
+    leave float64's exact-integer range (the executor kernel's
+    np.add.at fallback then handles it). sigma forward sums and the
+    delta backward sums are the same per-(source, level) quantities as
+    the per-source loop — only the order of float addition differs,
+    the freedom the round-6 convention already tolerates."""
+    nv = g.n_nodes
+    k = int(srcpos.shape[0])
+    max_deg = int(np.diff(g.indptr).max(initial=1))
+    sigma_safe = float((1 << 52) // max(1, max_deg))
+    A = _dense_adj(g, np.float64)
+    rng = np.arange(k)
+    dist = np.full((k, nv), -1, dtype=np.int64)
+    dist[rng, srcpos] = 0
+    sigma = np.zeros((k, nv), dtype=np.float64)
+    sigma[rng, srcpos] = 1.0
+    cur = np.zeros((k, nv), dtype=bool)
+    cur[rng, srcpos] = True
+    depth = 0
+    while depth < cap and cur.any():
+        if float(sigma.max(initial=0.0)) >= sigma_safe:
+            return None  # pragma: no cover - adversarial path counts
+        depth += 1
+        S = (sigma * cur) @ A
+        nxt = (S > 0) & (dist < 0)
+        if not nxt.any():
+            break
+        dist[nxt] = depth
+        sigma += S * nxt
+        cur = nxt
+    max_depth = int(dist.max(initial=0))
+    delta = np.zeros((k, nv), dtype=np.float64)
+    inv_sigma = np.divide(
+        1.0, sigma, out=np.zeros_like(sigma), where=sigma > 0
+    )
+    for lvl in range(max_depth - 1, -1, -1):
+        down = dist == lvl + 1
+        X = np.where(down, (1.0 + delta) * inv_sigma, 0.0)
+        Y = X @ A
+        f = dist == lvl
+        delta += np.where(f, sigma * Y, 0.0)
+    mask = dist >= 0
+    mask[rng, srcpos] = False
+    delta_acc = np.where(mask, delta, 0.0).sum(axis=0)
+    reached_any = mask.any(axis=0)
+    return delta_acc, reached_any
+
+
 # -------------------------------------------------------------- betweenness
 
 
@@ -597,9 +763,28 @@ def betweenness_kernel_df(
     k = int(ids.shape[0])
     if k == 0:
         return _empty_result(spark, "node long, betweenness_est double")
+    cap = (1 << 62) if until_converged else levels
+    scale = float(n_nodes) / float(k)
+    if n_nodes <= TRIANGLE_DENSE_MAX_NODES:
+        dense = _dense_brandes(g, np.searchsorted(g.nodes, ids), cap)
+        if dense is not None:
+            import pandas as pd
+
+            delta_acc, reached = dense
+            sel = np.flatnonzero(reached)
+            raw = spark.createDataFrame(
+                pd.DataFrame(
+                    {"node": g.nodes[sel], "sdelta": delta_acc[sel]}
+                )
+            )
+            return raw.select(
+                "node",
+                F.round(F.lit(scale) * F.col("sdelta") / 2.0, 6).alias(
+                    "betweenness_est"
+                ),
+            )
     src_df = _sources_df(spark, ids)
     bc = spark.sparkContext.broadcast(g)
-    cap = (1 << 62) if until_converged else levels
 
     def run(batches: Iterator) -> Iterator:
         import pyarrow as pa

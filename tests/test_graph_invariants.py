@@ -648,3 +648,37 @@ def test_raw_numpy_edge_build_edge_cases():
     sk2 = np.array([big, 4, big, 4], dtype=np.int64)
     u2, v2, w2 = gk._edges_from_raw(ok2, sk2)
     assert list(zip(u2.tolist(), v2.tolist(), w2.tolist())) == [(4, int(big), 2)]
+
+
+def test_dense_blas_kernels_match_executor_kernels(spark, sf_dir):
+    """Round-11 optimization guard for the dense BLAS tier: under the
+    V <= 4096 dense gate, betweenness / closeness / sampled closeness
+    run as driver-side multi-source matmul kernels. Their outputs must
+    be row-identical to the per-source executor mapInArrow kernels
+    (forced here by dropping the dense gate to 0), or the tier swap
+    silently changes results."""
+    from reddit_can_bigdata_spark.operators import graphkernel as gk
+
+    g = gk.collect_graph_auto(spark, sf_dir)
+    assert g is not None and 0 < g.n_nodes <= gk.TRIANGLE_DENSE_MAX_NODES
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    dense = {
+        "bw": rows(gk.betweenness_kernel_df(spark, g, 6, 7, False)),
+        "cl": rows(gk.closeness_kernel_df(spark, g, 6, False)),
+        "cls": rows(gk.closeness_sampled_kernel_df(spark, g, 6, 7, False)),
+    }
+    orig = gk.TRIANGLE_DENSE_MAX_NODES
+    gk.TRIANGLE_DENSE_MAX_NODES = 0
+    try:
+        exe = {
+            "bw": rows(gk.betweenness_kernel_df(spark, g, 6, 7, False)),
+            "cl": rows(gk.closeness_kernel_df(spark, g, 6, False)),
+            "cls": rows(gk.closeness_sampled_kernel_df(spark, g, 6, 7, False)),
+        }
+    finally:
+        gk.TRIANGLE_DENSE_MAX_NODES = orig
+    for k in dense:
+        assert dense[k] == exe[k], f"dense vs executor kernel mismatch: {k}"
