@@ -863,11 +863,27 @@ def vader_compound_join(
 
     spark = df.sparkSession
     lexicon = lexicon or LEXICON
+    # dimension tables from pandas, not Python lists: the list form
+    # parallelizes into defaultParallelism PICKLED-RDD slices, i.e.
+    # 2x32 Python-worker tasks of pure startup latency per query
+    # (measured ~0.5s each of blocked run time at sf0.1); the pandas
+    # form arrives through Arrow as a driver-local table with zero
+    # Python tasks (guide §4: keep the boundary out of the hot path).
+    import pandas as pd
+
     lex_df = F.broadcast(
-        spark.createDataFrame(list(lexicon.items()), "tok string, valence double")
+        spark.createDataFrame(
+            pd.DataFrame(list(lexicon.items()), columns=["tok", "valence"]),
+            "tok string, valence double",
+        )
     )
     boost_df = F.broadcast(
-        spark.createDataFrame(list(BOOSTER_DICT.items()), "tok string, bval double")
+        spark.createDataFrame(
+            pd.DataFrame(
+                list(BOOSTER_DICT.items()), columns=["tok", "bval"]
+            ),
+            "tok string, bval double",
+        )
     )
     text = f"coalesce({text_col}, '')"
     rawtoks = f"filter(split({text}, '{_ws_split_pattern('spark')}'), t -> t <> '')"
@@ -877,6 +893,20 @@ def vader_compound_join(
         f"CASE WHEN length(st) > 2 THEN st ELSE t END), 1))"
     )
     ep, qm = _punct_parts(text)
+    # Size-aware KEYED repartition before the heavy per-token map
+    # (optimization round 11): the single-row-group test input plans a
+    # 1-task scan, serializing the tokenize/strip/cap scalars and the
+    # posexplode (~1s of CPU at sf0.1 in one task), and the window's
+    # own exchange was then AQE-coalesced to ~3 partitions because the
+    # shuffled BYTES are small — while the per-row cost here is
+    # interpreted-eval heavy, not byte-bound. hash(_id) partitioning
+    # established HERE satisfies the lag/lead windows' and the final
+    # groupBy's ClusteredDistribution, so the plan keeps ONE exchange
+    # and every stage after the scan runs at the size-derived
+    # parallelism AQE may not shrink (user-specified partitioning).
+    from reddit_can_bigdata_spark.operators.common import spread_parts
+
+    df = df.repartition(spread_parts(df), id_col)
     # document-level scalars computed ONCE from the token array — no
     # extra window passes for n / cap-diff / but-index
     base = df.select(

@@ -76,18 +76,68 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+#: conf knob: input bytes (plan-statistics estimate) each spread
+#: partition should carry BEFORE the downstream explode fans it out
+#: 30-100x. Sizing the fan-out stage from its input keeps the task
+#: count proportional to the data instead of pinned to the core count.
+SPREAD_TARGET_BYTES_CONF = "spark.redditCan.spreadTargetBytes"
+#: measured sweep at sf0.1 over the 10 heaviest fan-out queries
+#: (wall / executor-cpu totals): flat 32-way 19.5s / 89; 256 KiB
+#: 21.9 / 23.5; 96 KiB 17.7 / 35.2; 48 KiB 15.7 / 43.8 — 48 KiB is
+#: the wall optimum and still halves CPU vs the flat form.
+SPREAD_TARGET_BYTES = 48 << 10
+
+
 def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to cluster parallelism.
+    """Round-robin repartition, sized by input statistics.
 
     The testdata files are single-row-group parquet, so Spark plans a
     1-task scan; that's correct for a 500 KB file but serializes any
     downstream explode (shingles, tokens, bit fan-outs) that grows the
     data 30-100x in flight. Repartitioning right before the explode
-    spreads that work across all cores; results are unaffected (every
-    aggregate here is order-independent). At 100 TB inputs arrive in
-    many splits and this becomes a no-op-ish rebalance; AQE handles
-    the reverse (too many tiny partitions)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spreads that work; results are unaffected (every aggregate here is
+    order-independent).
+
+    SIZE-ADAPTIVE (optimization round 11, guide §2.5/§2.2): a flat
+    ``repartition(defaultParallelism)`` pins the fan-out stage to the
+    core count — ``repartition(n)`` is a user partitioning AQE must
+    respect, so a 1.5 MB corpus ran 32 tasks each carrying ~30-100 ms
+    of fixed per-task CPU (hash-aggregate page zeroing, shuffle-writer
+    setup) for milliseconds of real work: measured 2.7-3.9 executor-CPU
+    seconds for a token groupBy whose 1-partition form costs 0.07-0.1.
+    The partition count now comes from the optimizer's size estimate
+    (parquet footer bytes at the leaves — a driver-side lookup, no
+    job): one partition per ``spark.redditCan.spreadTargetBytes``
+    (default 2 MiB pre-fan-out), capped at ``defaultParallelism``.
+    Unknown/absurd estimates fall back to the full core count, the old
+    behavior. At 100 TB the cap always wins and this stays the full
+    cluster-wide rebalance."""
+    return df.repartition(spread_parts(df))
+
+
+def spread_parts(df: DataFrame) -> int:
+    """:func:`spread`'s size-adaptive partition count, reusable by
+    callers that need a KEYED repartition (e.g. establishing a window's
+    hash partitioning while parallelizing the map that feeds it)."""
+    sc = df.sparkSession.sparkContext
+    maxp = sc.defaultParallelism
+    parts = maxp
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if 0 < size < (1 << 50):  # unknown stats show up as huge defaults
+            try:
+                target = int(
+                    df.sparkSession.conf.get(
+                        SPREAD_TARGET_BYTES_CONF, str(SPREAD_TARGET_BYTES)
+                    )
+                )
+            except ValueError:
+                target = SPREAD_TARGET_BYTES
+            if target > 0:
+                parts = max(1, min(maxp, -(-size // target)))
+    except Exception:  # stats unavailable: keep the full-parallelism form
+        pass
+    return parts
 
 
 def dsum(col: Column | str) -> Column:
