@@ -380,6 +380,17 @@ def _empty_result(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def _local_df(spark: SparkSession, pdf) -> DataFrame:
+    """Driver-local kernel output as ONE partition: createDataFrame
+    splits a pandas frame into defaultParallelism slices, so every
+    narrow op downstream of a |V|-row kernel table ran 32 tasks of
+    ~30 rows (pure per-task overhead; the composites measured ~200
+    such tasks per query). coalesce(1) merges without a shuffle; no
+    consumer aggregates unsorted doubles across partitions, so values
+    are unchanged."""
+    return spark.createDataFrame(pdf).coalesce(1)
+
+
 def _sources_df(
     spark: SparkSession, ids: np.ndarray, parts: int | None = None
 ) -> DataFrame:
@@ -432,7 +443,7 @@ def closeness_kernel_df(
         cnt, dsum, _ = _dense_closeness_counts(
             g, np.searchsorted(g.nodes, ids), cap
         )
-        raw = spark.createDataFrame(
+        raw = _local_df(spark,
             pd.DataFrame({"node": ids, "cnt": cnt, "dsum": dsum})
         )
         return raw.where(F.col("dsum") > 0).select(
@@ -531,7 +542,7 @@ def closeness_sampled_kernel_df(
             g, np.searchsorted(g.nodes, ids), cap
         )
         sel = np.flatnonzero(touched)
-        raw = spark.createDataFrame(
+        raw = _local_df(spark,
             pd.DataFrame({"node": g.nodes[sel], "sdist": sdist[sel]})
         )
         return raw.where(F.col("sdist") > 0).select(
@@ -772,7 +783,7 @@ def betweenness_kernel_df(
 
             delta_acc, reached = dense
             sel = np.flatnonzero(reached)
-            raw = spark.createDataFrame(
+            raw = _local_df(spark,
                 pd.DataFrame(
                     {"node": g.nodes[sel], "sdelta": delta_acc[sel]}
                 )
@@ -903,7 +914,7 @@ def triangles_kernel_df(spark: SparkSession, g: GraphArrays) -> DataFrame:
     dense[rows, g.indices] = 1.0
     deg = np.diff(g.indptr).astype(np.int64)
     tri = ((dense @ dense) * dense).sum(axis=1) / 2.0
-    return spark.createDataFrame(
+    return _local_df(spark,
         pd.DataFrame(
             {
                 "node": g.nodes,
@@ -940,7 +951,7 @@ def degree_kernel_df(spark: SparkSession, g: GraphArrays) -> DataFrame:
         )
     else:
         wdeg = np.add.reduceat(g.weights, g.indptr[:-1])
-    deg = spark.createDataFrame(
+    deg = _local_df(spark,
         pd.DataFrame(
             {
                 "node": g.nodes,
@@ -993,7 +1004,7 @@ def pagerank_kernel_df(
         rank = teleport + damping * np.bincount(
             dst, weights=rank[rows] * p, minlength=nv
         )
-    raw = spark.createDataFrame(pd.DataFrame({"node": g.nodes, "rank": rank}))
+    raw = _local_df(spark, pd.DataFrame({"node": g.nodes, "rank": rank}))
     return raw.select("node", F.round("rank", 6).alias("pagerank"))
 
 
@@ -1015,7 +1026,7 @@ def eigenvector_kernel_df(
     for _ in range(iters):
         m = np.bincount(dst, weights=val[rows] * w, minlength=nv)
         val = m / np.sqrt((m * m).sum())
-    raw = spark.createDataFrame(pd.DataFrame({"node": g.nodes, "val": val}))
+    raw = _local_df(spark, pd.DataFrame({"node": g.nodes, "val": val}))
     return raw.select("node", F.round("val", 6).alias("eigenvector"))
 
 

@@ -155,27 +155,38 @@ def influencer_composite_ref_weights(spark: SparkSession, sf_dir: str) -> DataFr
     deg = g2_degree_centrality(spark, sf_dir, edges=ed, graph=g).select(
         "node", "degree_centrality"
     )
-    # independent iterative metrics — submit concurrently (see
-    # influencer_composite_top20)
-    from concurrent.futures import ThreadPoolExecutor
+    # under the dense kernel gate all metrics are driver-local tables:
+    # skip the checkpoint barriers (see influencer_composite_top20)
+    from reddit_can_bigdata_spark.operators.graphkernel import (
+        TRIANGLE_DENSE_MAX_NODES,
+    )
 
-    with ThreadPoolExecutor(3) as pool:
-        fpr = pool.submit(
-            lambda: g6_pagerank(spark, sf_dir, edges=ed, graph=g).localCheckpoint(
-                eager=True
+    if g is not None and 0 < g.n_nodes <= TRIANGLE_DENSE_MAX_NODES:
+        pr = g6_pagerank(spark, sf_dir, edges=ed, graph=g)
+        ev = g5_eigenvector_centrality(spark, sf_dir, edges=ed, graph=g)
+        bw = g3b_betweenness_sampled(spark, sf_dir, edges=ed, graph=g)
+    else:
+        # independent iterative metrics — submit concurrently (see
+        # influencer_composite_top20)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(3) as pool:
+            fpr = pool.submit(
+                lambda: g6_pagerank(spark, sf_dir, edges=ed, graph=g).localCheckpoint(
+                    eager=True
+                )
             )
-        )
-        fev = pool.submit(
-            lambda: g5_eigenvector_centrality(
-                spark, sf_dir, edges=ed, graph=g
-            ).localCheckpoint(eager=True)
-        )
-        fbw = pool.submit(
-            lambda: g3b_betweenness_sampled(
-                spark, sf_dir, edges=ed, graph=g
-            ).localCheckpoint(eager=True)
-        )
-        pr, ev, bw = fpr.result(), fev.result(), fbw.result()
+            fev = pool.submit(
+                lambda: g5_eigenvector_centrality(
+                    spark, sf_dir, edges=ed, graph=g
+                ).localCheckpoint(eager=True)
+            )
+            fbw = pool.submit(
+                lambda: g3b_betweenness_sampled(
+                    spark, sf_dir, edges=ed, graph=g
+                ).localCheckpoint(eager=True)
+            )
+            pr, ev, bw = fpr.result(), fev.result(), fbw.result()
     m = (
         deg.join(pr, "node")
         .join(ev, "node")
@@ -264,45 +275,68 @@ def influencer_composite_top20(
     deg = g2_degree_centrality(spark, sf_dir, edges=ed, graph=g).select(
         "node", "degree_centrality"
     )
-    # The three iterative centralities are independent until the final
-    # join and each is scheduler-latency-bound (per-round
-    # localCheckpoint barriers), so submit their jobs CONCURRENTLY —
-    # Spark's scheduler interleaves the stages and the cluster stays
-    # full instead of draining between rounds. Results are identical
-    # to sequential execution (each loop is self-contained).
-    from concurrent.futures import ThreadPoolExecutor
+    # Under the DENSE kernel gate every centrality is a driver-local
+    # table (numpy kernels + createDataFrame), so the eager
+    # localCheckpoints and the thread pool below would only add four
+    # 32-task barrier jobs per composite to materialize data the
+    # driver already holds — skip both; one action over the final plan
+    # dedupes the shared subtrees via exchange reuse (optimization
+    # round 11; profiler: 13-14 jobs / ~300 tasks per composite, all
+    # but 3 of them checkpoint machinery). Above the dense gate the
+    # concurrent-submission + checkpoint form is unchanged: there the
+    # per-round loops / executor kernels are genuinely expensive to
+    # recompute and scheduler-latency-bound.
+    from reddit_can_bigdata_spark.operators.graphkernel import (
+        TRIANGLE_DENSE_MAX_NODES,
+    )
 
-    with ThreadPoolExecutor(3) as pool:
-        fpr = pool.submit(
-            lambda: g6_pagerank(spark, sf_dir, edges=ed, graph=g).localCheckpoint(
-                eager=True
+    dense = g is not None and 0 < g.n_nodes <= TRIANGLE_DENSE_MAX_NODES
+    if dense:
+        pr = g6_pagerank(spark, sf_dir, edges=ed, graph=g)
+        ev = g5_eigenvector_centrality(spark, sf_dir, edges=ed, graph=g)
+        cl = closeness_for_scale(
+            spark, sf_dir, edges=ed, mode=closeness_mode, graph=g
+        )
+    else:
+        # The three iterative centralities are independent until the
+        # final join and each is scheduler-latency-bound (per-round
+        # localCheckpoint barriers), so submit their jobs CONCURRENTLY —
+        # Spark's scheduler interleaves the stages and the cluster stays
+        # full instead of draining between rounds. Results are identical
+        # to sequential execution (each loop is self-contained).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(3) as pool:
+            fpr = pool.submit(
+                lambda: g6_pagerank(spark, sf_dir, edges=ed, graph=g).localCheckpoint(
+                    eager=True
+                )
             )
-        )
-        fev = pool.submit(
-            lambda: g5_eigenvector_centrality(
-                spark, sf_dir, edges=ed, graph=g
-            ).localCheckpoint(eager=True)
-        )
-        # closeness_for_scale counts nodes for its gate (auto mode)
-        # INSIDE the pooled thread — a serial pre-count would add one
-        # edge-list pass of latency that all three pooled jobs wait
-        # behind (with a shared CSR the gate reads the arrays and the
-        # count disappears entirely)
-        fcl = pool.submit(
-            lambda: closeness_for_scale(
-                spark, sf_dir, edges=ed, mode=closeness_mode, graph=g
-            ).localCheckpoint(eager=True)
-        )
-        pr, ev, cl = fpr.result(), fev.result(), fcl.result()
+            fev = pool.submit(
+                lambda: g5_eigenvector_centrality(
+                    spark, sf_dir, edges=ed, graph=g
+                ).localCheckpoint(eager=True)
+            )
+            # closeness_for_scale counts nodes for its gate (auto mode)
+            # INSIDE the pooled thread — a serial pre-count would add one
+            # edge-list pass of latency that all three pooled jobs wait
+            # behind (with a shared CSR the gate reads the arrays and the
+            # count disappears entirely)
+            fcl = pool.submit(
+                lambda: closeness_for_scale(
+                    spark, sf_dir, edges=ed, mode=closeness_mode, graph=g
+                ).localCheckpoint(eager=True)
+            )
+            pr, ev, cl = fpr.result(), fev.result(), fcl.result()
     # the joined centrality table has TWO consumers (the min/max
     # bounds aggregate and the scored projection); without a barrier
     # the 4-way join — and the non-checkpointed degree computation
     # under it — runs twice (r4 judge flagged the resulting cross-host
-    # variance). It is |nodes| rows, so the materialization is cheap.
-    m = (
-        deg.join(pr, "node").join(ev, "node").join(cl, "node")
-        .localCheckpoint(eager=True)
-    )
+    # variance). It is |nodes| rows, so the materialization is cheap —
+    # and unnecessary when every input is a driver-local table.
+    m = deg.join(pr, "node").join(ev, "node").join(cl, "node")
+    if not dense:
+        m = m.localCheckpoint(eager=True)
     b = m.agg(
         F.min("degree_centrality").alias("d_lo"), F.max("degree_centrality").alias("d_hi"),
         F.min("closeness").alias("c_lo"), F.max("closeness").alias("c_hi"),
