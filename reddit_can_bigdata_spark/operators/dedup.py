@@ -373,6 +373,20 @@ def dedup_ngram_jaccard(
     rare = doc_side.join(
         dfreq.where(F.col("n_docs") <= NGRAM_DF_BOUND), "shingle"
     ).select("doc_id", "shingle")
+    # Size-aware keyed repartition before the blocking self-join
+    # (optimization round 11, guide §2.5): the join's input is small in
+    # BYTES, so AQE coalesced it to one partition — but each input row
+    # fans out into up to C(20,2) pair rows, so the expansion ran as a
+    # single serial task (measured 1.5 cpu-s in 1 task at sf0.1, the
+    # query's largest stage). hash(shingle) partitioning feeds BOTH
+    # join legs (same subtree -> one reused exchange) at a parallelism
+    # AQE may not shrink; pair counts are integer aggregates, so the
+    # partitioning cannot change any value.
+    from reddit_can_bigdata_spark.operators.common import spread_parts
+
+    rare = rare.repartition(
+        spread_parts(tables(spark, sf_dir)["documents"]), "shingle"
+    )
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     r1, r2 = rare.alias("r1"), rare.alias("r2")
     inter = (
