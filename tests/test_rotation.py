@@ -368,6 +368,15 @@ def test_current_repo_first50_is_least_recently_checked():
     edited, unverified = registry._stamp_state(REPO)
     latest = registry._latest_checked_round(REPO)
     priority = [n for n in order if n in failed or n in unverified or n in edited]
+    if len(priority) >= 50:
+        # Mid-round state after edits touching shared modules: the
+        # failed/unverified/edited tier alone fills the driver's
+        # 50-sample, so the LRU property over the remainder is vacuous
+        # (same pattern as the vacuous-precondition skip below). The
+        # priority tier occupying the whole sample IS the intended
+        # behavior — pin that instead.
+        assert order[:50] == priority[:50]
+        pytest.skip("priority tier fills the 50-sample — LRU property vacuous")
     rest = [n for n in order if n not in priority]
     worst_in = max(latest.get(n, 0) for n in rest[: 50 - len(priority)])
     best_out = min(latest.get(n, 0) for n in rest[50 - len(priority):])
