@@ -26,10 +26,10 @@ SHOWCASE = {
     "dedup_minhash_lsh": "LSH banding: candidate pairs come from an equi-join on (band, band_key) — no all-pairs stage.",
     "sim_topk_bruteforce": "Broadcast query vector; scan is embarrassingly parallel, finishes in a top-k heap.",
     "dedup_clusters": "LSH candidate pairs feed a min-label component loop; the per-round state join carries the broadcast-ceiling guard.",
-    "g3b_betweenness_sampled": "Distributed sampled Brandes: level-synchronous BFS with direction-optimizing rounds; state O(K*N).",
+    "g3b_betweenness_sampled": "Sampled Brandes, tiered: dense multi-source BLAS kernel under V<=4096, executor mapInArrow kernel under the broadcast gate, distributed level-synchronous loop (state O(K*N)) above - bench scale shows the dense tier's LocalTableScan plan.",
     "sim_sq_quantized_topk": "Int8 scalar quantization: 1-row scale table + query vector broadcast; corpus scanned once into a top-k heap.",
     "curate_token_budget": "Mixture realization: source-level weight aggregate broadcast back; one window cumsum per source (<=3 exchanges).",
-    "f13c_vader_join_path": "VADER via broadcast-lexicon join: posexplode + two broadcast joins + lag windows + one groupBy re-sum.",
+    "f13c_vader_join_path": "VADER via broadcast-lexicon join: size-aware keyed repartition feeds posexplode + two broadcast joins + lag windows + the groupBy re-sum through ONE data exchange.",
     "pipeline_gate_report": "Orchestration gates: four 1-row aggregates glued by broadcast nested-loop joins - no data-sized shuffle.",
     "pretrain_bloom_decontaminate": "Bloom decontamination: eval grams collapse to one broadcast bitmap row; the corpus side is scan -> project with zero shuffled joins.",
     "dedup_passages": "Passage dedup: one shuffle on md5(passage) for the first-occurrence window, one back on doc_id to reassemble — no corpus-sized joins.",
