@@ -906,7 +906,16 @@ def vader_compound_join(
     # parallelism AQE may not shrink (user-specified partitioning).
     from reddit_can_bigdata_spark.operators.common import spread_parts
 
-    df = df.repartition(spread_parts(df), id_col)
+    # scale=2 (optimization round 12): this map's per-task fixed cost
+    # is the INTERPRETED build of the ~4000-node rule expression, far
+    # above the fan-out tier's per-task constant, so the partition
+    # target doubles (fewer, larger tasks). Round-12 sweep at sf0.1
+    # (n=4, same session): 13 parts wall 1.27 / cpu 4.03; 8 parts 0.98
+    # / 2.15; 6 parts 1.00 / 2.11; 4 parts 1.04 / 1.86; 1 part 2.33 /
+    # 1.79 — the 6-8 band is the wall optimum and recovers the
+    # round-11 cpu regression (r10 cpu ~3.1). At 100 TB the
+    # defaultParallelism cap dominates and nothing changes.
+    df = df.repartition(spread_parts(df, scale=2.0), id_col)
     # document-level scalars computed ONCE from the token array — no
     # extra window passes for n / cap-diff / but-index
     base = df.select(
@@ -962,6 +971,14 @@ def vader_compound_join(
         cap="_cap",
         i="_pos",
     )
+    # Measured and kept NESTED (optimization round 12): flattening the
+    # let-bindings into per-step columns (one withColumn per bind, all
+    # plain CASE expressions) was implemented and A/B'd — cpu 4.5 ->
+    # 15.8 s at sf0.1, 3.5x WORSE. The nested form's outer CASE gates
+    # ("skip"/valence-NULL) mean only lexicon-hit tokens (~5-10% of
+    # rows) ever evaluate the rule tree, while materialized step
+    # columns evaluate it for EVERY token and add a row-copy per
+    # unfused Project. Lazy evaluation beats codegen here.
     tok = tok.withColumn("_val", F.expr(_pos_valence(env)))
     per_doc = (
         tok.groupBy("_id")

@@ -246,6 +246,15 @@ def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     preds = to_str.transform(full).select(
         F.col(id_col).alias("id"), "lex_label", "ml_prediction"
     )
+    # Lazy materialization barrier (optimization round 12): the full
+    # corpus is featurized + scored by the best model exactly ONCE —
+    # the agreement aggregate below materializes the blocks and every
+    # later consumer (run_pipeline's predictions.count, caller writes)
+    # reads them instead of re-running the transform (measured ~0.5-1s
+    # of duplicated tail per e2e run). localCheckpoint, not cache: the
+    # blocks are freed by the ContextCleaner when the frame goes out of
+    # scope, no unpersist bookkeeping for callers.
+    preds = preds.localCheckpoint(eager=False)
     agree = preds.agg(
         (F.sum((F.col("lex_label") == F.col("ml_prediction")).cast("long")) / F.count("*"))
         .alias("r")

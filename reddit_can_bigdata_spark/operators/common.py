@@ -108,17 +108,24 @@ def spread(df: DataFrame) -> DataFrame:
     The partition count now comes from the optimizer's size estimate
     (parquet footer bytes at the leaves — a driver-side lookup, no
     job): one partition per ``spark.redditCan.spreadTargetBytes``
-    (default 2 MiB pre-fan-out), capped at ``defaultParallelism``.
+    (default ``SPREAD_TARGET_BYTES`` = 48 KiB pre-fan-out, from the
+    sweep above), capped at ``defaultParallelism``.
     Unknown/absurd estimates fall back to the full core count, the old
     behavior. At 100 TB the cap always wins and this stays the full
     cluster-wide rebalance."""
     return df.repartition(spread_parts(df))
 
 
-def spread_parts(df: DataFrame) -> int:
+def spread_parts(df: DataFrame, scale: float = 1.0) -> int:
     """:func:`spread`'s size-adaptive partition count, reusable by
     callers that need a KEYED repartition (e.g. establishing a window's
-    hash partitioning while parallelizing the map that feeds it)."""
+    hash partitioning while parallelizing the map that feeds it).
+
+    ``scale`` multiplies the per-partition byte target for maps whose
+    per-TASK fixed cost is far above the fan-out tier's (e.g. building
+    a multi-thousand-node interpreted expression tree per task): fewer,
+    larger partitions amortize the setup. At cluster scale the
+    ``defaultParallelism`` cap dominates either way."""
     sc = df.sparkSession.sparkContext
     maxp = sc.defaultParallelism
     parts = maxp
@@ -133,6 +140,7 @@ def spread_parts(df: DataFrame) -> int:
                 )
             except ValueError:
                 target = SPREAD_TARGET_BYTES
+            target = int(target * scale)
             if target > 0:
                 parts = max(1, min(maxp, -(-size // target)))
     except Exception:  # stats unavailable: keep the full-parallelism form

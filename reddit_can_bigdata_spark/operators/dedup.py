@@ -387,6 +387,15 @@ def dedup_ngram_jaccard(
     rare = rare.repartition(
         spread_parts(tables(spark, sf_dir)["documents"]), "shingle"
     )
+    # Eager materialization of the df-bounded frame (optimization
+    # round 12): `rare` has THREE consumers (sizes + both self-join
+    # legs) and the formatted plan carried three full derivations of
+    # the shingle→df-join subtree (runtime exchange reuse was not
+    # evidencable and measured unreliable — round-11 verdict item #4).
+    # One checkpoint pass replaces them; integer counts, values
+    # unchanged (A/B in tools/ab_lsh_quality.py: wall −28%, cpu −13%
+    # on the composed quality query).
+    rare = rare.localCheckpoint(eager=True)
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     r1, r2 = rare.alias("r1"), rare.alias("r2")
     inter = (
@@ -720,10 +729,6 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold — one constant, so retuning dedup_ngram_jaccard can never
 # leave the metric measuring a stale ground truth.
 LSH_QUALITY_TAU = NGRAM_JACCARD_TAU
-#: corpus size above which dedup_lsh_quality caches the shared shingle
-#: base instead of relying on ReusedExchange (measured crossover:
-#: reuse wins at 5k docs, breaks by 50k — see the docstring A/B)
-LSH_QUALITY_CACHE_DOCS = 20_000
 
 
 @register(
@@ -789,21 +794,21 @@ def dedup_lsh_quality(
     tests/test_sample_knob.py).
 
     The shingle base is computed ONCE and threaded through both arms,
-    cached above a measured corpus-size crossover: uncached, the
-    composed plan re-derives the explode+distinct shuffle across the
-    exact arm's self-join legs and the LSH signatures — free while
-    Spark's ReusedExchange dedupes it (sf0.1: composed ran CHEAPER
-    than the two arms separately), but broken at sf1 where the
-    round-11 probe measured the composition at 5.6× the cpu of its
-    arms combined (477 vs 85 cpu-s). Forcing the cache at sf0.1
-    measured 3-4× the cpu of the reuse path (74-90 vs 22-37 cpu-s A/B,
-    same session) — InMemoryRelation reads cost more than a reused
-    shuffle — so the cache engages only when the corpus outgrows the
-    optimizer's reuse (measured crossover between 5k and 50k docs).
-    Output values are identical on every path."""
-    sh = _shingles(spark, sf_dir)
-    if tables(spark, sf_dir)["documents"].count() >= LSH_QUALITY_CACHE_DOCS:
-        sh = sh.cache()
+    materialized with an eager localCheckpoint (optimization round 12,
+    VERDICT item #3): relying on the optimizer's exchange reuse left
+    THREE planned derivations of the explode+distinct subtree in the
+    composed plan (exact arm's two self-join legs + the LSH
+    signatures), and the round-11 probe measured the composition at
+    5.6× the cpu of its arms combined at sf1 (477 vs 85 cpu-s) when
+    reuse broke down. The round-12 A/B at sf0.1 (tools/ab_lsh_quality
+    .py, n=3 medians, same session): reuse wall 4.15s / cpu 10.4;
+    checkpointed base + checkpointed `rare` wall 3.0s / cpu 9.1 —
+    checkpoint wins at bench scale too, unlike the round-11 .cache()
+    experiment (InMemoryRelation columnar encode/decode cost more than
+    reused shuffle reads; raw checkpoint blocks don't). The count-gated
+    cache crossover is therefore retired along with its corpus-count
+    probe job. Output values are identical on every path."""
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
     exact = dedup_ngram_jaccard(
         spark, sf_dir, sample_mod=sample_mod, shingles=sh
     ).select("doc_a", "doc_b", F.lit(1).alias("fe"))

@@ -251,10 +251,14 @@ def g2_degree_centrality(
     e = edges if edges is not None else _edges(spark, sf_dir)
     # One edge-table pass, not four: the u/v union as a generator over
     # a single scan (explode of the two endpoint structs), and the
-    # |V|-row degree table cached so the n-count broadcast job and the
-    # output both read it instead of re-running the edge build (the
+    # |V|-row degree table materialized so the n-count broadcast job and
+    # the output both read it instead of re-running the edge build (the
     # before-plan showed four full lineitem→pairs subtrees; guide §2.4
     # "remove shuffles outright" / duplicated-subtree case).
+    # localCheckpoint, NOT cache (round-11 advice): a .cache() here was
+    # never unpersisted, so repeated calls in one process accumulated
+    # CacheManager entries; lazily checkpointed blocks are freed by the
+    # ContextCleaner once the frame is garbage-collected.
     both = e.select(
         F.explode(
             F.array(
@@ -265,7 +269,7 @@ def g2_degree_centrality(
     ).select("s.node", "s.weight")
     deg = both.groupBy("node").agg(
         F.count("*").alias("degree"), F.sum("weight").alias("weighted_degree")
-    ).cache()
+    ).localCheckpoint(eager=False)
     n = deg.agg(F.count("*").cast("double").alias("n_nodes"))
     return deg.crossJoin(F.broadcast(n)).select(
         "node",

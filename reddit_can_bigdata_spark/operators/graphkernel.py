@@ -89,9 +89,27 @@ def kernel_edge_limit(spark: SparkSession) -> int:
     # set exactly when the caller wants per-round fault tolerance on a
     # real cluster, which a driver-resident kernel cannot provide (and
     # the loop's checkpoint side effects are part of that contract).
+    # PRECEDENCE: iterCheckpointDir wins over graphKernelMaxEdges; a
+    # caller who explicitly set BOTH gets a one-time warning so the
+    # 10-100x slower loop path is attributable (round-11 advice).
     from reddit_can_bigdata_spark.operators.common import ITER_CHECKPOINT_DIR_CONF
 
     if spark.conf.get(ITER_CHECKPOINT_DIR_CONF, None):
+        explicit = spark.conf.get(GRAPH_KERNEL_MAX_EDGES_CONF, None)
+        sc = spark.sparkContext
+        if explicit is not None and not getattr(
+            sc, "_reddit_can_kernel_pin_warned", False
+        ):
+            sc._reddit_can_kernel_pin_warned = True
+            import warnings
+
+            warnings.warn(
+                f"{ITER_CHECKPOINT_DIR_CONF} is set: graph queries take "
+                f"the distributed loop path (reliable per-round "
+                f"checkpoints), overriding the explicitly configured "
+                f"{GRAPH_KERNEL_MAX_EDGES_CONF}={explicit}.",
+                stacklevel=2,
+            )
         return 0
     try:
         return int(spark.conf.get(GRAPH_KERNEL_MAX_EDGES_CONF, str(GRAPH_KERNEL_MAX_EDGES)))
@@ -380,15 +398,28 @@ def _empty_result(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+#: rows per partition for kernel-emitted tables too big for the single
+#: coalesced partition (a multi-million-node pagerank table must not
+#: flow through every downstream narrow op as one task — round-11
+#: advice). 64k rows of (long, double) ≈ 1 MB.
+_LOCAL_DF_ROWS_PER_PART = 65_536
+
+
 def _local_df(spark: SparkSession, pdf) -> DataFrame:
-    """Driver-local kernel output as ONE partition: createDataFrame
+    """Driver-local kernel output, partitioned by SIZE: createDataFrame
     splits a pandas frame into defaultParallelism slices, so every
     narrow op downstream of a |V|-row kernel table ran 32 tasks of
     ~30 rows (pure per-task overhead; the composites measured ~200
-    such tasks per query). coalesce(1) merges without a shuffle; no
-    consumer aggregates unsorted doubles across partitions, so values
-    are unchanged."""
-    return spark.createDataFrame(pdf).coalesce(1)
+    such tasks per query). coalesce merges without a shuffle down to
+    one partition per ``_LOCAL_DF_ROWS_PER_PART`` rows (1 for anything
+    dense-tier-sized, the core count near the 16M-edge broadcast gate);
+    no consumer aggregates unsorted doubles across partitions, so
+    values are unchanged at any partitioning."""
+    parts = max(1, min(
+        spark.sparkContext.defaultParallelism,
+        -(-len(pdf) // _LOCAL_DF_ROWS_PER_PART),
+    ))
+    return spark.createDataFrame(pdf).coalesce(parts)
 
 
 def _sources_df(
@@ -877,7 +908,7 @@ def betweenness_kernel_df(
 
     raw = src_df.mapInArrow(run, "node long, delta double")
     scale = float(n_nodes) / float(k)
-    return (
+    out = (
         raw.groupBy("node")
         .agg(F.sum("delta").alias("sdelta"))
         .select(
@@ -887,6 +918,15 @@ def betweenness_kernel_df(
             ),
         )
     )
+    if n_nodes <= TRIANGLE_DENSE_MAX_NODES:
+        # σ-overflow fallback from the dense tier (round-11 advice):
+        # callers in the dense regime skip their own materialization
+        # barriers because kernel outputs are normally driver-local —
+        # this one is an executor job, so pin it lazily (first action
+        # materializes the |V|-row result; later consumers reuse the
+        # blocks instead of re-running the Brandes kernel).
+        out = out.localCheckpoint(eager=False)
+    return out
 
 
 # ---------------------------------------------------------------- triangles

@@ -824,9 +824,11 @@ def pretrain_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: eval grams -> {BLOOM_K} portable md5 bit positions each ->
     bit_or per 64-bit word -> ONE map-typed row, broadcast; corpus
-    membership is then a pure narrow map (filter over each doc's gram
-    array testing all {BLOOM_K} bits). No joins or shuffles touch the
-    corpus: scan -> project -> done.
+    membership is a codegen map over the exploded (distinct) gram rows
+    testing all {BLOOM_K} bits against the broadcast bitmap, folded
+    back to one row per doc by a map-side-partial groupBy — the only
+    corpus-keyed shuffle, carrying (doc_id, n_grams, partial count)
+    rows, never grams or text.
 
     Bloom semantics are exactly reproducible (same md5 positions in
     the DuckDB oracle), and one-sided: NO false negatives — every
@@ -866,25 +868,51 @@ def pretrain_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bm")
         )
     )
-    # bind the K md5 positions ONCE per gram (forall's lambda var `p`
-    # evaluates once), then test word+bit from the bound value — the
-    # inlined-per-test form would compute 2*K md5 hashes per gram on
-    # the corpus hot path instead of K
-    positions = ", ".join(_bloom_pos_spark(i, "gr") for i in range(BLOOM_K))
-    member = (
-        f"forall(array({positions}), p -> "
-        "(coalesce(element_at(bm, p div 64), 0L)"
-        " & shiftleft(1L, int(p % 64))) != 0)"
-    )
-    return (
+    # Corpus membership via EXPLODE + plain-column positions, not a
+    # filter/forall HOF (optimization round 12, guide §4.1): higher-
+    # order functions are CodegenFallback, so the HOF form evaluated
+    # 4 md5+conv per gram in interpreted mode (measured 6.3 cpu-s at
+    # sf0.1). Exploding the (distinct) gram array and computing the K
+    # positions as real columns keeps the md5 hot path in whole-stage
+    # codegen; the per-doc count comes back through one map-side-
+    # partially-aggregated groupBy (the only shuffle this adds carries
+    # one (doc_id, n_grams, partial count) row per doc per partition).
+    # Same md5 bit positions — the oracle's hash scheme is untouched —
+    # and A/B-identical output (tools/ab_bloom.py: cpu 6.3 -> 3.6,
+    # wall 1.65 -> 1.37, 4948 rows byte-equal).
+    exploded = (
         g.where(~is_eval)
-        .crossJoin(F.broadcast(bloom_row))
         .select(
             "doc_id",
             F.size("grams").cast("bigint").alias("n_grams"),
-            F.expr(f"cast(size(filter(grams, gr -> {member})) as bigint)").alias(
-                "n_flagged"
-            ),
+            F.explode_outer("grams").alias("gr"),
+        )
+        .crossJoin(F.broadcast(bloom_row))
+        .select(
+            "doc_id",
+            "n_grams",
+            "gr",
+            "bm",
+            *[
+                F.expr(_bloom_pos_spark(i, "gr")).alias(f"_p{i}")
+                for i in range(BLOOM_K)
+            ],
+        )
+    )
+    hit = F.col("gr").isNotNull()
+    for i in range(BLOOM_K):
+        hit = hit & F.expr(
+            f"(coalesce(element_at(bm, _p{i} div 64), 0L)"
+            f" & shiftleft(1L, int(_p{i} % 64))) != 0"
+        )
+    return (
+        exploded.select(
+            "doc_id", "n_grams", F.when(hit, 1).otherwise(0).alias("h")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.sum("h").cast("bigint").alias("n_flagged"),
         )
         .withColumn("maybe_contaminated", F.col("n_flagged") >= 1)
     )
