@@ -208,8 +208,15 @@ def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     feat_model = PipelineModel(
         stages=[tokenizer, remover, cv_model, idf_model, si_model, assembler]
     )
-    feat_train = feat_model.transform(train).cache()
-    feat_test = feat_model.transform(test).cache()
+    # Cache only the two columns the fits/evaluations read (optimization
+    # round 12, guide §5): the full transform carries the text, token
+    # arrays and tf/tfidf vectors, which the columnar cache would
+    # otherwise serialize and hold for nothing — the classifier fits
+    # consume (label, features), the evaluator (label, prediction from
+    # features). Row set, order and values are untouched, so models and
+    # accuracies are bit-identical (pinned by the refactor guard).
+    feat_train = feat_model.transform(train).select("label", "features").cache()
+    feat_test = feat_model.transform(test).select("label", "features").cache()
 
     # The three classifier fits are independent given the shared
     # featurized splits, so submit them CONCURRENTLY (the same

@@ -297,6 +297,12 @@ def collect_graph_raw(
         return None  # SQL NULL-key semantics: let the oracle-shaped path decide
     ok = c_ok.to_numpy(zero_copy_only=False).astype(np.int64)
     sk = c_sk.to_numpy(zero_copy_only=False).astype(np.int64)
+    # to_numpy copied; drop the Arrow table before the unique/sort
+    # stage so peak driver RSS loses one full (2 x int64 x rows) copy
+    # (round-12 RSS probe, tools/measure_raw_collect_rss.py: ~5 GiB
+    # python peak at the 1 GiB gate ceiling — every released copy is
+    # ~1 GiB of headroom there).
+    del tbl, c_ok, c_sk
     u, v, w = _edges_from_raw(ok, sk)
     if u.shape[0] > kernel_edge_limit(spark):
         return None
