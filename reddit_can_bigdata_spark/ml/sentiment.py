@@ -231,10 +231,16 @@ def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
 
     def _fit_and_score(item):
         mname, clf = item
+        # job descriptions are thread-local (guide §1.5): label each
+        # classifier's jobs so the concurrent fits are attributable in
+        # the UI/status store
+        spark = feat_train.sparkSession
+        spark.sparkContext.setJobDescription(f"sentiment fit: {mname}")
         model = clf.fit(feat_train)
         # per-thread evaluator copy: evaluate() is read-only over its
         # params, but copies are free and remove any sharing question
         acc = evaluator.copy().evaluate(model.transform(feat_test))
+        spark.sparkContext.setJobDescription(None)
         return mname, (model, acc)
 
     with ThreadPoolExecutor(max_workers=len(classifiers)) as pool:
@@ -266,9 +272,12 @@ def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         (F.sum((F.col("lex_label") == F.col("ml_prediction")).cast("long")) / F.count("*"))
         .alias("r")
     ).collect()[0]["r"]
-    # The featurized splits are only needed for model selection; the
-    # returned `preds` lineage goes through `labeled` (kept cached for
-    # the caller's downstream writes, LRU-evicted by Spark as needed).
+    # The featurized splits are only needed for model selection, and
+    # `preds` no longer depends on the `labeled` cache once the
+    # agreement aggregate above materialized its checkpoint blocks —
+    # unpersist all three (round 12: the labeled cache previously
+    # outlived the call and accumulated across a session's queries).
     feat_train.unpersist()
     feat_test.unpersist()
+    labeled.unpersist()
     return SentimentResult(best_name, float(best_acc), preds, float(agree))

@@ -498,11 +498,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).where(
         F.col("est_jaccard") >= CLUSTER_JACCARD
     )
+    # localCheckpoint, NOT cache (optimization round 12, measurement
+    # integrity): the component loop's multi-action consumption needs
+    # the pair graph materialized once, but a .cache() here is keyed on
+    # the analyzed plan, so back-to-back runs of this query in one
+    # session (bench reps!) silently reused the first run's cached sym
+    # and skipped the whole MinHash pipeline — deflating the bench
+    # median and leaking CacheManager entries. Checkpoint blocks are
+    # per-instance (no cross-run reuse) and GC-cleaned.
     sym = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .repartition("dst")
-        .cache()
+        .localCheckpoint(eager=False)
     )
     labels = min_label_components(
         sym, 0, until_converged=True, shortcut=True, require_converged=True

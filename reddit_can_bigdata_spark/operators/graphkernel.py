@@ -977,8 +977,9 @@ def degree_kernel_df(spark: SparkSession, g: GraphArrays) -> DataFrame:
     aggregate produces), with the n−1 normalization left to the SAME
     Spark expressions as the DataFrame path so the doubles are
     bit-identical. Used when a composite already holds the collected
-    graph — standalone g2 keeps its one-aggregate plan (collecting
-    just to count row lengths would cost more than it saves)."""
+    graph, and (round 12) by standalone g2 through collect_graph_auto
+    — the raw-collect stat gate made the collection cheaper than one
+    distributed edge build (A/B in graph.py)."""
     import pandas as pd
 
     if g.n_nodes == 0:

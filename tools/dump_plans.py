@@ -31,7 +31,7 @@ SHOWCASE = {
     "curate_token_budget": "Mixture realization: source-level weight aggregate broadcast back; one window cumsum per source (<=3 exchanges).",
     "f13c_vader_join_path": "VADER via broadcast-lexicon join: size-aware keyed repartition feeds posexplode + two broadcast joins + lag windows + the groupBy re-sum through ONE data exchange.",
     "pipeline_gate_report": "Orchestration gates: four 1-row aggregates glued by broadcast nested-loop joins - no data-sized shuffle.",
-    "pretrain_bloom_decontaminate": "Bloom decontamination: eval grams collapse to one broadcast bitmap row; the corpus side is scan -> project with zero shuffled joins.",
+    "pretrain_bloom_decontaminate": "Bloom decontamination: eval grams collapse to one broadcast bitmap row; corpus membership is a codegen map over exploded gram rows, folded back per doc by one map-side-partial aggregate (no shuffled joins).",
     "dedup_passages": "Passage dedup: one shuffle on md5(passage) for the first-occurrence window, one back on doc_id to reassemble — no corpus-sized joins.",
     "sim_semantic_dedup": "SemDeDup: broadcast codebook assignment, then a cid-keyed self-join — pairwise work bounded by cluster size.",
     "pretrain_gopher_repetition": "Five repetition metrics from ONE tagged (n, gram) explode and two hash aggregates — no joins, no windows.",
