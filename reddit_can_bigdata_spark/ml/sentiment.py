@@ -198,7 +198,10 @@ def train_sentiment(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     from pyspark.ml import PipelineModel
 
     tokenizer, remover, cv, idf, indexer, assembler = base
-    toks = remover.transform(tokenizer.transform(train)).cache()
+    # cache only the one column the CV fit and the CV->IDF chain read
+    # (round 12, guide §5 — same trim as the featurized splits below):
+    # identical fitted models, smaller cached rows
+    toks = remover.transform(tokenizer.transform(train)).select("filtered").cache()
     with ThreadPoolExecutor(2) as fpool:
         f_si = fpool.submit(indexer.fit, train)
         cv_model = cv.fit(toks)
