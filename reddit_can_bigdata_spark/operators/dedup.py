@@ -185,6 +185,15 @@ def dedup_minhash_lsh(
             for i in range(MINHASH_K)
         ]
     )
+    # Materialize the signature table once (optimization round 12): it
+    # has FOUR planned consumers (the banding explode behind both
+    # candidate self-join legs, plus the sa/sb estimate joins), each of
+    # which re-derived the shingle hash + 16-way min aggregate. One row
+    # of 17 ints per doc — corpus-linear and tiny next to what it
+    # replaces. Integer mins, values unchanged (A/B: wall 1.30 -> 1.04
+    # on the standalone query, byte-equal rows; the composed quality /
+    # clusters callers inherit the cut).
+    sigs = sigs.localCheckpoint(eager=True)
     # band key b = md5("m_{rb} , ... , m_{rb+r-1}") — identical string
     # to the oracle's ORDER BY i string_agg.
     band_keys = [
